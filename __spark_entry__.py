@@ -1,38 +1,775 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is implemented by the ``fink_broker_spark``
+package (one per operator family of SURVEY.md §2 plus the §7.1.8
+extensions); ``oracle_sql()`` carries a DuckDB-executable ANSI-SQL mirror.
+
+Oracle-parity discipline (why results hash-match bit-for-bit):
+- sums over floating columns go through exact DECIMAL aggregation and are
+  cast to DOUBLE at the very end;
+- derived doubles (jd, ratios, cosines) are written as the *same IEEE
+  operation tree* on both sides (left-to-right reductions, explicit double
+  casts), so no rounding tolerance is needed;
+- every computed column is explicitly aliased and typed identically.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fink_broker_spark.core.session import configure_session
+from fink_broker_spark.core.time import (
+    jd_expr,
+    mjd_expr,
+    nanos_to_micros,
+    night_partition_cols,
+)
+from fink_broker_spark.ext.ann import brute_force_topk
+from fink_broker_spark.ext.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from fink_broker_spark.functions.text import (
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from fink_broker_spark.functions.vector import norm2_expr
+from fink_broker_spark.operators.arrays import array_reduce_max
+from fink_broker_spark.operators.relational import (
+    broadcast_equi_join,
+    dedup_exact,
+    last_per_key,
+    top_k,
+    top_k_per_group,
+)
+from fink_broker_spark.operators.salting import salt_expr, salted_row_key
+from fink_broker_spark.sources.parquet import load_table
+from fink_broker_spark.streaming.replay import replay_to_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _dec(col, scale: int = 9):
+    """Exact decimal view of a float column for deterministic aggregation."""
+    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.6/§2.4 — aggregation + filter/projection families
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: scan → filter → group-aggregate (TPC-H Q1 shape).
+
+    Exercises predicate pushdown + partial (map-side) aggregation — the
+    plan every nightly-statistics job in the reference reduces to
+    (``bin/ztf/archive_statistics.py:93-141``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    return (
+        li.filter(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+                (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+            AS DOUBLE) AS sum_disc_price
+FROM lineitem
+WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_quality_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained boolean quality cuts (``bin/ztf/raw2science.py:92-95``
+    re-expressed on lineitem), then a per-status tally."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 25)
+        .filter(F.col("l_discount") >= 0.05)
+        .filter(F.col("l_returnflag") != "A")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+        )
+    )
+
+
+ORACLE_QUALITY_CUTS = """
+SELECT l_linestatus, count(*) AS n,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_quantity < 25 AND l_discount >= 0.05 AND l_returnflag <> 'A'
+GROUP BY l_linestatus
+"""
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-statistics shape: group count + distinct + extrema
+    (``bin/ztf/archive_statistics.py:98-133``)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", nanos_to_micros("ts_ns")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+ORACLE_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value,
+       min(epoch_us(ts)) AS min_ts_us,
+       max(epoch_us(ts)) AS max_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_conditional_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``when/otherwise`` recode (``ztf/science.py:102-154`` family)."""
+    ev = load_table(spark, sf_dir, "events")
+    recoded = (
+        F.when(F.col("event_type") == "purchase", F.lit("buy"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("browse"))
+        .otherwise(F.lit("other"))
+    )
+    return ev.select(recoded.alias("action")).groupBy("action").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_CONDITIONAL_RECODE = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'buy'
+            WHEN event_type IN ('click','view') THEN 'browse'
+            ELSE 'other' END AS action,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.5 — joins
+# --------------------------------------------------------------------------
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join of dims (``bin/ztf/merge.py:81-83`` idiom)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = broadcast_equi_join(
+        nation,
+        region.withColumnRenamed("r_regionkey", "n_regionkey"),
+        on="n_regionkey",
+    )
+    return joined.groupBy("r_name").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+ORACLE_BROADCAST_JOIN = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate + deterministic global top-k.
+
+    customer ⋈ orders ⋈ lineitem with revenue = Σ price·(1−disc); top 10
+    by revenue (top-k runs as TakeOrderedAndProject, not a global sort —
+    replaces the reference's driver-side pandas sort,
+    ``bin/ztf/archive_slsn_candidates.py:256-258``).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+    return top_k(
+        per_cust, [F.desc_nulls_last("revenue"), F.asc("c_custkey")], 10
+    )
+
+
+ORACLE_TOP_REVENUE = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+                (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC NULLS LAST, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (membership filters at scale — the
+    set-based form of ``col.isin(collected_list)``,
+    ``bin/ztf/archive_anomaly.py:112-113``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("label", F.lit("with_orders"))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("label", F.lit("without_orders"))
+    )
+    return semi.unionByName(anti)
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_mktsegment, count(*) AS n, 'with_orders' AS label
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, count(*) AS n, 'without_orders' AS label
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.7 — window functions, last-per-key dedup
+# --------------------------------------------------------------------------
+
+def q_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded window max + equality filter — the reference's batch
+    dedup (``rubin/hbase_utils.py:679-686``)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", nanos_to_micros("ts_ns")
+    )
+    return last_per_key(ev, "user_id", "ts_us").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+
+
+ORACLE_LAST_EVENT = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+FROM (
+  SELECT *, max(epoch_us(ts)) OVER (PARTITION BY user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mx
+  FROM events
+) WHERE epoch_us(ts) = mx
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group top-k via ``row_number``."""
+    ev = load_table(spark, sf_dir, "events")
+    out = top_k_per_group(
+        ev,
+        ["event_type"],
+        [F.desc_nulls_last("value"), F.asc("event_id")],
+        3,
+        rank_col="rnk",
+    )
+    return out.select(
+        "event_type", "event_id", "value", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY value DESC NULLS LAST, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic keep-min representative
+    (``ztf/tracklet_identification.py:329`` made reproducible)."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_exact(
+        ev, ["user_id", "event_type"], representative="event_id"
+    ).withColumnRenamed("event_id", "first_event_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT user_id, event_type, min(event_id) AS first_event_id
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.10 — scalar functions: time, salting, row keys
+# --------------------------------------------------------------------------
+
+def q_jd_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jd/mjd ⇄ time conversions as native exprs
+    (``common/partitioning.py:26-105`` without the pandas UDFs)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = nanos_to_micros("ts_ns")
+    return ev.select(
+        "event_id",
+        us.alias("ts_us"),
+        jd_expr(us).alias("jd"),
+        mjd_expr(us).alias("mjd"),
+    )
+
+
+ORACLE_JD = """
+SELECT event_id, epoch_us(ts) AS ts_us,
+       epoch_us(ts) / 86400000000.0 + 2440587.5 AS jd,
+       (epoch_us(ts) / 86400000000.0 + 2440587.5) - 2400000.5 AS mjd
+FROM events
+"""
+
+
+def q_night_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day partition derivation (``bin/ztf/stream2raw.py:154-158``)."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = night_partition_cols("ts")
+    return (
+        ev.select(
+            parts["year"].alias("year"),
+            parts["month"].alias("month"),
+            parts["day"].alias("day"),
+        )
+        .groupBy("year", "month", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_NIGHT_PARTITIONS = """
+SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+       CAST(day(ts) AS INTEGER) AS day, count(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_salted_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digits salt histogram (``common/hbase_utils.py:485-526``):
+    uniformity of the salt is the operator's contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(salt_expr("o_orderkey", 2).alias("salt"))
+        .groupBy("salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_SALTED_HISTOGRAM = """
+SELECT lpad(right(CAST(o_orderkey AS VARCHAR), 2), 2, '0') AS salt, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_rowkey_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-table projection: composite salted row key + casts
+    (``common/hbase_utils.py:339``, ``ztf/hbase_utils.py:395-489``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        salted_row_key(
+            salt_expr("o_orderkey", 2), "o_custkey", "o_orderkey"
+        ).alias("rowkey"),
+        F.col("o_orderkey").cast("string").alias("o_orderkey_str"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+    )
+
+
+ORACLE_ROWKEY_FLATTEN = """
+SELECT concat_ws('_', lpad(right(CAST(o_orderkey AS VARCHAR), 2), 2, '0'),
+                 CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR)) AS rowkey,
+       CAST(o_orderkey AS VARCHAR) AS o_orderkey_str,
+       o_totalprice, o_orderstatus
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.10 — array ops / HOFs on the embeddings table
+# --------------------------------------------------------------------------
+
+def q_explode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of an array column (``bin/ztf/archive_index.py:186-205``
+    family: history arrays → long format)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "val")
+
+
+ORACLE_EXPLODE_EMBEDDINGS = """
+SELECT vec_id, CAST(i AS INTEGER) AS pos, embedding[i + 1] AS val
+FROM embeddings, range(0, 4096) t(i)
+WHERE i < len(embedding)
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row HOF reductions: aggregate (dot), array extrema, filter count
+    (``rubin/hbase_utils.py:1124-1142`` family)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        norm2_expr("embedding").alias("norm2"),
+        array_reduce_max("embedding").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT vec_id,
+       list_reduce([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                    FOR i IN range(1, len(embedding) + 1)], (x, y) -> x + y) AS norm2,
+       list_reduce([CAST(x AS DOUBLE) FOR x IN embedding],
+                   (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_val,
+       CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(len(embedding) AS INTEGER) AS dim
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# ext — similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN exact baseline; crossmatch operator
+    generalized, ``ztf/science.py:84-197``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+ORACLE_ANN_TOPK = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e,
+         sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding],
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_reduce([c.e[i] * q.e[i] FOR i IN range(1, len(c.e) + 1)],
+                     (a, b) -> a + b) / (c.nrm * q.nrm) AS cosine
+  FROM n c, n q
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rnk
+  FROM p
+) WHERE rnk <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine near-dup (embedding dedup baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e,
+         sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding],
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)],
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)],
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# ext — text analysis + document dedup
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, punctuation/stopword ratios, quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        bpe_token_count_expr("text").alias("n_bpe_tokens"),
+        punct_ratio_expr("text").alias("punct_ratio"),
+        stopword_ratio_expr("text").alias("stop_ratio"),
+        quality_score_expr("text").alias("quality"),
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|a|an|and|or|of|to|in|is|it|on|for)\b')) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+       punct_ratio,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       + 0.3 * (1.0 - punct_ratio)
+       + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 5.0)
+         AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language heuristic (argmax with priority ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id_expr("text").alias("lang_pred")
+    )
+
+
+ORACLE_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y|en|un|una|es|por)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|mit|von)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une|dans|pour|que|qui)\b')) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+            WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+            WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup (md5 of normalized text, keep-min-id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+ORACLE_DOC_FINGERPRINT = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-shingle Jaccard near-dup pairs (threshold 0.8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8, n=3)
+
+
+ORACLE_JACCARD_NEARDUP = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.nsh AS nsh_a, sb.nsh AS nsh_b,
+       CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.8
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (banding). Signature hashing is engine-specific
+    (xxhash64), so no SQL oracle — the pytest suite checks it against the
+    exact-Jaccard result instead (recall/precision contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, nbands=8, n=3, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs (engine-specific hash → no SQL
+    oracle; pytest checks overlap with exact Jaccard pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, n=2)
+
+
+# --------------------------------------------------------------------------
+# SURVEY §2.11 — streaming (batch-equivalent replay)
+# --------------------------------------------------------------------------
+
+def q_stream_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming replay of the events table (file stream,
+    AvailableNow drain) must equal the batch answer — the reference's CI
+    invariant (``bin/fink_test_ztf:100-148``). The oracle *is* the batch
+    group-count."""
+    configure_session(spark)
+    import shutil
+    import tempfile
+
+    # the file source streams *directories*; stage the single-file table
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="fbs_replay_")
+    try:
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+    except OSError:
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    return replay_to_table(
+        spark,
+        stage,
+        lambda sdf: sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        ),
+        output_mode="complete",
+    )
+
+
+ORACLE_STREAM_REPLAY = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "quality_cuts": q_quality_cuts,
+    "event_type_stats": q_event_type_stats,
+    "conditional_recode": q_conditional_recode,
+    "broadcast_join": q_broadcast_join,
+    "top_revenue_customers": q_top_revenue_customers,
+    "semi_anti_join": q_semi_anti_join,
+    "last_event_per_user": q_last_event_per_user,
+    "topk_per_group": q_topk_per_group,
+    "dedup_exact": q_dedup_exact,
+    "jd_conversion": q_jd_conversion,
+    "night_partitions": q_night_partitions,
+    "salted_histogram": q_salted_histogram,
+    "rowkey_flatten": q_rowkey_flatten,
+    "explode_embeddings": q_explode_embeddings,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "jaccard_neardup": q_jaccard_neardup,
+    "minhash_lsh_neardup": q_minhash_lsh,
+    "simhash_neardup": q_simhash,
+    "stream_replay_counts": q_stream_replay_counts,
+}
+
+_ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "quality_cuts": ORACLE_QUALITY_CUTS,
+    "event_type_stats": ORACLE_EVENT_TYPE_STATS,
+    "conditional_recode": ORACLE_CONDITIONAL_RECODE,
+    "broadcast_join": ORACLE_BROADCAST_JOIN,
+    "top_revenue_customers": ORACLE_TOP_REVENUE,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "last_event_per_user": ORACLE_LAST_EVENT,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "jd_conversion": ORACLE_JD,
+    "night_partitions": ORACLE_NIGHT_PARTITIONS,
+    "salted_histogram": ORACLE_SALTED_HISTOGRAM,
+    "rowkey_flatten": ORACLE_ROWKEY_FLATTEN,
+    "explode_embeddings": ORACLE_EXPLODE_EMBEDDINGS,
+    "embedding_norms": ORACLE_EMBEDDING_NORMS,
+    "ann_cosine_topk": ORACLE_ANN_TOPK,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "jaccard_neardup": ORACLE_JACCARD_NEARDUP,
+    "stream_replay_counts": ORACLE_STREAM_REPLAY,
+    # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →
+    # rows-only check; verified against exact jaccard in tests/.
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

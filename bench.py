@@ -1,0 +1,63 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+``{"metric": "total_query_wall_time", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is materialized with the ``noop`` sink (the reference's own
+force-compute idiom, ``fink_broker/rubin/science.py:263``) so timings
+measure full execution without driver-collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from fink_broker_spark.core.session import get_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_session(
+        app_name="fbs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    timings: dict[str, float] = {}
+    total_start = time.perf_counter()
+    for name, fn in entrymod.queries().items():
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(time.perf_counter() - total_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Generalizes the reference's crossmatch operator (per-alert k-NN against a
+catalog with a max radius, ``ztf/science.py:84-197``) from 2-D sky
+coordinates to arbitrary ``array<float>`` embeddings.
+
+Two strategies:
+
+- :func:`brute_force_topk` — exact baseline: broadcast the (small) query
+  set against the corpus, score every pair with JVM-side cosine, per-query
+  top-k via ``row_number``. At 100 TB the corpus side stays partitioned and
+  is scanned once; the only shuffle is the final per-query k-row heap.
+- :func:`lsh_topk` — scale path: random-hyperplane LSH. Corpus and queries
+  are bucketed by signature band; cosine is computed only within matching
+  buckets. Candidate generation is an equi-join on (band, band-signature) —
+  shuffle volume ∝ bucket collisions, not |corpus| × |queries|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fink_broker_spark.functions.vector import cosine_expr
+from fink_broker_spark.operators.relational import top_k_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows for each query vector.
+
+    Returns (query_id, vec_id, cosine, rank); ties broken by corpus id so
+    the result is fully deterministic.
+    """
+    from fink_broker_spark.functions.vector import dot_expr, norm2_expr
+
+    # per-vector norms below the join: each pair row pays one dot product
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(norm2_expr(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        id_col, vec_col, F.sqrt(norm2_expr(vec_col)).alias("__cnorm")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot_expr(vec_col, "__qvec")
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cosine"), F.asc(id_col)],
+        k,
+    ).select(query_id_col, id_col, "cosine", "rank")
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (unit Gaussian rows)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature: ``array<int>`` of 0/1 per hyperplane.
+
+    Pure Column expression — ``transform`` over plane literals with an
+    inner ``aggregate`` dot product; runs in codegen over the scan.
+    """
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def _band_table(
+    df: DataFrame, id_col: str, vec_col: str, planes, nbands: int
+) -> DataFrame:
+    nbits = len(planes)
+    rows_per_band = nbits // nbands
+    sig = signature_expr(vec_col, planes)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(nbands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                "", F.slice(sig, b * rows_per_band + 1, rows_per_band)
+            ).alias("bsig"),
+        ),
+    )
+    return df.select(id_col, vec_col, F.explode(bands).alias("bb")).select(
+        id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nbits: int = 32,
+    nbands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding.
+
+    A pair is a candidate if it collides in ≥1 of ``nbands`` signature
+    bands (``nbits/nbands`` bits each); exact cosine is computed only for
+    candidates. Recall is tunable via (nbits, nbands); the shape matches
+    the MinHash-LSH banding construction (Broder; MMDS ch.3).
+    """
+    planes = hyperplanes(dim, nbits, seed)
+    cb = _band_table(corpus, id_col, vec_col, planes, nbands)
+    qb = _band_table(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        ),
+        query_id_col,
+        "__qvec",
+        planes,
+        nbands,
+    )
+    cands = (
+        cb.join(qb, on=["band", "bsig"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine_expr(vec_col, "__qvec").alias("cosine")
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cosine"), F.asc(id_col)], k
+    ).select(query_id_col, id_col, "cosine", "rank")

@@ -1,0 +1,42 @@
+"""Statistics-driven physical planning helpers.
+
+The only optimizer-adjacent code the reference carries (SURVEY.md §4): a
+py4j peek at Catalyst's optimized-plan statistics to size compaction output
+at ~128 MB per file (``fink_broker/common/partitioning.py:108-152``).
+Everything else — pushdown, pruning, join strategy, WSCG — is left to
+Catalyst, and so it is here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MB = 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized logical plan.
+
+    Same mechanism as the reference's ``numPartitions`` helper: the
+    optimized plan's ``stats().sizeInBytes()`` (parquet footer totals ×
+    filter selectivity estimates), read through py4j. This is pre-execution
+    metadata only — no job runs.
+    """
+    jdf = df._jdf
+    size = jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # BigInt on the Scala side; py4j may hand back int or a JavaObject
+    return int(size if isinstance(size, int) else size.longValue())
+
+
+def estimate_coalesce_partitions(
+    df: DataFrame, target_partition_mb: float = 128.0
+) -> int:
+    """Partition count that yields ~``target_partition_mb`` output files.
+
+    Reference semantics (``common/partitioning.py:108-152``): ceil of
+    estimated bytes / target, floor 1. Used by the nightly compaction
+    writer so the lake converges to large scan-friendly files regardless
+    of how many small streaming appends a night produced.
+    """
+    size = plan_size_bytes(df)
+    return max(1, int(size / (target_partition_mb * MB)) + 1)

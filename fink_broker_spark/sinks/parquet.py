@@ -1,0 +1,59 @@
+"""Parquet sinks: streaming append + nightly compaction.
+
+Re-expresses the reference's lake writers:
+- checkpointed streaming append partitioned by night
+  (``bin/ztf/stream2raw.py:136-167``)
+- small-file compaction with statistics-driven coalesce
+  (``bin/ztf/merge.py:52-91`` + ``common/partitioning.py:108-152``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from fink_broker_spark.plans.partitioning import estimate_coalesce_partitions
+
+
+def stream_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming parquet append sink, checkpointed, night-partitioned."""
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", path)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def compact_night(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    target_partition_mb: float = 128.0,
+    mode: str = "append",
+) -> int:
+    """Rewrite a night's many small streaming files as ~128 MB files.
+
+    Returns the partition count used. ``coalesce`` (not ``repartition``)
+    on purpose: no shuffle — tasks merge co-located input splits, which is
+    exactly what small-file compaction wants.
+    """
+    n = estimate_coalesce_partitions(df, target_partition_mb)
+    writer = df.coalesce(n).write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return n

@@ -1,0 +1,108 @@
+"""Parquet batch + file-stream sources.
+
+Re-expresses the reference's lake readers:
+- static merge-schema scan (``common/spark_utils.py:420-446``)
+- parquet file-stream with pinned schema, ``latestFirst``, and a blocking
+  wait-for-path with exponential backoff (``common/spark_utils.py:311-386``)
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fink_broker_spark.core.session import configure_session
+from fink_broker_spark.core.time import nanos_to_timestamp
+
+#: Tables of the synthetic test lake (TESTDATA.md).
+LAKE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def scan_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Batch parquet scan; ``mergeSchema`` mirrors the reference's lake read
+    (``common/spark_utils.py:444``) for schema-evolving nightly appends.
+
+    Prefer ``merge_schema=False`` on stable tables: schema merging reads
+    every footer up front, which at 100 TB / millions of files is a real
+    driver-side cost.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic-lake table, normalizing types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with the engine's
+    ``nanosAsLong`` conf it arrives as a long which we keep as ``ts_ns``
+    and expose as a proper timestamp column ``ts`` (microsecond, UTC).
+    """
+    configure_session(spark)
+    df = scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", nanos_to_timestamp("ts_ns")
+        )
+    return df
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    latest_first: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of a growing parquet directory.
+
+    Mirrors ``connect_to_raw_database`` (``common/spark_utils.py:311-368``):
+    the schema is pinned — from the caller or a one-off static read —
+    because Spark file streams do not infer schemas; ``latestFirst`` lets a
+    restarted job drain the freshest files first
+    (``common/spark_utils.py:320-323``).
+    """
+    configure_session(spark)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema)
+    if latest_first:
+        reader = reader.option("latestFirst", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def wait_for_path(
+    path: str, timeout_s: float = 60.0, initial_backoff_s: float = 0.25
+) -> bool:
+    """Block until ``path`` exists, with exponential backoff.
+
+    Reference: the raw2science service waits for stream2raw to create the
+    night's directory before attaching a file stream
+    (``common/spark_utils.py:339-357,371-386``).
+    """
+    deadline = _time.monotonic() + timeout_s
+    backoff = initial_backoff_s
+    while _time.monotonic() < deadline:
+        if os.path.exists(path):
+            return True
+        _time.sleep(backoff)
+        backoff = min(backoff * 2, 5.0)
+    return os.path.exists(path)

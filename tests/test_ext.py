@@ -1,0 +1,74 @@
+"""Extension-operator contracts: LSH families vs exact baselines; time ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fink_broker_spark.core.time import (
+    jd_expr,
+    jd_to_timestamp,
+    nanos_to_micros,
+    timestamp_to_jd,
+)
+from fink_broker_spark.ext.ann import brute_force_topk, lsh_topk
+from fink_broker_spark.ext.dedup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+from fink_broker_spark.sources.parquet import load_table
+from tests.conftest import SF0001
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates verified by exact jaccard ⊆ exact pairs; high-sim
+    pairs (≥0.9) must be recalled (banding curve puts them at ~1.0)."""
+    docs = load_table(spark, SF0001, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, num_hashes=32, nbands=8, n=3, threshold=0.8).collect()
+    }
+    assert set(lsh) <= set(exact)
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high <= set(lsh), f"missed high-sim pairs: {high - set(lsh)}"
+
+
+def test_simhash_finds_neardups(spark):
+    """SimHash hamming ≤ 3 pairs should heavily overlap exact near-dups."""
+    docs = load_table(spark, SF0001, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.9, n=2).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3, n=2).collect()
+    }
+    if exact:
+        assert len(sim & exact) / len(exact) >= 0.5
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, nbits=64, nbands=16)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # random data has weak neighborhood structure; still expect real recall
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.3
+
+
+def test_jd_roundtrip(spark):
+    ev = load_table(spark, SF0001, "events").limit(100)
+    out = ev.select(
+        "ts",
+        nanos_to_micros("ts_ns").alias("us"),
+        timestamp_to_jd("ts").alias("jd"),
+    ).withColumn("ts2", jd_to_timestamp("jd"))
+    # round-trip within 1 ms (double jd holds ~µs precision at 2.4e6 days)
+    chk = out.select(
+        (F.abs(F.unix_micros("ts2") - F.col("us")) < 1000).alias("ok")
+    )
+    assert all(r.ok for r in chk.collect())
+    jd_vals = out.select("jd").first()
+    assert 2.4e6 < jd_vals.jd < 2.5e6

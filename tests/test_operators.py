@@ -1,0 +1,167 @@
+"""Unit tests for operator semantics on synthetic nested alert fixtures.
+
+The testdata lake has no nested alert table, so the ZTF/Rubin-shaped
+fixtures of FIXTURES.md §2-3 are built in-memory here; the invariants are
+the ones the reference's own doctests assert (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+from fink_broker_spark.operators.arrays import (
+    array_filter_since,
+    array_reduce_max,
+    concat_col,
+    explode_history,
+)
+from fink_broker_spark.operators.relational import (
+    dedup_exact,
+    flatten_cast,
+    last_per_key,
+    select_with_defaults,
+    top_k_per_group,
+)
+from fink_broker_spark.operators.salting import salt_expr, salted_row_key
+
+
+@pytest.fixture(scope="module")
+def alerts(spark):
+    """Mini ZTF-shaped alerts: candidate struct + history array."""
+    rows = [
+        Row(
+            objectId=f"ZTF{oid}",
+            candid=100 + i,
+            candidate=Row(jd=2459000.5 + i, fid=1 + (i % 3), magpsf=17.0 + i, rb=0.4 + 0.1 * (i % 6), nbad=i % 2),
+            prv_candidates=[
+                Row(jd=2459000.5 + i - k - 1, fid=1, magpsf=18.0 + k, rb=0.9, nbad=0)
+                for k in range(i % 4)
+            ],
+        )
+        for i, oid in enumerate(["a", "a", "b", "b", "b", "c", "d", "e"])
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_concat_col_invariant(alerts):
+    out = concat_col(alerts, "magpsf")
+    chk = out.select(
+        (F.size("cmagpsf") == F.size("prv_candidates") + 1).alias("ok")
+    )
+    assert all(r.ok for r in chk.collect())
+    # append puts the current value last
+    row = out.filter(F.size("prv_candidates") > 0).select(
+        F.element_at("cmagpsf", -1).alias("last"), F.col("candidate.magpsf").alias("cur")
+    ).first()
+    assert row.last == row.cur
+
+
+def test_explode_history_row_count(alerts):
+    out = explode_history(alerts, "prv_candidates", ["jd", "magpsf"], keep=["objectId", "candid"])
+    expected = alerts.select(F.sum(F.size("prv_candidates"))).collect()[0][0]
+    assert out.count() == expected
+    assert set(out.columns) == {"objectId", "candid", "jd", "magpsf"}
+
+
+def test_quality_cut_partition(alerts):
+    """nbad == 0 AND rb >= 0.55 AND fid != 3 partitions deterministically."""
+    good = alerts.filter(
+        (F.col("candidate.nbad") == 0)
+        & (F.col("candidate.rb") >= 0.55)
+        & (F.col("candidate.fid") != 3)
+    )
+    bad = alerts.filter(
+        ~(
+            (F.col("candidate.nbad") == 0)
+            & (F.col("candidate.rb") >= 0.55)
+            & (F.col("candidate.fid") != 3)
+        )
+    )
+    assert good.count() + bad.count() == alerts.count()
+
+
+def test_last_per_key_one_row_per_key(alerts):
+    out = last_per_key(alerts, "objectId", "candid")
+    assert out.count() == alerts.select("objectId").distinct().count()
+    row = out.filter(F.col("objectId") == "ZTFb").first()
+    assert row.candid == 104  # max candid among the three 'b' alerts
+
+
+def test_hof_forced_photometry_pattern(spark):
+    """FIXTURES.md §3: aggregate-max then filter-since then explode."""
+    df = spark.createDataFrame(
+        [
+            Row(
+                alertId=1,
+                prvDiaSources=[Row(midpointMjdTai=60001.0), Row(midpointMjdTai=60003.0)],
+                prvDiaForcedSources=[
+                    Row(diaObjectId=7, midpointMjdTai=60000.0),
+                    Row(diaObjectId=7, midpointMjdTai=60003.5),
+                ],
+            )
+        ]
+    )
+    out = df.withColumn(
+        "max_mjd", array_reduce_max("prvDiaSources", "midpointMjdTai")
+    ).withColumn(
+        "recent",
+        array_filter_since("prvDiaForcedSources", "midpointMjdTai", F.col("max_mjd")),
+    )
+    row = out.first()
+    assert row.max_mjd == 60003.0
+    assert [x.midpointMjdTai for x in row.recent] == [60003.5]
+
+
+def test_select_with_defaults(alerts):
+    out = select_with_defaults(
+        alerts,
+        {
+            "objectId": ("string", None),
+            "not_there": ("double", -1.0),
+            "candid": ("bigint", None),
+        },
+    )
+    assert out.columns == ["objectId", "not_there", "candid"]
+    assert out.select(F.min("not_there")).collect()[0][0] == -1.0
+
+
+def test_flatten_cast(alerts):
+    out = flatten_cast(
+        alerts,
+        {
+            "objectId": ("objectId", "string"),
+            "jd": ("candidate.jd", "double"),
+            "fid": ("candidate.fid", "int"),
+            "magpsf_str": ("candidate.magpsf", "string"),
+        },
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "double", "int", "string",
+    ]
+
+
+def test_rowkey_uniqueness(alerts):
+    """FIXTURES.md §2: concat_ws('_', objectId, jd) unique per (objectId, jd)."""
+    out = alerts.select(
+        salted_row_key(
+            salt_expr("candid", 2), "objectId", F.col("candidate.jd")
+        ).alias("rowkey")
+    )
+    assert out.distinct().count() == alerts.count()
+
+
+def test_dedup_exact_nondeterministic_mode(alerts):
+    out = dedup_exact(alerts, ["objectId"])
+    assert out.count() == alerts.select("objectId").distinct().count()
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=float(i % 5), i=i) for i in range(20)]
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("i")], 3)
+    assert [(r.v, r.i) for r in out.orderBy("rank").collect()] == [
+        (4.0, 4), (4.0, 9), (4.0, 14),
+    ]

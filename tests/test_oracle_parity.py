@@ -1,0 +1,34 @@
+"""Oracle-diff harness: every declared query hash-matches DuckDB at sf0.01.
+
+This IS the correctness gate (SURVEY.md §5 implication): exact value
+equality, order-insensitive, column-name-keyed — stricter than the
+driver's value-hash, on the very same scale factor the driver uses.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF001, run_oracle_compare
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity_sf001(spark, name):
+    run_oracle_compare(spark, name, SF001)
+
+
+def test_all_queries_have_oracle_or_reason():
+    queries = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= queries
+    # engine-hash-specific ops are the only permitted oracle-less entries
+    assert queries - oracles <= {"minhash_lsh_neardup", "simhash_neardup"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) > 0

@@ -1,0 +1,73 @@
+"""Streaming contract: replay == batch; partitioned append sink; compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from fink_broker_spark.core.time import with_night_partitions
+from fink_broker_spark.plans.partitioning import estimate_coalesce_partitions
+from fink_broker_spark.sinks.parquet import compact_night, stream_to_parquet
+from fink_broker_spark.sources.parquet import file_stream, load_table, wait_for_path
+from fink_broker_spark.streaming.replay import replay_to_table
+from tests.conftest import SF0001
+
+
+def _stage_events(tmp_path, sf_dir=SF0001):
+    stage = tmp_path / "events_dir"
+    stage.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), stage / "events.parquet"
+    )
+    return str(stage)
+
+
+def test_replay_equals_batch(spark, tmp_path):
+    """The reference's CI invariant (bin/fink_test_ztf): streaming the same
+    files yields the batch answer."""
+    stage = _stage_events(tmp_path)
+    streamed = replay_to_table(
+        spark,
+        stage,
+        lambda sdf: sdf.groupBy("event_type").count(),
+        output_mode="complete",
+    )
+    batch = spark.read.parquet(stage).groupBy("event_type").count()
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream2raw_pipeline(spark, tmp_path):
+    """Miniature stream2raw: file stream → night partition cols → parquet
+    append sink (bin/ztf/stream2raw.py:136-167 shape)."""
+    stage = _stage_events(tmp_path)
+    out = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = file_stream(spark, stage)
+    from fink_broker_spark.core.time import nanos_to_timestamp
+
+    enriched = with_night_partitions(
+        sdf.withColumn("ts", nanos_to_timestamp("ts")), "ts"
+    ).withColumn("ingest_version", F.lit("fbs-0.1"))
+    q = stream_to_parquet(enriched, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert wait_for_path(out, 10)
+    written = spark.read.parquet(out)
+    assert written.count() == 1000
+    # hive partition layout on disk
+    years = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert years, os.listdir(out)
+
+
+def test_compaction_stats_driven(spark, tmp_path):
+    df = load_table(spark, SF0001, "lineitem")
+    n = estimate_coalesce_partitions(df, target_partition_mb=128.0)
+    assert n >= 1
+    out = str(tmp_path / "compact")
+    used = compact_night(df, out, partition_cols=(), target_partition_mb=128.0)
+    assert used == n
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n
+    assert spark.read.parquet(out).count() == df.count()
