@@ -702,6 +702,448 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# SURVEY §2.6/§2.9/§2.10 — rollup, set ops, map recode, file provenance
+# --------------------------------------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (free in Spark per SURVEY §2.6 note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over derived key sets (§2.9: free Spark ops)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(erroring).withColumn("label", F.lit("both"))
+    only_buy = buyers.exceptAll(erroring).withColumn("label", F.lit("buy_only"))
+    return both.unionByName(only_buy)
+
+
+ORACLE_SET_OPS = """
+SELECT user_id, 'both' AS label FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'buy_only' AS label FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+def q_map_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``create_map`` literal lookup with null fallback — the CATS
+    class-id remap idiom (``rubin/science.py:329-351``)."""
+    ev = load_table(spark, sf_dir, "events")
+    codes = F.create_map(
+        F.lit("click"), F.lit(1),
+        F.lit("view"), F.lit(2),
+        F.lit("purchase"), F.lit(3),
+        F.lit("signup"), F.lit(4),
+    )
+    return (
+        ev.select(
+            F.coalesce(codes[F.col("event_type")], F.lit(-1)).alias("type_code")
+        )
+        .groupBy("type_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_MAP_RECODE = """
+SELECT CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+            WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE -1 END AS type_code,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via ``input_file_name`` (``bin/ztf/archive_images.py:51``,
+    ``rubin/hbase_utils.py:854``), normalized to basenames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "file", F.regexp_extract(F.input_file_name(), r"[^/]+$", 0)
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_FILE_PROVENANCE_TEMPLATE = r"""
+SELECT regexp_extract(filename, '[^/]+$', 0) AS file, count(*) AS n
+FROM read_parquet('{sf}/lineitem.parquet', filename = true)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: window-lag (declarative) and applyInPandas (imperative)
+# compute the SAME result — one oracle covers both (§2.7, §2.12)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1000000  # 30 minutes
+
+
+def q_session_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window: a session break is a >30 min gap."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", nanos_to_micros("ts_ns")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    breaks = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        gapped.withColumn("brk", breaks)
+        .groupBy("user_id")
+        .agg(
+            F.sum("brk").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", F.col("n_sessions").cast("bigint").alias("n_sessions"), "n_events")
+    )
+
+
+ORACLE_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_us IS NULL
+                      OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_session_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessionization, computed imperatively per user group with
+    ``applyInPandas`` (§2.12 grouped-map surface) — must match the
+    declarative window answer exactly."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", nanos_to_micros("ts_ns"))
+        .select("user_id", "event_id", "ts_us")
+    )
+
+    def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        gaps = pdf["ts_us"].diff()
+        n_sessions = int((gaps.isna() | (gaps > SESSION_GAP_US)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        sessions, "user_id bigint, n_sessions bigint, n_events bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# archive layer: single-pass statistics; enrichment pipeline; cascade
+# --------------------------------------------------------------------------
+
+def q_nightly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row nightly statistics in a single scan
+    (``bin/ztf/archive_statistics.py:93-141`` without one action per
+    counter)."""
+    from fink_broker_spark.archive.statistics import nightly_statistics
+
+    ev = load_table(spark, sf_dir, "events")
+    out = nightly_statistics(
+        ev,
+        filtered_counts={
+            "n_purchase": F.col("event_type") == "purchase",
+            "n_error": F.col("event_type") == "error",
+            "n_high_value": F.col("value") >= 500.0,
+        },
+        distinct_counts=["user_id", "event_type"],
+        sums={"sum_value_dec": _dec("value")},
+    )
+    return out.select(
+        "n_total", "n_purchase", "n_error", "n_high_value",
+        "n_distinct_user_id", "n_distinct_event_type",
+        F.round(F.col("sum_value_dec"), 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_NIGHTLY_STATS = """
+SELECT count(*) AS n_total,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (value >= 500.0) AS n_high_value,
+       count(DISTINCT user_id) AS n_distinct_user_id,
+       count(DISTINCT event_type) AS n_distinct_event_type,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM events
+"""
+
+
+def q_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The science-module pipeline shape (``ztf/science.py:201-436``) on
+    the events stream: ordered processors, temp-column lifecycle,
+    missing-input skip — all pure Column exprs here (zero Arrow
+    boundaries)."""
+    from fink_broker_spark.enrich.pipeline import EnrichmentPipeline, Processor
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", nanos_to_micros("ts_ns")
+    )
+    pipe = EnrichmentPipeline(
+        processors=[
+            Processor("jd", ["ts_us"], "jd", lambda c: jd_expr(F.col(c))),
+            Processor(
+                "night",
+                ["ts"],
+                "night",
+                lambda c: (
+                    F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)
+                ).cast("int"),
+            ),
+            Processor(
+                "value_bucket",
+                ["value"],
+                "value_bucket",
+                lambda c: F.floor(F.col(c) / 100.0).cast("long"),
+            ),
+            Processor(
+                "tmp_flag", ["event_type"], "tmp_flag",
+                lambda c: F.col(c) == "error", temporary=True,
+            ),
+            Processor(
+                "skipped_missing", ["no_such_col"], "never_made",
+                lambda c: F.lit(0),
+            ),
+        ]
+    )
+    out = pipe.apply(ev)
+    return out.groupBy("night", "value_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("jd").alias("min_jd"),
+    )
+
+
+ORACLE_ENRICH_PIPELINE = """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INTEGER) AS night,
+       CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,
+       count(*) AS n,
+       min(epoch_us(ts) / 86400000000.0 + 2440587.5) AS min_jd
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_classification_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-rule cascade label (``extract_fink_classification`` shape,
+    ``bin/ztf/archive_index.py:100-116``) on lineitem."""
+    from fink_broker_spark.operators.classify import classification_cascade
+
+    li = load_table(spark, sf_dir, "lineitem")
+    label = classification_cascade(
+        [
+            (F.col("l_returnflag") == "R", "returned"),
+            (F.col("l_quantity") >= 45, "bulk"),
+            (F.col("l_discount") >= 0.08, "discounted"),
+        ],
+        default="regular",
+    )
+    return (
+        li.select(label.alias("class"))
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_CASCADE = """
+SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_quantity >= 45 THEN 'bulk'
+            WHEN l_discount >= 0.08 THEN 'discounted'
+            ELSE 'regular' END AS class,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# spatial bucketing + grouped-map clustering (tracklet family)
+# --------------------------------------------------------------------------
+
+def q_grid_pixelization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sky-bucketing operator (``ang2pix`` family,
+    ``common/spark_utils.py:529-564``) on synthetic coordinates derived
+    from the events table; grid variant is pure-Column + SQL-mirrorable."""
+    from fink_broker_spark.functions.spatial import grid_pixel_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
+    dec = (F.col("user_id") % 181 - 90).cast("double")
+    return (
+        ev.select(grid_pixel_expr(ra, dec, cell_deg=10.0).alias("pix"))
+        .groupBy("pix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_GRID_PIX = """
+SELECT CAST(floor(((CAST(user_id % 181 AS DOUBLE) - 90) + 90.0) / 10.0) * 36
+            + floor((value - floor(value / 360.0) * 360.0) / 10.0) AS BIGINT) AS pix,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map clustering (``ztf/tracklet_identification.py:123-334``
+    skeleton): group events by minute, 1-D gap-split clusters on value,
+    keep clusters of ≥2 — summarized per group. The declarative oracle
+    reproduces the gap-split with a running-sum window."""
+    from fink_broker_spark.operators.tracklets import grouped_clusters
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", nanos_to_micros("ts_ns"))
+        .withColumn(
+            "minute",
+            ((F.col("ts_us") - F.col("ts_us") % 60000000) / F.lit(60000000)).cast("long"),
+        )
+        .select("minute", "event_id", "value")
+    )
+    clustered = grouped_clusters(
+        ev, group_col="minute", value_col="value", gap=5.0, min_size=2
+    )
+    return (
+        clustered.groupBy("minute")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("cluster_id") != "").alias("n_clustered"),
+            F.size(
+                F.array_remove(F.collect_set("cluster_id"), "")
+            ).cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+ORACLE_TRACKLETS = """
+WITH g AS (
+  SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute, event_id, value
+  FROM events
+), lagged AS (
+  SELECT minute, value, event_id,
+         lag(value) OVER (PARTITION BY minute ORDER BY value, event_id) AS prev
+  FROM g
+), cid AS (
+  SELECT minute, value, event_id,
+         SUM(CASE WHEN prev IS NULL OR value - prev > 5.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY minute ORDER BY value, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cluster
+  FROM lagged
+), sized AS (
+  SELECT minute, cluster, count(*) AS csize FROM cid GROUP BY 1, 2
+)
+SELECT minute,
+       SUM(csize) AS n_rows,
+       CAST(SUM(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT) AS n_clustered,
+       CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
+FROM sized GROUP BY minute
+"""
+
+
+# --------------------------------------------------------------------------
+# ext — multimodal binary columns; streaming dedup (rows-only)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing (cutout struct family,
+    ``bin/ztf/distribute.py:89-95``): pack → mapInPandas extract. The
+    oracle checks the relational surface (byte length + sha256); the stub
+    feature vectors are covered in pytest."""
+    from fink_broker_spark.ext.multimodal import extract_features, pack_media
+
+    ev = load_table(spark, sf_dir, "events")
+    media = pack_media(
+        ev, "event_id", F.col("props").cast("binary"), kind="blob"
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("content_sha256").alias("content_sha256"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT event_id AS media_id,
+       CAST(octet_length(encode(props)) AS INTEGER) AS n_bytes,
+       sha256(props) AS content_sha256
+FROM events
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (the §2.11 extension). Stateful
+    streaming op → rows-only driver check; batch-equivalence is asserted
+    in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.streaming.dedup import stream_dedup
+
+    configure_session(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="fbs_dedup_")
+    try:
+        os.symlink(src, os.path.join(stage, "events.parquet"))
+    except OSError:
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    return replay_to_table(
+        spark,
+        stage,
+        lambda sdf: stream_dedup(
+            sdf.withColumn("ts", nanos_to_timestamp("ts")).select(
+                "user_id", "event_type", "ts"
+            ),
+            keys=["user_id", "event_type"],
+            event_time_col="ts",
+            watermark_delay="1 hour",
+        ).drop("ts"),
+        output_mode="append",
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -731,6 +1173,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_neardup": q_minhash_lsh,
     "simhash_neardup": q_simhash,
     "stream_replay_counts": q_stream_replay_counts,
+    "rollup_aggregates": q_rollup,
+    "set_ops": q_set_ops,
+    "map_recode": q_map_recode,
+    "file_provenance": q_file_provenance,
+    "session_window_lag": q_session_lag,
+    "session_applyinpandas": q_session_applyinpandas,
+    "nightly_stats": q_nightly_stats,
+    "enrich_pipeline": q_enrich_pipeline,
+    "classification_cascade": q_classification_cascade,
+    "grid_pixelization": q_grid_pixelization,
+    "tracklet_clusters": q_tracklet_clusters,
+    "multimodal_features": q_multimodal_features,
+    "stream_dedup_watermark": q_stream_dedup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -757,8 +1212,27 @@ _ORACLES: dict[str, str] = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "jaccard_neardup": ORACLE_JACCARD_NEARDUP,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
+    "rollup_aggregates": ORACLE_ROLLUP,
+    "set_ops": ORACLE_SET_OPS,
+    "map_recode": ORACLE_MAP_RECODE,
+    # the driver's DuckDB views hide file paths; the provenance oracle
+    # reads the sf0.01 parquet (the driver's correctness scale) directly
+    "file_provenance": ORACLE_FILE_PROVENANCE_TEMPLATE.format(
+        sf="/root/testdata/sf0.01"
+    ),
+    "session_window_lag": ORACLE_SESSIONS,
+    # the imperative grouped-map variant must match the same oracle
+    "session_applyinpandas": ORACLE_SESSIONS,
+    "nightly_stats": ORACLE_NIGHTLY_STATS,
+    "enrich_pipeline": ORACLE_ENRICH_PIPELINE,
+    "classification_cascade": ORACLE_CASCADE,
+    "grid_pixelization": ORACLE_GRID_PIX,
+    "tracklet_clusters": ORACLE_TRACKLETS,
+    "multimodal_features": ORACLE_MULTIMODAL,
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →
     # rows-only check; verified against exact jaccard in tests/.
+    # stream_dedup_watermark: stateful streaming op → rows-only check;
+    # batch-equivalence asserted in tests/test_streaming.py.
 }
 
 

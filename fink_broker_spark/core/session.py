@@ -15,6 +15,10 @@ Two entry points:
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 #: Runtime-settable SQL confs applied to every session the engine touches.
@@ -35,6 +39,47 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: SparkContexts (by applicationId) the package zip was already shipped to.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``fink_broker_spark`` importable on executor Python workers.
+
+    An externally-owned session (the correctness driver, a real cluster)
+    knows nothing about this repo: the driver's ``sys.path`` does not
+    propagate to the executors, so any pickled pandas-UDF referencing the
+    package would die with ``ModuleNotFoundError``. Shipping a zip via
+    ``SparkContext.addPyFile`` is the idiomatic fix and is exactly what a
+    1000-executor deployment needs too (same mechanism as ``--py-files``).
+    """
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"fink_broker_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        # e.g. Spark Connect sessions without an accessible SparkContext;
+        # fall through — same-host deployments still import from cwd
+        pass
+    _SHIPPED.add(app_id)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime conf policy to an existing session.
 
@@ -47,6 +92,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # a conf may be static in some deployments — never fail the query
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,96 @@
+"""Multimodal (binary) columns: cutout/image/audio plumbing.
+
+The reference carries image cutouts as binary-bearing structs
+(``cutoutScience/Template/Difference`` with ``stampData: binary``,
+``bin/ztf/distribute.py:89-95``, ``bin/ztf/archive_hostless.py:116-118``)
+and runs per-stamp analysis in pandas UDFs. Generalized here to opaque
+``binary`` payload columns + typed metadata, with feature extraction via
+``mapInPandas`` (Arrow-batched, schema-stable).
+
+The actual decoders (PIL/ffmpeg/…) are NOT available in this container:
+``decode_stub`` is a clearly-marked deterministic fake so the Spark-side
+plumbing — schema, batch iteration, partitioning — is real and tested;
+swap ``_extract_features`` for a real decoder in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the feature extractor — stable regardless of decoder.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("content_sha256", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def pack_media(df: DataFrame, id_col: str, payload: Column, kind: str) -> DataFrame:
+    """Wrap a binary payload with typed metadata — the engine's multimodal
+    column convention (mirrors the cutout struct shape)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.struct(
+            payload.alias("data"),
+            F.length(payload).alias("n_bytes"),
+            F.lit(kind).alias("kind"),
+        ).alias("media"),
+    )
+
+
+def _extract_features(data: bytes, dim: int) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-features from the payload hash.
+
+    Replace with a real decode (image resize / audio frames / video
+    sampling) in production — the surrounding plumbing is unchanged.
+    """
+    digest = hashlib.sha256(data).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim)
+
+
+def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
+    """``mapInPandas`` feature extraction over packed media rows.
+
+    Batch shape: the iterator yields Arrow batches; binary payloads stay
+    off the driver and are decoded worker-side, one batch at a time —
+    the pattern that holds at 100 TB of image bytes (payloads never
+    concentrate; partition count follows the scan).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas = pdf["media"].map(lambda m: bytes(m["data"]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": datas.map(len).astype("int32"),
+                    "content_sha256": datas.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "features": datas.map(
+                        lambda b: _extract_features(b, dim).tolist()
+                    ),
+                }
+            )
+
+    return media_df.mapInPandas(fn, FEATURE_SCHEMA)

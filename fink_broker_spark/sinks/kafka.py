@@ -1,0 +1,80 @@
+"""Kafka sink: struct-wrap → serialize → per-topic publish.
+
+Re-expresses ``get_kafka_df`` + ``push_to_kafka``
+(``fink_broker/common/distribution_utils.py:33-140``): wrap the selected
+columns into one struct, serialize to the message ``value``, attach the
+outgoing schema as the message ``key`` (the reference's schema-as-key
+protocol, ``:118-124``), and write one streaming query per topic.
+
+Serialization: Avro via ``pyspark.sql.avro.functions.to_avro`` when the
+``spark-avro`` package is on the classpath (native in Spark ≥3 — the
+reference's py4j wrapper ``common/spark_utils.py:82-123`` is a pre-3.0
+relic); JSON otherwise, so the fan-out topology is testable without the
+external jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def avro_available(spark) -> bool:
+    """True if the spark-avro datasource is on the JVM classpath."""
+    try:
+        spark.range(1).select(
+            __import__(
+                "pyspark.sql.avro.functions", fromlist=["to_avro"]
+            ).to_avro(F.struct(F.col("id")))
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def serialize_payload(
+    df: DataFrame, columns: list[str] | None = None, use_avro: bool = False
+) -> DataFrame:
+    """Columns → single binary/string ``value`` + schema-string ``key``.
+
+    The key carries the payload schema derived from the DataFrame itself,
+    exactly the reference's idempotent-key protocol
+    (``common/distribution_utils.py:36-39,87,118-124``).
+    """
+    cols = columns or df.columns
+    payload: Column = F.struct(*[F.col(c) for c in cols])
+    schema_key = F.lit(df.select(*cols).schema.json())
+    if use_avro:
+        from pyspark.sql.avro.functions import to_avro
+
+        value = to_avro(payload)
+    else:
+        value = F.to_json(payload).cast("binary")
+    return df.select(
+        schema_key.alias("key"), value.alias("value")
+    )
+
+
+def push_to_kafka(
+    df: DataFrame,
+    topic: str,
+    servers: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    use_avro: bool = False,
+):
+    """One streaming query publishing ``df`` to ``topic``.
+
+    The reference starts one such query per user filter
+    (``bin/ztf/distribute.py:167-200``); callers hold the returned query
+    handles and ``spark.streams.awaitAnyTermination()``.
+    """
+    payload = serialize_payload(df, columns, use_avro)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

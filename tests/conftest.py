@@ -64,11 +64,20 @@ def assert_frames_equal(spark_df, duck_rows, duck_cols):
     )
     s_idx = [spark_df.columns.index(c) for c in s_cols]
     d_idx = [list(duck_cols).index(c) for c in s_cols]
+    def sort_key(row):
+        # rollup/grouping-set rows carry NULL keys: make None orderable
+        return tuple((value is None, repr(value)) for value in row)
+
     s_rows = sorted(
-        tuple(_normalize(row[i]) for i in s_idx) for row in spark_df.collect()
+        (
+            tuple(_normalize(row[i]) for i in s_idx)
+            for row in spark_df.collect()
+        ),
+        key=sort_key,
     )
     d_rows = sorted(
-        tuple(_normalize(row[i]) for i in d_idx) for row in duck_rows
+        (tuple(_normalize(row[i]) for i in d_idx) for row in duck_rows),
+        key=sort_key,
     )
     assert len(s_rows) == len(d_rows), (
         f"row counts differ: spark={len(s_rows)} duck={len(d_rows)}"

@@ -1,0 +1,200 @@
+"""Enrichment pipeline, classification cascade, distribution fan-out,
+schema registry, spatial pixelization, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from fink_broker_spark.distribute.fanout import FilterRegistry, fan_out
+from fink_broker_spark.enrich.pipeline import EnrichmentPipeline, Processor
+from fink_broker_spark.ext.multimodal import extract_features, pack_media
+from fink_broker_spark.functions.spatial import (
+    ang2pix_ring_np,
+    ang2pix_udf,
+    grid_pixel_expr,
+    neighbor_pixels_expr,
+)
+from fink_broker_spark.operators.classify import classification_cascade, ztf_like_rules
+from fink_broker_spark.operators.tracklets import grouped_clusters
+from fink_broker_spark.schema.registry import SchemaRegistry
+from fink_broker_spark.sinks.kafka import serialize_payload
+from fink_broker_spark.sources.kafka import KafkaSourceConfig
+from fink_broker_spark.sources.parquet import load_table
+from tests.conftest import SF0001
+
+
+def test_pipeline_history_expansion_and_temp_cleanup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                objectId="a",
+                candidate=Row(magpsf=17.0, rb=0.9),
+                prv_candidates=[Row(magpsf=18.0, rb=0.8), Row(magpsf=19.0, rb=0.7)],
+            )
+        ]
+    )
+    pipe = EnrichmentPipeline(
+        history_fields=["magpsf"],
+        processors=[
+            Processor("nhist", ["cmagpsf"], "nhist", lambda c: F.size(c)),
+            Processor("tmp", ["rb_missing"], "tmp", lambda c: F.lit(1)),
+            Processor(
+                "t2", ["objectId"], "t2", lambda c: F.lit("x"), temporary=True
+            ),
+        ],
+    )
+    out = pipe.apply(df)
+    assert "cmagpsf" in out.columns
+    assert "t2" not in out.columns  # temporary dropped
+    assert "tmp" not in out.columns  # missing-input processor skipped
+    assert out.first().nhist == 3
+
+
+def test_ztf_cascade_priority(spark):
+    df = spark.createDataFrame(
+        [
+            Row(candidate=Row(ssnamenr="1234", nbad=0, rb=0.9, ndethist=1)),
+            Row(candidate=Row(ssnamenr="null", nbad=3, rb=0.9, ndethist=1)),
+            Row(candidate=Row(ssnamenr="null", nbad=0, rb=0.9, ndethist=1)),
+            Row(candidate=Row(ssnamenr="null", nbad=0, rb=0.9, ndethist=9)),
+            Row(candidate=Row(ssnamenr="null", nbad=0, rb=0.1, ndethist=9)),
+        ]
+    )
+    out = df.select(classification_cascade(ztf_like_rules()).alias("c"))
+    assert [r.c for r in out.collect()] == [
+        "Solar System Object",
+        "Artefact",
+        "Transient Candidate",
+        "Variable Candidate",
+        "Unknown",
+    ]
+
+
+def test_fan_out_topics(spark):
+    ev = load_table(spark, SF0001, "events")
+    reg = (
+        FilterRegistry()
+        .register("purchases", lambda df: F.col("event_type") == "purchase")
+        .register("high_value", lambda df: F.col("value") >= 900)
+    )
+    counts = fan_out(ev, reg, lambda name, df: df.count())
+    assert set(counts) == {"purchases", "high_value"}
+    assert counts["purchases"] == ev.filter("event_type = 'purchase'").count()
+
+
+def test_serialize_payload_schema_as_key(spark):
+    ev = load_table(spark, SF0001, "events").limit(5)
+    payload = serialize_payload(ev, columns=["event_id", "event_type"])
+    rows = payload.collect()
+    assert set(payload.columns) == {"key", "value"}
+    import json
+
+    key_schema = json.loads(rows[0].key)
+    assert [f["name"] for f in key_schema["fields"]] == ["event_id", "event_type"]
+    body = json.loads(bytes(rows[0].value))
+    assert set(body) == {"event_id", "event_type"}
+
+
+def test_kafka_source_config_options():
+    cfg = KafkaSourceConfig(
+        servers="broker:9092",
+        topic_pattern="ztf_.*",
+        max_offsets_per_trigger=10000,
+        security_options={"kafka.security.protocol": "SASL_PLAINTEXT"},
+    )
+    opts = cfg.options()
+    assert opts["subscribePattern"] == "ztf_.*"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    assert opts["kafka.security.protocol"] == "SASL_PLAINTEXT"
+
+
+def test_schema_registry_roundtrip(spark, tmp_path):
+    reg = SchemaRegistry(str(tmp_path / "schemas"))
+    ev = load_table(spark, SF0001, "events")
+    reg.save_from_dataframe("events", "v1", ev)
+    loaded = reg.load("events", "v1")
+    assert loaded == ev.schema
+    assert reg.versions("events") == ["v1"]
+    stamped = SchemaRegistry.stamp_version(ev, "v1")
+    assert SchemaRegistry.read_version(stamped) == "v1"
+
+
+def test_healpix_invariants():
+    nside = 16
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(0, 360, 5000)
+    dec = np.rad2deg(np.arcsin(rng.uniform(-1, 1, 5000)))  # uniform on sphere
+    pix = ang2pix_ring_np(ra, dec, nside)
+    assert pix.min() >= 0 and pix.max() < npix
+    # equal-area property: uniform sky → roughly uniform pixel occupancy
+    counts = np.bincount(pix, minlength=npix)
+    assert counts.max() <= 5000 / npix * 6
+    # poles land in the first / last pixels' rings
+    assert ang2pix_ring_np(np.array([0.0]), np.array([89.999]), nside)[0] < 4
+    assert ang2pix_ring_np(np.array([0.0]), np.array([-89.999]), nside)[0] >= npix - 4
+    # nearby points share or neighbor pixels: same point → same pixel
+    p1 = ang2pix_ring_np(np.array([120.0]), np.array([30.0]), nside)
+    p2 = ang2pix_ring_np(np.array([120.0]), np.array([30.0]), nside)
+    assert p1[0] == p2[0]
+
+
+def test_healpix_udf_matches_numpy(spark):
+    df = spark.createDataFrame(
+        [Row(ra=float(r), dec=float(d)) for r, d in [(0, 0), (120, 45), (359, -89), (180, 89)]]
+    )
+    out = df.withColumn("pix", ang2pix_udf(64)("ra", "dec")).collect()
+    for row in out:
+        expected = ang2pix_ring_np(np.array([row.ra]), np.array([row.dec]), 64)[0]
+        assert row.pix == expected
+
+
+def test_grid_neighbor_join_crossmatch(spark):
+    """Cone-search-style bucket join: points within one cell collide."""
+    pts = spark.createDataFrame(
+        [Row(pid=1, ra=10.2, dec=0.1), Row(pid=2, ra=200.0, dec=-45.0)]
+    )
+    cat = spark.createDataFrame(
+        [Row(cid=100, ra=10.5, dec=0.3), Row(cid=200, ra=210.0, dec=-45.0)]
+    )
+    cat_b = cat.select(
+        "cid", grid_pixel_expr("ra", "dec", 1.0).alias("pix")
+    )
+    pts_b = pts.select(
+        "pid", F.explode(neighbor_pixels_expr("ra", "dec", 1.0)).alias("pix")
+    )
+    matches = pts_b.join(cat_b, on="pix").select("pid", "cid").collect()
+    assert (1, 100) in [tuple(r) for r in matches]
+    assert (2, 200) not in [tuple(r) for r in matches]  # 10° apart
+
+
+def test_multimodal_feature_stub(spark):
+    ev = load_table(spark, SF0001, "events").limit(20)
+    media = pack_media(ev, "event_id", F.col("props").cast("binary"), "blob")
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    for row in feats:
+        assert len(row.features) == 8
+        assert len(row.content_sha256) == 64
+    # determinism: same payload → same features
+    again = extract_features(media, dim=8).collect()
+    assert sorted(r.features[0] for r in feats) == sorted(
+        r.features[0] for r in again
+    )
+
+
+def test_grouped_clusters_labels(spark):
+    df = spark.createDataFrame(
+        [Row(g=1, event_id=i, value=v) for i, v in enumerate([1.0, 1.5, 2.0, 50.0, 50.2, 99.0])]
+    )
+    out = grouped_clusters(
+        df.withColumnRenamed("g", "jd"), "jd", "value", gap=5.0, min_size=2
+    ).collect()
+    by_val = {r.value: r.cluster_id for r in out}
+    assert by_val[1.0] == by_val[1.5] == by_val[2.0] != ""
+    assert by_val[50.0] == by_val[50.2] != ""
+    assert by_val[50.0] != by_val[1.0]
+    assert by_val[99.0] == ""  # singleton below min_size

@@ -24,8 +24,13 @@ def test_all_queries_have_oracle_or_reason():
     queries = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= queries
-    # engine-hash-specific ops are the only permitted oracle-less entries
-    assert queries - oracles <= {"minhash_lsh_neardup", "simhash_neardup"}
+    # engine-hash-specific / stateful-streaming ops are the only
+    # permitted oracle-less entries
+    assert queries - oracles <= {
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "stream_dedup_watermark",
+    }
 
 
 def test_entry_smoke(spark):
