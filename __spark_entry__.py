@@ -1026,25 +1026,28 @@ FROM events GROUP BY 1
 
 def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map clustering (``ztf/tracklet_identification.py:123-334``
-    skeleton): group events by minute, 1-D gap-split clusters on value,
-    keep clusters of ≥2 — summarized per group. The declarative oracle
-    reproduces the gap-split with a running-sum window."""
+    skeleton): group events by hour ("exposure"), 1-D gap-split clusters
+    on value, keep clusters of ≥2 — summarized per group. The declarative
+    oracle reproduces the gap-split with a running-sum window. Hour
+    granularity mirrors the reference's per-exposure groups (hundreds of
+    rows each) — grouped-map with millions of 2-row groups is the
+    anti-pattern ``applyInPandas`` punishes hardest."""
     from fink_broker_spark.operators.tracklets import grouped_clusters
 
     ev = (
         load_table(spark, sf_dir, "events")
         .withColumn("ts_us", nanos_to_micros("ts_ns"))
         .withColumn(
-            "minute",
-            ((F.col("ts_us") - F.col("ts_us") % 60000000) / F.lit(60000000)).cast("long"),
+            "hour",
+            ((F.col("ts_us") - F.col("ts_us") % 3600000000) / F.lit(3600000000)).cast("long"),
         )
-        .select("minute", "event_id", "value")
+        .select("hour", "event_id", "value")
     )
     clustered = grouped_clusters(
-        ev, group_col="minute", value_col="value", gap=5.0, min_size=2
+        ev, group_col="hour", value_col="value", gap=5.0, min_size=2
     )
     return (
-        clustered.groupBy("minute")
+        clustered.groupBy("hour")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_if(F.col("cluster_id") != "").alias("n_clustered"),
@@ -1057,26 +1060,26 @@ def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TRACKLETS = """
 WITH g AS (
-  SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute, event_id, value
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_id, value
   FROM events
 ), lagged AS (
-  SELECT minute, value, event_id,
-         lag(value) OVER (PARTITION BY minute ORDER BY value, event_id) AS prev
+  SELECT hour, value, event_id,
+         lag(value) OVER (PARTITION BY hour ORDER BY value, event_id) AS prev
   FROM g
 ), cid AS (
-  SELECT minute, value, event_id,
+  SELECT hour, value, event_id,
          SUM(CASE WHEN prev IS NULL OR value - prev > 5.0 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY minute ORDER BY value, event_id
+           OVER (PARTITION BY hour ORDER BY value, event_id
                  ROWS UNBOUNDED PRECEDING) AS cluster
   FROM lagged
 ), sized AS (
-  SELECT minute, cluster, count(*) AS csize FROM cid GROUP BY 1, 2
+  SELECT hour, cluster, count(*) AS csize FROM cid GROUP BY 1, 2
 )
-SELECT minute,
+SELECT hour,
        SUM(csize) AS n_rows,
        CAST(SUM(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT) AS n_clustered,
        CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
-FROM sized GROUP BY minute
+FROM sized GROUP BY hour
 """
 
 
@@ -1144,6 +1147,224 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SURVEY §2.3 — decode/encode round-trip; §2.5/§2.6 extensions
+# --------------------------------------------------------------------------
+
+def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format round-trip: struct-wrap → serialize → decode → flatten.
+
+    The reference's distribute protocol (``common/distribution_utils.py:
+    33-140``): all columns wrapped into one struct, serialized to a binary
+    ``value`` with the schema carried alongside as the message ``key``,
+    then decoded back and flattened with ``decoded.*``
+    (``bin/ztf/stream2raw.py:112-127``). Avro is the production codec
+    (``pyspark.sql.avro.functions``); this container lacks the spark-avro
+    datasource jar, so the JSON codec exercises the identical
+    schema-as-key protocol (see ``fink_broker_spark/sinks/kafka.py`` for
+    the gated Avro path). Round-trip is bit-exact for doubles (shortest
+    round-trip rendering).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wrapped = ev.select(
+        F.struct("event_id", "event_type", "value").alias("payload")
+    )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in wrapped.select("payload.*").schema.fields
+    )
+    wire = wrapped.select(
+        F.to_json("payload").alias("value"),
+        F.lit(schema_ddl).alias("key"),
+    )
+    return wire.select(
+        F.from_json("value", schema_ddl).alias("decoded")
+    ).select("decoded.*")
+
+
+ORACLE_SERIALIZE_ROUNDTRIP = """
+SELECT event_id, event_type, value FROM events
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: each event picks the user's newest order
+    with ``o_orderdate <= ts`` (union + single key shuffle + running
+    ``last(ignorenulls)`` — no per-key cross product; the two-table
+    generalization of ``rubin/hbase_utils.py:677-691``)."""
+    from fink_broker_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("o_orderdate").alias("last_order_date"),
+            "last_order_key",
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["last_order_date", "last_order_key"],
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_order_key
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate AS last_order_date, o.last_order_key
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+def q_cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone-search crossmatch via neighbor-cell bucketing + exact refine.
+
+    The reference's crossmatch joins each alert to catalog sources within
+    a max radius by healpix-bucketing the sky (``ztf/science.py:84-197``;
+    pixelization UDF ``common/spark_utils.py:529-609``). Re-expressed on
+    an integer degree grid for oracle exactness: events and a supplier
+    "catalog" get deterministic (x, y) grid coordinates; a match is
+    squared distance ≤ 2.
+
+    100 TB plan: the small catalog is expanded ×9 to its neighbor cells
+    and **broadcast**; candidates come from an equi-join on the cell key
+    (never a cross join), then the exact radius predicate refines — the
+    standard bucket-prune-refine spatial join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 360).alias("ex"),
+        ((F.col("user_id") * 7) % 180).alias("ey"),
+    )
+    cat = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 360).alias("sx"),
+        ((F.col("s_suppkey") * 29) % 180).alias("sy"),
+    )
+    cat9 = (
+        cat.select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx"))
+        .select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy"))
+        .select(
+            "s_suppkey", "sx", "sy",
+            (F.col("sx") + F.col("dx")).alias("cellx"),
+            (F.col("sy") + F.col("dy")).alias("celly"),
+        )
+    )
+    d2 = (F.col("ex") - F.col("sx")) * (F.col("ex") - F.col("sx")) + (
+        F.col("ey") - F.col("sy")
+    ) * (F.col("ey") - F.col("sy"))
+    return (
+        ev.join(
+            F.broadcast(cat9),
+            (F.col("ex") == F.col("cellx")) & (F.col("ey") == F.col("celly")),
+        )
+        .filter(d2 <= 2)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("s_suppkey").alias("best_supp"),
+            F.min(d2).alias("min_d2"),
+        )
+    )
+
+
+ORACLE_CONE_CROSSMATCH = """
+WITH ev AS (
+  SELECT event_id, event_id % 360 AS ex, (user_id * 7) % 180 AS ey
+  FROM events
+), cat AS (
+  SELECT s_suppkey, (s_suppkey * 13) % 360 AS sx, (s_suppkey * 29) % 180 AS sy
+  FROM supplier
+)
+SELECT event_id, count(*) AS n_matches, MIN(s_suppkey) AS best_supp,
+       MIN((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy)) AS min_d2
+FROM ev JOIN cat
+  ON abs(ex - sx) <= 1 AND abs(ey - sy) <= 1
+ AND (ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) <= 2
+GROUP BY event_id
+"""
+
+
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets with ``grouping_id`` (free in Spark per SURVEY
+    §2.6 "no cube/rollup in-repo"; the statistics job's natural
+    all-margins generalization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_CUBE_STATS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       count(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_schema_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution projection: requested columns that are absent in
+    this night's data come back as typed defaults
+    (``common/hbase_utils.py:66-137``, ``ztf/hbase_utils.py:443-479``)."""
+    from fink_broker_spark.operators.relational import select_with_defaults
+
+    cust = load_table(spark, sf_dir, "customer")
+    return select_with_defaults(
+        cust,
+        {
+            "c_custkey": ("bigint", None),
+            "c_name": ("string", None),
+            "c_phone": ("string", "unknown"),
+            "c_acctbal": ("double", None),
+        },
+    )
+
+
+ORACLE_SCHEMA_DEFAULTS = """
+SELECT c_custkey, c_name, 'unknown' AS c_phone, c_acctbal FROM customer
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate cosine top-k (scale path beside the
+    brute-force baseline; recall vs exact asserted in tests/test_ext.py).
+    Rows-only driver check: cell probing is index-dependent."""
+    from fink_broker_spark.ext.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4
+    )
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1186,6 +1407,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tracklet_clusters": q_tracklet_clusters,
     "multimodal_features": q_multimodal_features,
     "stream_dedup_watermark": q_stream_dedup,
+    "serialize_roundtrip": q_serialize_roundtrip,
+    "asof_join": q_asof_join,
+    "cone_crossmatch": q_cone_crossmatch,
+    "cube_stats": q_cube_stats,
+    "schema_defaults": q_schema_defaults,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1229,6 +1456,13 @@ _ORACLES: dict[str, str] = {
     "grid_pixelization": ORACLE_GRID_PIX,
     "tracklet_clusters": ORACLE_TRACKLETS,
     "multimodal_features": ORACLE_MULTIMODAL,
+    "serialize_roundtrip": ORACLE_SERIALIZE_ROUNDTRIP,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "cone_crossmatch": ORACLE_CONE_CROSSMATCH,
+    "cube_stats": ORACLE_CUBE_STATS,
+    "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
+    # ivf_ann_topk: approximate (cell-probing) → rows-only check; recall
+    # vs the exact baseline asserted in tests/test_ext.py.
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →
     # rows-only check; verified against exact jaccard in tests/.
     # stream_dedup_watermark: stateful streaming op → rows-only check;

@@ -70,6 +70,102 @@ def brute_force_topk(
     ).select(query_id_col, id_col, "cosine", "rank")
 
 
+def _sqdist_expr(vec_col: Column | str, centroid: list[float]) -> Column:
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_ranking_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<struct<dist,cell>> sorted ascending — struct ordering compares
+    dist first, so ``array_sort`` yields nearest-cell-first."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_expr(vec_col, c).alias("dist"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) coarse index.
+
+    Corpus rows are assigned to their nearest of ``nlist`` centroid
+    cells; each query probes only its ``nprobe`` nearest cells and
+    brute-forces within them. Centroids here are the ``nlist``
+    lowest-id corpus vectors (deterministic; production would plug in
+    sampled k-means — the index structure, not centroid quality, is
+    what this operator provides).
+
+    100 TB shape: the centroid table is a tiny driver-side model (like a
+    broadcast dim); cell assignment is a pure column expression over the
+    scan (no shuffle); candidate generation is an equi-join on ``cell``,
+    so scored pairs shrink by ~``nprobe/nlist`` versus brute force, and
+    the corpus is never collected.
+    """
+    from fink_broker_spark.functions.vector import dot_expr, norm2_expr
+
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in corpus.select(vec_col)
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    ]
+    ranking = _cell_ranking_expr(vec_col, centroids)
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(norm2_expr(vec_col)).alias("__cnorm"),
+        ranking[0]["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.sqrt(norm2_expr(vec_col)).alias("__qnorm"),
+        F.explode(
+            F.transform(
+                F.slice(ranking, 1, nprobe), lambda s: s["cell"]
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot_expr(vec_col, "__qvec")
+                / (F.col("__cnorm") * F.col("__qnorm"))
+            ).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored, [query_id_col], [F.desc("cosine"), F.asc(id_col)], k
+    ).select(query_id_col, id_col, "cosine", "rank")
+
+
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit Gaussian rows)."""
     rng = np.random.default_rng(seed)

@@ -113,6 +113,73 @@ def top_k_per_group(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """As-of join: attach, to every left row, the columns of the newest
+    right row with the same key and ``right_time <= left_time`` (left
+    rows with no earlier right row get nulls).
+
+    Not an operator the reference ships (its history is carried *inside*
+    each row as arrays, §1.1) but the natural generalization of its
+    last-per-key window (``rubin/hbase_utils.py:677-691``) to two tables,
+    and a staple of training-data pipelines (point-in-time-correct
+    feature joins).
+
+    Physical plan (100 TB rationale): the naive formulation is a
+    non-equi range join (cross product per key). Instead we UNION the
+    two sides with a side marker, single-shuffle on the key, and carry
+    right values forward with ``last(..., ignorenulls=True)`` over an
+    ordered running window — one shuffle, no cross product, linear in
+    rows per key, skew-bounded by the hottest key exactly like any
+    groupBy. Right rows sort before left rows at equal timestamps, so
+    the match is inclusive (``<=``).
+    """
+    lcols = left.columns
+    marker = F.lit(None)
+    r = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        *[marker.cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[
+            marker.cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_values
+        ],
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{c}")
+            for c in right_values
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[F.col(f"__f_{c}").alias(c) for c in right_values],
+    )
+
+
 def select_with_defaults(
     df: DataFrame, wanted: dict[str, tuple[str, object]]
 ) -> DataFrame:

@@ -30,17 +30,19 @@ def _cluster_block(
     vals = pdf[value_col].to_numpy()
     labels = np.full(len(pdf), "", dtype=object)
     if len(vals):
-        breaks = np.flatnonzero(np.diff(vals) > gap) + 1
-        cluster_of = np.zeros(len(vals), dtype=np.int64)
-        for b in breaks:
-            cluster_of[b:] += 1
-        idx = 0
-        for cid in np.unique(cluster_of):
-            members = cluster_of == cid
-            if members.sum() >= min_size:
-                group_key = str(pdf["__group"].iloc[0])
-                labels[members] = key_fmt.format(group_key, idx)
-                idx += 1
+        # fully vectorized: cluster id = running count of over-gap breaks;
+        # sizes via bincount; surviving clusters renumbered densely
+        cluster_of = np.concatenate(
+            ([0], np.cumsum(np.diff(vals) > gap))
+        ).astype(np.int64)
+        sizes = np.bincount(cluster_of)
+        kept = np.flatnonzero(sizes >= min_size)
+        group_key = str(pdf["__group"].iloc[0])
+        names = np.full(len(sizes), "", dtype=object)
+        names[kept] = [
+            key_fmt.format(group_key, i) for i in range(len(kept))
+        ]
+        labels = names[cluster_of]
     pdf = pdf.assign(cluster_id=labels)
     return pdf.drop(columns="__group")
 

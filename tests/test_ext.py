@@ -72,3 +72,19 @@ def test_jd_roundtrip(spark):
     assert all(r.ok for r in chk.collect())
     jd_vals = out.select("jd").first()
     assert 2.4e6 < jd_vals.jd < 2.5e6
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from fink_broker_spark.ext.ann import ivf_topk
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nlist=8, nprobe=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # probing half the cells of a random corpus: expect real overlap
+    assert len(approx_set & exact_set) / len(exact_set) >= 0.3
+    # every query still returns a full k result set
+    counts = {r.query_id for r in approx.collect()}
+    assert len(counts) == 5

@@ -165,3 +165,39 @@ def test_top_k_per_group_deterministic(spark):
     assert [(r.v, r.i) for r in out.orderBy("rank").collect()] == [
         (4.0, 4), (4.0, 9), (4.0, 14),
     ]
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from fink_broker_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "k1", datetime(2024, 1, 10)),
+            (2, "k1", datetime(2024, 1, 1)),   # before any right row
+            (3, "k1", datetime(2024, 1, 5)),   # exact tie → inclusive
+            (4, "k2", datetime(2024, 1, 10)),  # key with no right rows
+        ],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", datetime(2024, 1, 5), 100),
+            ("k1", datetime(2024, 1, 8), 200),
+            ("k1", datetime(2024, 1, 12), 300),
+        ],
+        "k string, t timestamp, val int",
+    )
+    out = asof_join(
+        left,
+        right.select("k", "t", F.col("val").alias("rval")),
+        left_on="k",
+        right_on="k",
+        left_time="t",
+        right_time="t",
+        right_values=["rval"],
+    )
+    got = {r.id: r.rval for r in out.collect()}
+    assert got == {1: 200, 2: None, 3: 100, 4: None}
+    assert out.count() == left.count()

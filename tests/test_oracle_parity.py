@@ -30,6 +30,7 @@ def test_all_queries_have_oracle_or_reason():
         "minhash_lsh_neardup",
         "simhash_neardup",
         "stream_dedup_watermark",
+        "ivf_ann_topk",
     }
 
 
