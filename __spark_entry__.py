@@ -1364,6 +1364,138 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/offset window family (rank, dense_rank, ntile, lag) —
+    beyond the reference's single unbounded-max window (§2.7), free in
+    Spark; top-3 orders per customer by price. Unique ``o_orderkey``
+    tiebreak makes every function deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+ORACLE_WINDOW_SUITE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(rank() OVER w AS INTEGER) AS rnk,
+         CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         lag(o_totalprice, 1) OVER w AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rnk <= 3
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` is
+    JVM-exact and matches ``quantile_cont``; the scale path swaps in
+    ``percentile_approx`` — same plan shape, bounded memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.5) AS p50_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribute-stage fan-out (``bin/ztf/distribute.py:47-50,167-200``):
+    named boolean filters, one substream per filter, all sharing one
+    upstream scan; here each substream reduces to (topic, n, sum) so the
+    fan-out result is one small union."""
+    from fink_broker_spark.distribute.fanout import FilterRegistry, fan_out
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = (
+        FilterRegistry()
+        .register("high_value", lambda df: F.col("value") > 75.0)
+        .register("purchases", lambda df: F.col("event_type") == "purchase")
+        .register(
+            "errors_low",
+            lambda df: (F.col("event_type") == "error")
+            & (F.col("value") < 10.0),
+        )
+    )
+    parts = fan_out(
+        ev,
+        reg,
+        sink=lambda topic, fdf: fdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        ).select(F.lit(topic).alias("topic"), "n", "sum_value"),
+    )
+    out = None
+    for name in sorted(parts):
+        out = parts[name] if out is None else out.unionByName(parts[name])
+    return out
+
+
+ORACLE_FILTER_FANOUT = """
+SELECT 'errors_low' AS topic, count(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+FROM events WHERE event_type = 'error' AND value < 10.0
+UNION ALL
+SELECT 'high_value', count(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+FROM events WHERE value > 75.0
+UNION ALL
+SELECT 'purchases', count(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON
+    string column and aggregate on it (web-corpus metadata columns are
+    exactly this shape; JVM-side ``get_json_object``, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+       MAX(CAST(props ->> 'k' AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1413,6 +1545,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_stats": q_cube_stats,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "window_suite": q_window_suite,
+    "percentiles": q_percentiles,
+    "filter_fanout": q_filter_fanout,
+    "json_extract": q_json_extract,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1461,6 +1597,10 @@ _ORACLES: dict[str, str] = {
     "cone_crossmatch": ORACLE_CONE_CROSSMATCH,
     "cube_stats": ORACLE_CUBE_STATS,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
+    "window_suite": ORACLE_WINDOW_SUITE,
+    "percentiles": ORACLE_PERCENTILES,
+    "filter_fanout": ORACLE_FILTER_FANOUT,
+    "json_extract": ORACLE_JSON_EXTRACT,
     # ivf_ann_topk: approximate (cell-probing) → rows-only check; recall
     # vs the exact baseline asserted in tests/test_ext.py.
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →

@@ -36,6 +36,11 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
+    # warm the JVM / codegen / python-worker pools so the first timed
+    # query doesn't absorb session startup
+    spark.range(100000).repartition(4).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     total_start = time.perf_counter()
     for name, fn in entrymod.queries().items():

@@ -18,10 +18,16 @@ keys, so shuffle volume scales with collisions, never |docs|².
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fink_broker_spark.functions.text import fingerprint_expr, shingles_expr
+from fink_broker_spark.functions.text import (
+    fingerprint_expr,
+    shingles_from_tokens_expr,
+    tokens_expr,
+)
 from fink_broker_spark.functions.vector import cosine_expr
 
 
@@ -47,8 +53,14 @@ def exact_dedup(
 def _shingle_table(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    # two-step projection: tokenize ONCE per doc into a named column, THEN
+    # shingle from it — inlining the tokenizer into the shingle lambda
+    # re-splits the document per shingle (see shingles_from_tokens_expr)
     return docs.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens_expr("__toks", n)).alias("shingle"),
     )
 
 
@@ -67,12 +79,17 @@ def jaccard_pairs(
     quadratically, so production runs should drop top-frequency shingles
     first (df-style pruning) — at test scale the vocabulary is selective.
     """
-    sh = _shingle_table(docs, id_col, text_col, n)
+    # join on the 8-byte shingle hash, not the shingle string: the
+    # self-join shuffle then moves fixed-width longs instead of text
+    # (collision probability ~|shingles|²/2⁶⁴ — vanishing)
+    sh = _shingle_table(docs, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shash")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "shash")
+    b = sh.select(F.col(id_col).alias("id_b"), "shash")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="shash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -226,11 +243,38 @@ def simhash_pairs(
     ≥1 band (exact recall for max_hamming < nbands). Verification:
     ``bit_count(a XOR b)``.
     """
+    from pyspark.sql.functions import pandas_udf
+
     rows_per_band = nbits // nbands
+
+    # bit-voting in a vectorized pandas UDF: the pure-expression form
+    # (:func:`simhash_expr`) is 64 HOF aggregates per row — correct but a
+    # codegen monster; one Arrow batch of the per-doc feature-hash arrays
+    # computes the same signature with two numpy ops per document
+    @pandas_udf("bigint")
+    def _vote(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(nbits, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                continue
+            bits = (a[:, None] >> shifts) & np.uint64(1)
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - a.size
+            sim = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts
+            )
+            out[i] = int(np.uint64(sim).astype(np.int64))
+        return pd.Series(out)
+
     base = (
-        docs.select(F.col(id_col), shingles_expr(text_col, n).alias("__sh"))
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            shingles_from_tokens_expr("__toks", n).alias("__sh"),
+        )
         .withColumn("__h", F.transform("__sh", lambda s: F.xxhash64(s)))
-        .select(F.col(id_col), simhash_expr("__h", nbits).alias("simhash"))
+        .select(F.col(id_col), _vote("__h").alias("simhash"))
     )
     # static shifts per band (shiftright needs a literal shift amount)
     bands = F.array(
@@ -274,31 +318,51 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, pairwise).
 
-    Quadratic — correctness baseline for small corpora. The scale path is
-    :func:`fink_broker_spark.ext.ann.lsh_topk`-style bucketing before
-    scoring.
-    """
-    from fink_broker_spark.functions.vector import dot_expr, norm2_expr
+    Physical plan: broadcast the corpus as one numpy matrix; a
+    ``mapInPandas`` pass scores each partition's rows against it with a
+    vectorized kernel — a broadcast nested-loop join whose inner loop is
+    numpy, not a per-pair expression tree. The summation is
+    ``np.cumsum`` (strictly sequential), so every dot product is the
+    same left-to-right IEEE reduction the pure-expression form and the
+    DuckDB oracle compute — results are bit-identical.
 
-    # norms are per-vector: compute them BELOW the join (n + m sqrt's), so
-    # each of the O(n·m) pair rows pays only one dot product
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.sqrt(norm2_expr(vec_col)).alias("na"),
+    Scale: exact all-pairs is inherently quadratic; this form handles a
+    broadcastable corpus (≤ a few GB). Beyond that, block the corpus
+    (outer loop over matrix chunks) or switch to the LSH path
+    (:func:`fink_broker_spark.ext.ann.lsh_topk`) for candidate pruning.
+    """
+    corpus = emb.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in corpus[vec_col]]
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.sqrt(norm2_expr(vec_col)).alias("nb"),
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot_expr("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # per-vector norm: sequential sum of squares, then sqrt (IEEE exact)
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                mask = bids > rid
+                if not mask.any():
+                    continue
+                v = np.asarray(vec, dtype=np.float64)
+                vnorm = np.sqrt(np.cumsum(v * v)[-1])
+                prods = bmat[mask] * v
+                dots = np.cumsum(prods, axis=1)[:, -1]
+                cos = dots / (vnorm * bnorms[mask])
+                sel = cos >= threshold
+                if sel.any():
+                    bsel = bids[mask][sel]
+                    out_a.extend([rid] * len(bsel))
+                    out_b.extend(bsel.tolist())
+                    out_c.extend(cos[sel].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        score, "id_a bigint, id_b bigint, cosine double"
     )

@@ -120,14 +120,21 @@ def fingerprint_expr(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def shingles_expr(col: Column | str, n: int = 3) -> Column:
-    """Distinct word ``n``-shingles of the document (array<string>).
+def shingles_from_tokens_expr(tokens_col: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-shingles from a **materialized** token-array
+    column (array<string>).
 
     Built with ``transform(sequence(...), i -> concat_ws(' ',
     slice(tokens, i, n)))`` — per-row, codegen-friendly, no explode until
     the caller needs long format.
+
+    Take the tokens from a named column, not an inline ``tokens_expr``:
+    subexpressions captured inside a HOF lambda are re-evaluated per
+    element, so an inlined regex split runs once per *shingle* instead of
+    once per document (~10× on real documents). :func:`shingles_expr`
+    exists for convenience at small scale.
     """
-    toks = tokens_expr(col)
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     count = F.size(toks) - F.lit(n - 1)
     shingles = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -136,3 +143,14 @@ def shingles_expr(col: Column | str, n: int = 3) -> Column:
         )
     )
     return F.array_distinct(shingles)
+
+
+def shingles_expr(col: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-shingles of raw text (array<string>).
+
+    Convenience form that inlines the tokenizer — fine for one-off or
+    small inputs; hot paths should materialize ``tokens_expr`` in a prior
+    projection and use :func:`shingles_from_tokens_expr` (see its note on
+    per-element lambda re-evaluation).
+    """
+    return shingles_from_tokens_expr(tokens_expr(col), n)

@@ -71,3 +71,56 @@ def test_compaction_stats_driven(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == n
     assert spark.read.parquet(out).count() == df.count()
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join (GCN×ZTF shape, ztf/mm_utils.py:
+    154-235): purchases ⋈ errors by user within ±1h equals the batch
+    range join over the same files."""
+    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.streaming.join import stream_stream_join
+    from fink_broker_spark.streaming.replay import run_stream
+
+    stage = _stage_events(tmp_path)
+
+    def sides(df):
+        df = df.withColumn("ts", nanos_to_timestamp("ts"))
+        left = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        right = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return left, right
+
+    sl, sr = sides(file_stream(spark, stage))
+    joined = stream_stream_join(
+        sl, sr, on=["uid"], left_time="l_ts", right_time="r_ts",
+        tolerance="1 hour", watermark="2 hours",
+    ).select("l_id", "r_id")
+    q = run_stream(joined, available_now=True, query_name="ssj")
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("ssj").collect()))
+
+    bl, br = sides(spark.read.parquet(stage))
+    batch = sorted(
+        map(
+            tuple,
+            bl.join(
+                br,
+                (bl.uid == br.uid)
+                & (br.r_ts >= bl.l_ts - F.expr("INTERVAL 1 hour"))
+                & (br.r_ts <= bl.l_ts + F.expr("INTERVAL 1 hour")),
+            )
+            .select("l_id", "r_id")
+            .collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
