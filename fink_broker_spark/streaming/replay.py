@@ -30,16 +30,24 @@ def run_stream(
     output_mode: str = "append",
     processing_time: str | None = None,
     available_now: bool = False,
-    fmt: str = "memory",
+    fmt: str | None = "memory",
     query_name: str | None = None,
+    foreach_batch: Callable | None = None,
     **options,
 ):
     """Start a streaming query with the engine's trigger/checkpoint policy.
 
     ``processing_time=None`` + ``available_now=False`` → ASAP micro-batches
     (the reference's ``tinterval=0`` mode, ``bin/ztf/stream2raw.py:169-175``).
+    ``foreach_batch`` replaces the sink format with a per-micro-batch
+    callback (the reference's escape hatch for non-append semantics and
+    external stores, ``common/hbase_utils.py:363-482``).
     """
-    writer = sdf.writeStream.outputMode(output_mode).format(fmt)
+    writer = sdf.writeStream.outputMode(output_mode)
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    elif fmt:
+        writer = writer.format(fmt)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="fbs_ckpt_")
     writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -124,3 +124,57 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_csv_complete_mode_snapshot(spark, tmp_path):
+    """Complete-mode → CSV workaround (common/spark_utils.py:126-155):
+    a streaming aggregate snapshots to CSV per micro-batch."""
+    from fink_broker_spark.sinks.csv import stream_complete_to_csv
+
+    stage = _stage_events(tmp_path)
+    out = str(tmp_path / "stats.csv")
+    sdf = file_stream(spark, stage).groupBy("event_type").count()
+    q = stream_complete_to_csv(sdf, out, available_now=True)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    import glob
+
+    snaps = sorted(glob.glob(out + ".*"))
+    assert snaps
+    import pandas as pd
+
+    last = pd.read_csv(snaps[-1])
+    batch = dict(
+        (r.event_type, r["count"])
+        for r in spark.read.parquet(stage).groupBy("event_type").count().collect()
+    )
+    assert dict(zip(last.event_type, last["count"])) == batch
+
+
+def test_query_manager_concurrent(spark, tmp_path):
+    """Two concurrent queries off one source; bounded run then stop-all
+    (awaitAnyTermination / -exit_after shape, bin/ztf/raw2science.py:144)."""
+    from fink_broker_spark.streaming.manager import QueryManager
+    from fink_broker_spark.streaming.replay import run_stream
+
+    stage = _stage_events(tmp_path)
+    mgr = QueryManager(spark)
+    sdf = file_stream(spark, stage)
+    mgr.add(
+        run_stream(
+            sdf.filter(F.col("event_type") == "purchase"),
+            available_now=True,
+            query_name="qm_purchases",
+        )
+    )
+    mgr.add(
+        run_stream(
+            sdf.filter(F.col("event_type") == "error"),
+            available_now=True,
+            query_name="qm_errors",
+        )
+    )
+    counts = mgr.exit_after(90)
+    assert set(counts) == {"qm_purchases", "qm_errors"}
+    assert all(v > 0 for v in counts.values())
