@@ -1496,6 +1496,91 @@ FROM events GROUP BY event_type
 """
 
 
+def q_history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object history arrays — the reference's core data shape
+    (``prv_candidates: array<struct>``, §1.1): build each user's ordered
+    event history with ``collect_list(struct)`` + ``sort_array``, then
+    process it with array HOFs (``transform``/``filter``/``array_max``/
+    ``element_at``), exactly the idiom of ``rubin/hbase_utils.py:
+    1124-1142`` and the SSO aggregation (``compute_ephemerides.py:57-77``).
+    One shuffle on the object key; history stays packed in the row."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("hist")
+    )
+    values = F.transform("hist", lambda x: x["value"])
+    return hist.select(
+        "user_id",
+        F.size("hist").cast("bigint").alias("n_events"),
+        F.array_max(values).alias("max_value"),
+        F.size(
+            F.filter("hist", lambda x: x["value"] > 90.0)
+        ).cast("bigint").alias("n_high"),
+        F.element_at("hist", -1)["value"].alias("last_value"),
+    )
+
+
+ORACLE_HISTORY_ARRAYS = """
+SELECT user_id,
+       len(hist) AS n_events,
+       list_max(list_transform(hist, x -> x.value)) AS max_value,
+       len(list_filter(hist, x -> x.value > 90.0)) AS n_high,
+       hist[-1].value AS last_value
+FROM (
+  SELECT user_id,
+         list(struct_pack(ts := ts, event_id := event_id, value := value)
+              ORDER BY ts, event_id) AS hist
+  FROM events GROUP BY user_id
+)
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *groups*: connected components over the exact Jaccard
+    pair list by iterative min-label propagation (each round = equi-join
+    + groupBy min; no driver-side graph). The keeper of each group is
+    its min id — the component label. Oracle: recursive-CTE transitive
+    closure over the same pairs."""
+    from fink_broker_spark.ext.dedup import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8, n=3)
+    return dedup_groups(pairs)
+
+
+ORACLE_DEDUP_GROUPS = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+r(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+)
+SELECT a AS id, MIN(b) AS component FROM r GROUP BY a
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1549,6 +1634,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "filter_fanout": q_filter_fanout,
     "json_extract": q_json_extract,
+    "history_arrays": q_history_arrays,
+    "dedup_groups": q_dedup_groups,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1601,6 +1688,8 @@ _ORACLES: dict[str, str] = {
     "percentiles": ORACLE_PERCENTILES,
     "filter_fanout": ORACLE_FILTER_FANOUT,
     "json_extract": ORACLE_JSON_EXTRACT,
+    "history_arrays": ORACLE_HISTORY_ARRAYS,
+    "dedup_groups": ORACLE_DEDUP_GROUPS,
     # ivf_ann_topk: approximate (cell-probing) → rows-only check; recall
     # vs the exact baseline asserted in tests/test_ext.py.
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →

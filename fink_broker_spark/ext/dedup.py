@@ -310,6 +310,92 @@ def simhash_pairs(
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one keeper per group.
+
+    The missing last step of every near-dup pipeline: pair lists
+    (:func:`jaccard_pairs`, :func:`minhash_lsh_pairs`,
+    :func:`embedding_neardup_pairs`) are edges; the documents to *drop*
+    are every member of a connected component except its minimum id.
+
+    Algorithm: iterative min-label propagation. Each node starts with
+    label = its own id; every round, each node takes the min label in
+    its neighborhood (itself + neighbors); stops when no label changes.
+    Converges in O(diameter) rounds — near-dup components are short
+    chains, so a handful. Returns (id, component) with
+    ``component = min(id in component)``.
+
+    Scale: each round is one equi-join edges⋈labels + one groupBy min —
+    both hash-shuffles on the node id; no driver-side graph. The loop is
+    checkpoint-free because each round's result is tiny (distinct node
+    ids), but ``localCheckpoint`` every few rounds would cap lineage on
+    very deep graphs.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("bigint").alias("src"),
+            F.col(b_col).cast("bigint").alias("dst"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col(b_col).cast("bigint").alias("src"),
+                F.col(a_col).cast("bigint").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each edge (src,dst), dst's current label
+        neighbor = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"),
+                    F.col("component").alias("nlabel"),
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        updated = (
+            labels.join(
+                neighbor.select(F.col("src").alias("id"), "nmin"),
+                on="id",
+                how="left",
+            )
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.join(
+                labels.select(
+                    "id", F.col("component").alias("old")
+                ),
+                on="id",
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
