@@ -323,11 +323,12 @@ def dedup_groups(
     :func:`embedding_neardup_pairs`) are edges; the documents to *drop*
     are every member of a connected component except its minimum id.
 
-    Algorithm: iterative min-label propagation. Each node starts with
-    label = its own id; every round, each node takes the min label in
-    its neighborhood (itself + neighbors); stops when no label changes.
-    Converges in O(diameter) rounds — near-dup components are short
-    chains, so a handful. Returns (id, component) with
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each node starts with label = its own id; every round, each node
+    takes the min label in its neighborhood, then short-circuits through
+    its label's own label (``comp ← comp(comp)``, path doubling); stops
+    when no label changes. The doubling step turns O(diameter) rounds
+    into O(log diameter). Returns (id, component) with
     ``component = min(id in component)``.
 
     Scale: each round is one equi-join edges⋈labels + one groupBy min —
@@ -348,10 +349,24 @@ def dedup_groups(
             )
         )
         .distinct()
+        # materialize ONCE: without this, every propagation round re-runs
+        # the (possibly expensive) pair-generation lineage upstream
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("id"), F.col("src").alias("component")
+    # right-size the round frames: component graphs after thresholding are
+    # tiny relative to the corpus, and per-round scheduling overhead at
+    # the session's shuffle width would dwarf the work. One partition per
+    # ~100k edges, capped at the session default.
+    n_edges = edges.count()
+    nparts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    edges = edges.repartition(nparts, "dst")
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+        .repartition(nparts, "id")
     )
+    prev_sum = None
     for _ in range(max_iters):
         # neighbor labels: for each edge (src,dst), dst's current label
         neighbor = (
@@ -378,21 +393,29 @@ def dedup_groups(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.join(
-                labels.select(
-                    "id", F.col("component").alias("old")
-                ),
-                on="id",
-            )
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
+        # pointer jumping: follow the label's label (labels cover every
+        # node, and component(c) <= c, so this only ever shrinks)
+        hop = updated.select(
+            F.col("id").alias("component"),
+            F.col("component").alias("ccomp"),
         )
+        updated = (
+            updated.join(hop, on="component", how="left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("ccomp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        # labels strictly decrease, so an unchanged sum IS the fixpoint —
+        # one scalar agg instead of a join-based diff per round
+        new_sum = updated.agg(F.sum("component")).collect()[0][0]
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -201,3 +201,36 @@ def test_asof_join_semantics(spark):
     got = {r.id: r.rval for r in out.collect()}
     assert got == {1: 200, 2: None, 3: 100, 4: None}
     assert out.count() == left.count()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate the join: the physical plan contains no
+    hash-partition Exchange (the persisted analog of the reference's
+    pre-sharded serving tables, common/hbase_utils.py:485-526)."""
+    from fink_broker_spark.archive.bucketed import colocated_join, write_bucketed
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    orders = load_table(spark, SF0001, "orders")
+    li = load_table(spark, SF0001, "lineitem")
+    try:
+        write_bucketed(
+            orders, "b_orders", ["o_orderkey"], nbuckets=8,
+            sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+        )
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], nbuckets=8,
+            sort_cols=["o_orderkey"], path=str(tmp_path / "b_lineitem"),
+        )
+        joined = colocated_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        # row parity with the plain (shuffled) join
+        expected = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert joined.count() == expected > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
