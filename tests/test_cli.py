@@ -1,0 +1,56 @@
+"""CLI service parity: the four services drive a full night end-to-end
+(the reference's ``fink start <service>`` surface, ``bin/fink:31-160``)."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF0001
+
+
+def test_cli_four_services(spark, tmp_path):
+    from fink_broker_spark.cli import main
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    os.symlink(
+        os.path.join(SF0001, "events.parquet"),
+        os.path.join(incoming, "events.parquet"),
+    )
+    raw = str(tmp_path / "raw")
+    sci = str(tmp_path / "science")
+    topics = str(tmp_path / "topics")
+    arch = str(tmp_path / "archive")
+    night = "20240101"
+
+    main([
+        "stream2raw", "-incoming", incoming, "-rawdata_prefix", raw,
+        "-night", night, "-available_now", "-cpus", "8",
+    ])
+    assert os.path.isdir(os.path.join(raw, f"night={night}"))
+
+    main([
+        "raw2science", "-rawdata_prefix", raw, "-science_prefix", sci,
+        "-night", night, "-available_now", "-cpus", "8",
+        "-quality_cut", "value >= 0",
+    ])
+    sci_df = spark.read.parquet(os.path.join(sci, f"night={night}"))
+    assert sci_df.count() == 1000
+    assert "score" in sci_df.columns
+
+    outs = main([
+        "distribute", "-science_prefix", sci, "-out_prefix", topics,
+        "-night", night, "-cpus", "8",
+        "-filter", "purchases:event_type = 'purchase'",
+        "-filter", "high:score >= 0.99",
+    ])
+    assert set(outs) == {"purchases", "high"}
+    n_purch = spark.read.parquet(outs["purchases"]).count()
+    assert n_purch == sci_df.filter("event_type = 'purchase'").count() > 0
+
+    stats = main([
+        "archive", "-science_prefix", sci, "-archive_prefix", arch,
+        "-night", night, "-cpus", "8",
+    ])
+    assert stats["n_total"] == 1000
+    assert stats["compaction_partitions"] >= 1
