@@ -115,6 +115,12 @@ def get_session(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.config("spark.master", master)
+    # local mode runs every executor thread inside the driver JVM, whose
+    # default heap (1g) starves shuffles long before the machine does;
+    # static conf — only takes effect when this call launches the JVM
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
     if shuffle_partitions is not None:
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)

@@ -70,14 +70,19 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-``n``-shingle Jaccard similarity ≥ threshold.
 
     shingle → explode → self-equi-join on shingle (id_a < id_b) →
-    intersection counts → ``|A∩B| / (|A| + |B| − |A∩B|)``. The join is a
-    hash join on the shingle string; a hot shingle (stopword run) fans out
-    quadratically, so production runs should drop top-frequency shingles
-    first (df-style pruning) — at test scale the vocabulary is selective.
+    intersection counts → ``|A∩B| / (|A| + |B| − |A∩B|)``. The join fans
+    out as Σ df² over shingle document frequencies: a shingle shared by
+    250 documents alone yields ~31k candidate rows (measured in the 10×
+    scale probe, SCALING.md). ``max_df`` prunes shingles with df >
+    ``max_df`` *before* the join — the standard web-corpus mitigation;
+    Jaccard is then computed over the pruned shingle universe
+    (self-consistently: sizes count pruned sets too). ``None`` = exact
+    (the oracle-checked mode).
     """
     # join on the 8-byte shingle hash, not the shingle string: the
     # self-join shuffle then moves fixed-width longs instead of text
@@ -85,6 +90,12 @@ def jaccard_pairs(
     sh = _shingle_table(docs, id_col, text_col, n).select(
         id_col, F.xxhash64("shingle").alias("shash")
     )
+    if max_df is not None:
+        dfreq = sh.groupBy("shash").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("__df") <= max_df), on="shash")
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shash")
     b = sh.select(F.col(id_col).alias("id_b"), "shash")
@@ -141,6 +152,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
+    max_bucket: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs.
 
@@ -152,6 +165,10 @@ def minhash_lsh_pairs(
 
     Scale shape: |docs| × nbands rows shuffle on (band, band-hash) — linear
     in corpus size; only colliding buckets pay a pairwise cost.
+    ``max_bucket`` skips buckets with more than that many members (a
+    bucket of b docs yields b² candidates; giant buckets are
+    boilerplate-duplicate families better handled by exact-hash dedup
+    first). ``max_df`` is forwarded to the exact-Jaccard verification.
     """
     rows_per_band = num_hashes // nbands
     # Signature via explode + groupBy-min: the shingle set is computed ONCE
@@ -178,6 +195,16 @@ def minhash_lsh_pairs(
     bt = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
+    if max_bucket is not None:
+        bsize = bt.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        bt = (
+            bt.join(
+                bsize.filter(F.col("__bn") <= max_bucket),
+                on=["band", "bhash"],
+            ).drop("__bn")
+        )
     cands = (
         bt.alias("x")
         .join(bt.alias("y"), on=["band", "bhash"])
@@ -189,7 +216,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    exact = jaccard_pairs(docs, threshold, n, id_col, text_col)
+    exact = jaccard_pairs(docs, threshold, n, id_col, text_col, max_df=max_df)
     return cands.join(exact, on=["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )
