@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import Row
 
@@ -198,3 +199,35 @@ def test_grouped_clusters_labels(spark):
     assert by_val[50.0] == by_val[50.2] != ""
     assert by_val[50.0] != by_val[1.0]
     assert by_val[99.0] == ""  # singleton below min_size
+
+
+def test_pandas_udf_chain_fuses_to_one_arrow_pass(spark):
+    """SURVEY §7.3 hard part 4 (UDF throughput): pandas-UDF processors
+    applied as a withColumn chain — the enrichment pipeline's shape —
+    collapse into a SINGLE ArrowEvalPython node (one JVM↔Python
+    round-trip per batch), even when one UDF consumes another's output
+    (Spark 4 chains them inside the same Python worker pass). The ~20
+    Arrow boundaries the reference pays per batch are one here."""
+    from pyspark.sql.functions import pandas_udf
+
+    from tests.conftest import SF0001
+
+    @pandas_udf("double")
+    def f1(v: pd.Series) -> pd.Series:
+        return v * 2.0
+
+    @pandas_udf("double")
+    def f2(v: pd.Series) -> pd.Series:
+        return v + 1.0
+
+    ev = load_table(spark, SF0001, "events")
+
+    def n_arrow_nodes(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("ArrowEvalPython")
+
+    independent = ev.withColumn("a", f1("value")).withColumn("b", f2("value"))
+    assert n_arrow_nodes(independent) == 1
+
+    dependent = ev.withColumn("a", f1("value")).withColumn("b", f2("a"))
+    assert n_arrow_nodes(dependent) == 1
