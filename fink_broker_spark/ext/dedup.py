@@ -216,7 +216,22 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    exact = jaccard_pairs(docs, threshold, n, id_col, text_col, max_df=max_df)
+    # candidate list feeds both the id set and the final join — one
+    # materialization instead of re-running banding per consumer
+    cands = cands.localCheckpoint(eager=True)
+    # verify only the candidate documents: a pair's shingle intersection
+    # involves no third document, so Jaccard computed over the candidate
+    # subset is EXACT for candidate pairs — and the verify join's fanout
+    # shrinks from the whole corpus to the (small) near-dup families
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, on=id_col, how="leftsemi")
+    exact = jaccard_pairs(
+        cand_docs, threshold, n, id_col, text_col, max_df=max_df
+    )
     return cands.join(exact, on=["id_a", "id_b"]).select(
         "id_a", "id_b", "jaccard"
     )
