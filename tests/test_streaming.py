@@ -178,3 +178,48 @@ def test_query_manager_concurrent(spark, tmp_path):
     counts = mgr.exit_after(90)
     assert set(counts) == {"qm_purchases", "qm_errors"}
     assert all(v > 0 for v in counts.values())
+
+
+def test_windowed_aggregation_stream_equals_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregate (the §2.11 extension the
+    reference defers to nightly batch): stream == batch per hour window."""
+    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.streaming.replay import replay_to_table
+
+    stage = _stage_events(tmp_path)
+
+    def agg(df):
+        return (
+            df.withColumn("ts", nanos_to_timestamp("ts"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "n"
+            )
+        )
+
+    streamed = replay_to_table(spark, stage, agg, output_mode="complete")
+    batch = agg(spark.read.parquet(stage))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() > 0
+
+
+def test_chunked_ingest_covers_night(spark, tmp_path):
+    """Chunked archival ingest (bin/ztf/archive_science.py:60-66): the
+    chunk union equals the whole night; each chunk is bounded."""
+    from fink_broker_spark.archive.chunked import ingest_chunks, list_night_files
+    from fink_broker_spark.sources.parquet import load_table
+
+    out = str(tmp_path / "many_files")
+    load_table(spark, SF0001, "events").repartition(7).write.parquet(out)
+    files = list_night_files(spark, out)
+    assert len(files) == 7
+
+    counts = ingest_chunks(
+        spark, out, process=lambda df, i: df.count(), chunk_files=3
+    )
+    assert len(counts) == 3
+    assert sum(counts) == 1000
