@@ -1581,6 +1581,83 @@ SELECT a AS id, MIN(b) AS component FROM r GROUP BY a
 """
 
 
+def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two nightly extracts with different column
+    sets merged with ``unionByName(allowMissingColumns=True)`` — the set
+    op the per-night missing-column reality (§1.3) forces; absent
+    columns surface as NULLs, exactly like the loaders' default fill."""
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.filter(F.col("c_custkey") < 300).select("c_custkey", "c_name")
+    v2 = cust.filter(
+        (F.col("c_custkey") >= 300) & (F.col("c_custkey") < 600)
+    ).select("c_custkey", "c_name", "c_acctbal")
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+ORACLE_UNION_EVOLUTION = """
+SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300
+UNION ALL BY NAME
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey >= 300 AND c_custkey < 600
+"""
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family depth (trunc, datediff, date_add; the night
+    partition columns of §2.10 are the same family): monthly order
+    cohorts with age and due dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.trunc("o_orderdate", "month").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff(
+                    F.to_date(F.lit("2002-01-01")), F.col("o_orderdate")
+                ).cast("bigint")
+            ).alias("max_age_days"),
+            F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)).alias(
+                "first_due30"
+            ),
+        )
+    )
+
+
+ORACLE_DATE_ARITHMETIC = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n,
+       MAX(CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT)) AS max_age_days,
+       MIN(CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) AS first_due30
+FROM orders GROUP BY 1
+"""
+
+
+def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injectable determinism (§7.3 hard part 5): content-derived
+    UUID-shaped ids replace ``uuid()`` so results oracle-diff; same row →
+    same id on any engine."""
+    from fink_broker_spark.core.determinism import deterministic_uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        deterministic_uuid("event_id", "user_id", "event_type").alias("row_uuid"),
+    )
+
+
+ORACLE_DETERMINISTIC_IDS = """
+SELECT event_id,
+       substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+         || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS row_uuid
+FROM (
+  SELECT event_id,
+         md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             || '|' || event_type) AS h
+  FROM events
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1636,6 +1713,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "history_arrays": q_history_arrays,
     "dedup_groups": q_dedup_groups,
+    "union_evolution": q_union_evolution,
+    "date_arithmetic": q_date_arithmetic,
+    "deterministic_ids": q_deterministic_ids,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1690,6 +1770,9 @@ _ORACLES: dict[str, str] = {
     "json_extract": ORACLE_JSON_EXTRACT,
     "history_arrays": ORACLE_HISTORY_ARRAYS,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
+    "union_evolution": ORACLE_UNION_EVOLUTION,
+    "date_arithmetic": ORACLE_DATE_ARITHMETIC,
+    "deterministic_ids": ORACLE_DETERMINISTIC_IDS,
     # ivf_ann_topk: approximate (cell-probing) → rows-only check; recall
     # vs the exact baseline asserted in tests/test_ext.py.
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →
