@@ -70,6 +70,77 @@ def brute_force_topk(
     ).select(query_id_col, id_col, "cosine", "rank")
 
 
+def brute_force_topk_kernel(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via a vectorized matrix kernel — the batch-ANN
+    scale path.
+
+    The query set is broadcast as one numpy matrix; a ``mapInPandas``
+    pass scores each corpus partition against it with a single BLAS
+    matmul and emits only the per-partition top-k per query; a final
+    ``row_number`` reduces partials to the global top-k (any global
+    top-k row is in its partition's top-k, so the reduction is exact).
+
+    Versus :func:`brute_force_topk` (per-pair expression tree): same
+    results, ~10× less CPU — the measured bottleneck at 20k×500 was the
+    per-pair HOF cosine, not the pair count (SCALING.md). Shuffle volume
+    is |queries|·k per partition, independent of corpus size. Cosine
+    values come from BLAS reductions, so they can differ from the
+    expression form in the last ulp — use the expression form when
+    bit-exact oracle parity matters.
+    """
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy()
+    qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+
+    import pandas as pd
+
+    def score(batches):
+        bqids, bq, bqn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cids = pdf[id_col].to_numpy()
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (cmat @ bq.T) / np.outer(cn, bqn)
+            sims[np.equal.outer(cids, bqids)] = -np.inf  # self-match
+            top = min(k, sims.shape[0])
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]
+            rows = {"q": [], "c": [], "s": []}
+            for j in range(sims.shape[1]):
+                for i in part[:, j]:
+                    if np.isfinite(sims[i, j]):
+                        rows["q"].append(bqids[j])
+                        rows["c"].append(cids[i])
+                        rows["s"].append(sims[i, j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: rows["q"],
+                    id_col: rows["c"],
+                    "cosine": rows["s"],
+                }
+            )
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score,
+        f"{query_id_col} bigint, {id_col} bigint, cosine double",
+    )
+    return top_k_per_group(
+        partials, [query_id_col], [F.desc("cosine"), F.asc(id_col)], k
+    ).select(query_id_col, id_col, "cosine", "rank")
+
+
 def _sqdist_expr(vec_col: Column | str, centroid: list[float]) -> Column:
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
         "array<double>"

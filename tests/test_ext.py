@@ -88,3 +88,15 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # every query still returns a full k result set
     counts = {r.query_id for r in approx.collect()}
     assert len(counts) == 5
+
+
+def test_kernel_topk_matches_expression_topk(spark):
+    from fink_broker_spark.ext.ann import brute_force_topk_kernel
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr_form = brute_force_topk(emb, queries, k=5)
+    kernel_form = brute_force_topk_kernel(emb, queries, k=5)
+    a = {(r.query_id, r.vec_id) for r in expr_form.collect()}
+    b = {(r.query_id, r.vec_id) for r in kernel_form.collect()}
+    assert a == b
