@@ -1581,6 +1581,64 @@ SELECT a AS id, MIN(b) AS component FROM r GROUP BY a
 """
 
 
+def q_ann_kernel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized matrix-kernel batch ANN (the measured scale path,
+    SCALING.md): BLAS cosine per corpus partition + exact partial top-k
+    reduction. Rows-only check: BLAS reductions differ from the
+    expression tree in the last ulp; set-equivalence with the exact
+    baseline is asserted in tests/test_ext.py."""
+    from fink_broker_spark.ext.ann import brute_force_topk_kernel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk_kernel(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization (training-data compression op): per
+    vector absmax scale, symmetric round-to-nearest via the identical
+    ``floor(x/scale + 0.5)`` tree on both engines — everything JVM-side
+    array HOFs over the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.size(q).cast("bigint").alias("n_dims"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         list_max([abs(x) FOR x IN e]) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, scale,
+         [CAST(floor(x / scale + 0.5) AS INTEGER) FOR x IN e] AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(len(qv) AS BIGINT) AS n_dims,
+       list_reduce([CAST(x AS BIGINT) FOR x IN qv], (a, b) -> a + b) AS q_sum,
+       list_max(qv) AS q_max,
+       list_min(qv) AS q_min
+FROM q
+"""
+
+
 def q_union_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolving union: two nightly extracts with different column
     sets merged with ``unionByName(allowMissingColumns=True)`` — the set
@@ -1716,6 +1774,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_evolution": q_union_evolution,
     "date_arithmetic": q_date_arithmetic,
     "deterministic_ids": q_deterministic_ids,
+    "ann_kernel_topk": q_ann_kernel_topk,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1773,6 +1833,9 @@ _ORACLES: dict[str, str] = {
     "union_evolution": ORACLE_UNION_EVOLUTION,
     "date_arithmetic": ORACLE_DATE_ARITHMETIC,
     "deterministic_ids": ORACLE_DETERMINISTIC_IDS,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    # ann_kernel_topk: BLAS last-ulp variance → rows-only; equivalence
+    # with the exact expression baseline asserted in tests/test_ext.py.
     # ivf_ann_topk: approximate (cell-probing) → rows-only check; recall
     # vs the exact baseline asserted in tests/test_ext.py.
     # minhash_lsh_neardup / simhash_neardup: engine-specific hashes →

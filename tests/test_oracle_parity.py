@@ -31,6 +31,7 @@ def test_all_queries_have_oracle_or_reason():
         "simhash_neardup",
         "stream_dedup_watermark",
         "ivf_ann_topk",
+        "ann_kernel_topk",
     }
 
 

@@ -223,3 +223,60 @@ def test_chunked_ingest_covers_night(spark, tmp_path):
     )
     assert len(counts) == 3
     assert sum(counts) == 1000
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining the stream
+    in per-file micro-batches, the LAST emitted row per key equals the
+    batch aggregate (state carried across micro-batches)."""
+    from fink_broker_spark.streaming.replay import run_stream
+    from fink_broker_spark.streaming.stateful import running_totals
+
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    stage = str(tmp_path / "events_2files")
+    import shutil
+
+    os.makedirs(stage)
+    src = os.path.join(SF0001, "events.parquet")
+    from fink_broker_spark.sources.parquet import load_table
+
+    df = load_table(spark, SF0001, "events")
+    df.filter(F.col("event_id") % 2 == 0).write.parquet(stage + "/a")
+    df.filter(F.col("event_id") % 2 == 1).write.parquet(stage + "/b")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("a", "b"):
+        for f in os.listdir(os.path.join(stage, sub)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, sub, f),
+                    os.path.join(flat, f"part{i}.parquet"),
+                )
+                i += 1
+    assert i >= 2
+
+    sdf = file_stream(spark, flat, max_files_per_trigger=1)
+    totals = running_totals(
+        sdf.select(F.col("event_type").cast("string").alias("event_type"), "value"),
+        keys=["event_type"],
+        value_col="value",
+    )
+    q = run_stream(totals, output_mode="update", available_now=True,
+                   query_name="running_totals")
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    emitted = spark.table("running_totals").toPandas()
+    # memory sink appends every update; keep the last emission per key
+    last = emitted.groupby("event_type").tail(1).set_index("event_type")
+    batch = {
+        r.event_type: (r.n, r.total)
+        for r in df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last.index) == set(batch)
+    for k, (n, total) in batch.items():
+        assert last.loc[k, "n"] == n
+        assert abs(last.loc[k, "total"] - total) < 1e-6
