@@ -94,3 +94,79 @@ def extract_features(media_df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media_df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", StructType([
+            StructField("data", StringType(), False),
+            StructField("n_bytes", IntegerType()),
+            StructField("kind", StringType()),
+        ])),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one packed media row → ``n_frames`` evenly-spaced
+    frame rows (video → stills; audio → windows).
+
+    STUB decoder: frames are equal byte-slices of the payload (a real
+    container parser drops in at ``_slice``); the row-explosion shape —
+    output rows = input × n_frames, payload bytes split worker-side,
+    never collected — is the real 100 TB contract.
+    """
+
+    def _slice(data: bytes, i: int) -> bytes:
+        step = max(1, len(data) // n_frames)
+        return data[i * step : (i + 1) * step] or data[-step:]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame": []}
+            for mid, media in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(media["data"])
+                for i in range(n_frames):
+                    piece = _slice(data, i)
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame"].append(
+                        {
+                            "data": piece.hex(),
+                            "n_bytes": len(piece),
+                            "kind": f"{media['kind']}:frame",
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_stub(media_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/transcode plumbing: payload → smaller payload, metadata
+    updated, schema stable. STUB: deterministic byte-decimation (a real
+    image resize drops in unchanged)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(m):
+                data = bytes(m["data"])
+                step = max(1, len(data) // target_bytes)
+                small = data[::step][:target_bytes]
+                return {
+                    "data": small.hex(),
+                    "n_bytes": len(small),
+                    "kind": f"{m['kind']}:resized",
+                }
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_index": np.zeros(len(pdf), dtype="int32"),
+                    "frame": pdf["media"].map(shrink),
+                }
+            )
+
+    return media_df.mapInPandas(fn, FRAME_SCHEMA)

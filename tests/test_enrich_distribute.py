@@ -231,3 +231,26 @@ def test_pandas_udf_chain_fuses_to_one_arrow_pass(spark):
 
     dependent = ev.withColumn("a", f1("value")).withColumn("b", f2("a"))
     assert n_arrow_nodes(dependent) == 1
+
+
+def test_multimodal_frame_sampling_and_resize(spark):
+    """Frame-sample / resize plumbing: row explosion shape, byte
+    conservation, schema stability (decode itself is a marked stub)."""
+    from fink_broker_spark.ext.multimodal import resize_stub, sample_frames
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").limit(20)
+    media = pack_media(
+        docs, "doc_id", F.encode(F.col("text"), "utf-8"), kind="doc"
+    )
+    frames = sample_frames(media, n_frames=4)
+    assert frames.count() == 80
+    assert frames.groupBy("media_id").count().filter("count != 4").count() == 0
+    row = frames.filter("frame_index = 0").first()
+    assert row.frame.kind == "doc:frame"
+    assert row.frame.n_bytes > 0
+
+    small = resize_stub(media, target_bytes=16)
+    assert small.count() == 20
+    sizes = [r.frame.n_bytes for r in small.collect()]
+    assert all(s <= 16 for s in sizes)
