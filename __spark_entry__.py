@@ -1076,7 +1076,7 @@ WITH g AS (
   SELECT hour, cluster, count(*) AS csize FROM cid GROUP BY 1, 2
 )
 SELECT hour,
-       SUM(csize) AS n_rows,
+       CAST(SUM(csize) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT) AS n_clustered,
        CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters
 FROM sized GROUP BY hour
@@ -1490,7 +1490,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props ->> 'k' AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -1600,21 +1600,42 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding int8 quantization (training-data compression op): per
     vector absmax scale, symmetric round-to-nearest via the identical
     ``floor(x/scale + 0.5)`` tree on both engines — everything JVM-side
-    array HOFs over the scan."""
+    array HOFs over the scan.
+
+    ``scale`` and the quantized array ``q`` are materialized as named
+    columns in separate projections: a Column captured inside a HOF
+    lambda is re-evaluated per element (and projection collapse does not
+    re-inline materialized columns), so inlining the absmax into the
+    transform would make quantization O(d^2) per row."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-    return emb.select(
+    staged = (
+        emb.select("vec_id", v.alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            (
+                F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+            ).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.transform(
+                "v",
+                lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+            ).alias("q"),
+        )
+    )
+    return staged.select(
         "vec_id",
-        scale.alias("scale"),
-        F.size(q).cast("bigint").alias("n_dims"),
+        "scale",
+        F.size("q").cast("bigint").alias("n_dims"),
         F.aggregate(
-            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            "q", F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("q_sum"),
-        F.array_max(q).alias("q_max"),
-        F.array_min(q).alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.array_min("q").alias("q_min"),
     )
 
 

@@ -293,7 +293,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     nbits: int = 32,
     nbands: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH banding.
@@ -302,7 +302,17 @@ def lsh_topk(
     bands (``nbits/nbands`` bits each); exact cosine is computed only for
     candidates. Recall is tunable via (nbits, nbands); the shape matches
     the MinHash-LSH banding construction (Broder; MMDS ch.3).
+
+    ``dim`` defaults to the corpus embedding length (read from one row).
+    A wrong dim would be silent and catastrophic: ``zip_with`` pads with
+    NULLs, every dot goes NULL, every bit falls to the otherwise(0)
+    branch, and all docs collide in every band (quadratic candidates).
     """
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("lsh_topk: empty corpus, cannot infer dim")
+        dim = int(first["d"])
     planes = hyperplanes(dim, nbits, seed)
     cb = _band_table(corpus, id_col, vec_col, planes, nbands)
     qb = _band_table(

@@ -45,7 +45,14 @@ def with_salted_repartition(
     aggregation. Caller aggregates on ``(key, salt_col)`` first, then on
     ``key``. With AQE skew-join enabled this is rarely needed for joins,
     but two-phase aggregation over a hot group key still benefits.
+
+    ``pmod`` (not ``%``) keeps salts in [0, nbuckets) — Spark's ``%``
+    follows the dividend's sign, which would double the bucket range and
+    emit negatives. The salt hashes the full row (all columns), so it is
+    deterministic across task retries, unlike
+    ``monotonically_increasing_id``.
     """
     return df.withColumn(
-        salt_col, (F.xxhash64(F.col(key), F.monotonically_increasing_id()) % nbuckets)
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(nbuckets)),
     )
