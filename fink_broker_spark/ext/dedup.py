@@ -461,59 +461,111 @@ def dedup_groups(
     return labels
 
 
+def _neardup_kernel(rids, rmat, cids, cmat, cnorms, threshold):
+    """Score every row of (rids, rmat) against the matrix (cids, cmat).
+
+    Keeps only pairs with id_a < id_b and cosine ≥ threshold. All dot
+    products are ``np.cumsum`` left-to-right reductions, so the result
+    is bit-identical to the pure-expression form and the DuckDB oracle.
+    """
+    out_a, out_b, out_c = [], [], []
+    for rid, v in zip(rids, rmat):
+        mask = cids > rid
+        if not mask.any():
+            continue
+        vnorm = np.sqrt(np.cumsum(v * v)[-1])
+        prods = cmat[mask] * v
+        dots = np.cumsum(prods, axis=1)[:, -1]
+        cos = dots / (vnorm * cnorms[mask])
+        sel = cos >= threshold
+        if sel.any():
+            bsel = cids[mask][sel]
+            out_a.extend([int(rid)] * len(bsel))
+            out_b.extend(int(x) for x in bsel)
+            out_c.extend(float(x) for x in cos[sel])
+    return out_a, out_b, out_c
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nblocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact, pairwise).
+    """All pairs with cosine ≥ threshold (exact, fully distributed).
 
-    Physical plan: broadcast the corpus as one numpy matrix; a
-    ``mapInPandas`` pass scores each partition's rows against it with a
-    vectorized kernel — a broadcast nested-loop join whose inner loop is
-    numpy, not a per-pair expression tree. The summation is
-    ``np.cumsum`` (strictly sequential), so every dot product is the
-    same left-to-right IEEE reduction the pure-expression form and the
-    DuckDB oracle compute — results are bit-identical.
+    Physical plan: a **block nested-loop join that never touches the
+    driver**. Each vector is hashed into one of ``nblocks`` blocks; a
+    per-row ``explode`` replicates it into every unordered block pair it
+    participates in; ``applyInPandas`` over (block_a, block_b) groups
+    scores each pair-group with a vectorized numpy kernel. Diagonal
+    groups (i, i) score within-block pairs; off-diagonal groups (i, j)
+    score only cross-block pairs, so no pair is ever scored twice.
 
-    Scale: exact all-pairs is inherently quadratic; this form handles a
-    broadcastable corpus (≤ a few GB). Beyond that, block the corpus
-    (outer loop over matrix chunks) or switch to the LSH path
-    (:func:`fink_broker_spark.ext.ann.lsh_topk`) for candidate pruning.
+    Scale: exact all-pairs is inherently quadratic in *compute*, but the
+    data movement here is one shuffle of |corpus| × nblocks vector rows,
+    and each task holds at most two blocks (2·|corpus|/nblocks rows) —
+    pick ``nblocks ≈ corpus_bytes / executor_block_budget`` and driver
+    memory stays flat while executors stream group-by-group. For corpora
+    where even blocked-quadratic compute is too much, prune candidates
+    first with :func:`fink_broker_spark.ext.ann.lsh_topk`.
+
+    The summation is ``np.cumsum`` (strictly sequential), so every dot
+    product is the same left-to-right IEEE reduction the pure-expression
+    form and the DuckDB oracle compute — results are bit-identical.
     """
-    corpus = emb.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy()
-    mat = np.array(
-        [np.asarray(v, dtype=np.float64) for v in corpus[vec_col]]
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
+    # every unordered pair {blk, j}: j scans all blocks, least/greatest
+    # canonicalizes — (i, i) appears exactly once (j == i), and a cross
+    # pair's two members land in the same (min, max) group
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(nblocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("__blk"), j).alias("pa"),
+            F.greatest(F.col("__blk"), j).alias("pb"),
+        ),
     )
-    # per-vector norm: sequential sum of squares, then sqrt (IEEE exact)
-    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat, norms))
+    exploded = (
+        emb.select(id_col, vec_col, blk.alias("__blk"))
+        .select(
+            id_col,
+            vec_col,
+            "__blk",
+            F.explode(pair_structs).alias("__bp"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "__blk",
+            F.col("__bp.pa").alias("__pa"),
+            F.col("__bp.pb").alias("__pb"),
+        )
+    )
 
-    def score(batches):
-        bids, bmat, bnorms = bc.value
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
-                mask = bids > rid
-                if not mask.any():
-                    continue
-                v = np.asarray(vec, dtype=np.float64)
-                vnorm = np.sqrt(np.cumsum(v * v)[-1])
-                prods = bmat[mask] * v
-                dots = np.cumsum(prods, axis=1)[:, -1]
-                cos = dots / (vnorm * bnorms[mask])
-                sel = cos >= threshold
-                if sel.any():
-                    bsel = bids[mask][sel]
-                    out_a.extend([rid] * len(bsel))
-                    out_b.extend(bsel.tolist())
-                    out_c.extend(cos[sel].tolist())
-            yield pd.DataFrame(
-                {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+    def score_group(key, pdf):
+        pa, pb = key
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        ids = pdf[id_col].to_numpy()
+        # per-vector norm: sequential sum of squares, then sqrt
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        if pa == pb:
+            a, b, c = _neardup_kernel(ids, mat, ids, mat, norms, threshold)
+        else:
+            left = (pdf["__blk"] == pa).to_numpy()
+            a1, b1, c1 = _neardup_kernel(
+                ids[left], mat[left], ids[~left], mat[~left], norms[~left],
+                threshold,
             )
+            a2, b2, c2 = _neardup_kernel(
+                ids[~left], mat[~left], ids[left], mat[left], norms[left],
+                threshold,
+            )
+            a, b, c = a1 + a2, b1 + b2, c1 + c2
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        score, "id_a bigint, id_b bigint, cosine double"
+    return exploded.groupBy("__pa", "__pb").applyInPandas(
+        score_group, "id_a bigint, id_b bigint, cosine double"
     )

@@ -100,3 +100,37 @@ def test_kernel_topk_matches_expression_topk(spark):
     a = {(r.query_id, r.vec_id) for r in expr_form.collect()}
     b = {(r.query_id, r.vec_id) for r in kernel_form.collect()}
     assert a == b
+
+
+def test_embedding_neardup_invariant_to_block_count(spark):
+    """The blocked all-pairs plan must return the identical pair set for
+    any nblocks (no pair lost at block boundaries, none scored twice)."""
+    from fink_broker_spark.ext.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF0001, "embeddings")
+    base = {
+        (r.id_a, r.id_b, round(r.cosine, 12))
+        for r in embedding_neardup_pairs(emb, threshold=0.45, nblocks=1).collect()
+    }
+    for nb in (3, 8):
+        got = {
+            (r.id_a, r.id_b, round(r.cosine, 12))
+            for r in embedding_neardup_pairs(
+                emb, threshold=0.45, nblocks=nb
+            ).collect()
+        }
+        assert got == base, f"nblocks={nb} diverged"
+    assert base, "probe threshold should produce at least one pair"
+
+
+def test_sessionization_twins_agree(spark):
+    """The declarative window sessionizer and the grouped-map twin must
+    stay value-identical — the imperative form is a surface exercise,
+    never an alternative semantics (see SCALING.md)."""
+    import __spark_entry__ as em
+
+    a = em.queries()["session_window_lag"](spark, SF0001)
+    b = em.queries()["session_applyinpandas"](spark, SF0001)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
