@@ -1024,6 +1024,54 @@ FROM events GROUP BY 1
 """
 
 
+def q_healpix_pixelization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real HEALPix RING pixelization (``ang2pix``,
+    ``common/spark_utils.py:529-564``) as a pure Column expression over
+    the scan — no UDF, ANSI-SQL-transcribable (the oracle runs the
+    identical formula; floor boundaries are measure-zero so the integer
+    pixels agree exactly across libms). Output: per-pixel counts at
+    nside=16 plus the lexicographic-min multi-resolution key
+    (``pix@16_pix@64`` — the reference's ``ang2pix_array`` string,
+    ``common/spark_utils.py:567-609``). The numpy-UDF twin is pinned
+    equal in ``tests/test_spatial.py``."""
+    from fink_broker_spark.functions.spatial import healpix_ring_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
+    dec = (F.col("user_id") % 181 - 90).cast("double")
+    pix16 = healpix_ring_expr(ra, dec, 16)
+    pix64 = healpix_ring_expr(ra, dec, 64)
+    mr = F.concat_ws("_", pix16.cast("string"), pix64.cast("string"))
+    return (
+        ev.select(pix16.alias("pix"), mr.alias("mr"))
+        .groupBy("pix")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mr").alias("first_mr"),
+        )
+    )
+
+
+def _oracle_healpix() -> str:
+    from fink_broker_spark.functions.spatial import healpix_ring_sql
+
+    ra_sql = "(value - floor(value / 360.0) * 360.0)"
+    dec_sql = "(CAST(user_id % 181 - 90 AS DOUBLE))"
+    p16 = healpix_ring_sql(ra_sql, dec_sql, 16)
+    p64 = healpix_ring_sql(ra_sql, dec_sql, 64)
+    return f"""
+WITH px AS (
+  SELECT {p16} AS pix,
+         concat_ws('_', CAST({p16} AS VARCHAR), CAST({p64} AS VARCHAR)) AS mr
+  FROM events
+)
+SELECT pix, count(*) AS n, min(mr) AS first_mr FROM px GROUP BY pix
+"""
+
+
+ORACLE_HEALPIX = _oracle_healpix()
+
+
 def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map clustering (``ztf/tracklet_identification.py:123-334``
     skeleton): group events by hour ("exposure"), 1-D gap-split clusters
@@ -1777,6 +1825,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_pipeline": q_enrich_pipeline,
     "classification_cascade": q_classification_cascade,
     "grid_pixelization": q_grid_pixelization,
+    "healpix_pixelization": q_healpix_pixelization,
     "tracklet_clusters": q_tracklet_clusters,
     "multimodal_features": q_multimodal_features,
     "stream_dedup_watermark": q_stream_dedup,
@@ -1838,6 +1887,7 @@ _ORACLES: dict[str, str] = {
     "enrich_pipeline": ORACLE_ENRICH_PIPELINE,
     "classification_cascade": ORACLE_CASCADE,
     "grid_pixelization": ORACLE_GRID_PIX,
+    "healpix_pixelization": ORACLE_HEALPIX,
     "tracklet_clusters": ORACLE_TRACKLETS,
     "multimodal_features": ORACLE_MULTIMODAL,
     "serialize_roundtrip": ORACLE_SERIALIZE_ROUNDTRIP,

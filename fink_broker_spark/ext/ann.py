@@ -169,6 +169,62 @@ def _cell_ranking_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Sampled Lloyd k-means: a driver-side *model* fit on a bounded
+    sample, never the corpus.
+
+    The sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id)`` — a deterministic uniform draw that compiles to
+    TakeOrderedAndProject (one scan, no full sort, no fraction guess).
+    Lloyd runs in numpy on the driver (sample_size × dim floats — a few
+    MB, same class as a broadcast dim table). Initialization is
+    k-means++-style greedy seeding on the sample; empty cells re-seed
+    from the point farthest from its centroid, so all ``nlist`` cells
+    survive even on degenerate data.
+    """
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_centroids: empty corpus")
+    x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding: first center uniform, then ~ D^2 weighting
+    centers = [x[rng.integers(len(x))]]
+    for _ in range(1, min(nlist, len(x))):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total <= 0:
+            centers.append(x[rng.integers(len(x))])
+            continue
+        centers.append(x[rng.choice(len(x), p=d2 / total)])
+    cent = np.array(centers)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(len(cent)):
+            members = x[assign == ci]
+            if len(members):
+                cent[ci] = members.mean(axis=0)
+            else:
+                # re-seed dead cell from the worst-served point
+                cent[ci] = x[d2.min(axis=1).argmax()]
+    return cent.tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,15 +234,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+    sample_size: int = 4096,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) coarse index.
 
     Corpus rows are assigned to their nearest of ``nlist`` centroid
     cells; each query probes only its ``nprobe`` nearest cells and
-    brute-forces within them. Centroids here are the ``nlist``
-    lowest-id corpus vectors (deterministic; production would plug in
-    sampled k-means — the index structure, not centroid quality, is
-    what this operator provides).
+    brute-forces within them. Centroids default to sampled k-means
+    (:func:`kmeans_centroids`) so cell population tracks the data's
+    actual cluster structure; pass ``centroids`` to reuse a prefit
+    model across query batches (the production pattern — fit once,
+    probe many).
 
     100 TB shape: the centroid table is a tiny driver-side model (like a
     broadcast dim); cell assignment is a pure column expression over the
@@ -196,13 +256,10 @@ def ivf_topk(
     """
     from fink_broker_spark.functions.vector import dot_expr, norm2_expr
 
-    centroids = [
-        [float(x) for x in r[0]]
-        for r in corpus.select(vec_col)
-        .orderBy(id_col)
-        .limit(nlist)
-        .collect()
-    ]
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, nlist, id_col, vec_col, sample_size=sample_size, seed=seed
+        )
     ranking = _cell_ranking_expr(vec_col, centroids)
     c = corpus.select(
         id_col,

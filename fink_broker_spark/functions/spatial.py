@@ -29,11 +29,14 @@ def ang2pix_ring_np(
     """Vectorized HEALPix RING-scheme ang2pix (Górski et al. 2005).
 
     Accepts degrees (astronomy convention: ra ∈ [0, 360), dec ∈ [-90, 90]).
+
+    The op tree (``z = sin(radians(dec))``, ``tt = mod(ra/90, 4)``) is
+    deliberately identical to :func:`healpix_ring_expr` and its DuckDB
+    oracle SQL so all three engines agree bit-for-bit away from the
+    measure-zero floor boundaries.
     """
-    theta = np.deg2rad(90.0 - np.asarray(dec_deg, dtype=np.float64))
-    phi = np.deg2rad(np.mod(np.asarray(ra_deg, dtype=np.float64), 360.0))
-    z = np.cos(theta)
-    tt = np.mod(phi / (0.5 * np.pi), 4.0)
+    z = np.sin(np.deg2rad(np.asarray(dec_deg, dtype=np.float64)))
+    tt = np.mod(np.asarray(ra_deg, dtype=np.float64) / 90.0, 4.0)
 
     pix = np.empty(z.shape, dtype=np.int64)
     equa = np.abs(z) <= 2.0 / 3.0
@@ -68,17 +71,187 @@ def ang2pix_ring_np(
     return pix
 
 
-def ang2pix_udf(nside: int = 256):
+def _spread_bits_np(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the bits of v (Morton/Z-order spread)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def ang2pix_nest_np(
+    ra_deg: np.ndarray, dec_deg: np.ndarray, nside: int
+) -> np.ndarray:
+    """Vectorized HEALPix NESTED-scheme ang2pix (Górski et al. 2005).
+
+    ``nside`` must be a power of two. Same cells as RING — only the
+    numbering differs: pixel = face·nside² + Z-order interleave of the
+    in-face (ix, iy) coordinates, which is what gives nested ids their
+    hierarchical prefix property (pix >> 2 is the parent at nside/2 —
+    the basis of multi-resolution index keys).
+    """
+    if nside & (nside - 1):
+        raise ValueError("nested scheme requires power-of-two nside")
+    z = np.sin(np.deg2rad(np.asarray(dec_deg, dtype=np.float64)))
+    tt = np.mod(np.asarray(ra_deg, dtype=np.float64) / 90.0, 4.0)
+    za = np.abs(z)
+
+    face = np.empty(z.shape, dtype=np.int64)
+    ix = np.empty(z.shape, dtype=np.int64)
+    iy = np.empty(z.shape, dtype=np.int64)
+
+    equa = za <= 2.0 / 3.0
+    temp1 = nside * (0.5 + tt[equa])
+    temp2 = nside * z[equa] * 0.75
+    jp = np.floor(temp1 - temp2).astype(np.int64)
+    jm = np.floor(temp1 + temp2).astype(np.int64)
+    ifp = jp // nside
+    ifm = jm // nside
+    face[equa] = np.where(
+        ifp == ifm, (ifp & 3) + 4, np.where(ifp < ifm, ifp & 3, (ifm & 3) + 8)
+    )
+    ix[equa] = jm & (nside - 1)
+    iy[equa] = nside - (jp & (nside - 1)) - 1
+
+    pol = ~equa
+    ntt = np.minimum(3, tt[pol].astype(np.int64))
+    tp = tt[pol] - ntt
+    tmp = nside * np.sqrt(3.0 * (1.0 - za[pol]))
+    jp = np.minimum(np.floor(tp * tmp).astype(np.int64), nside - 1)
+    jm = np.minimum(np.floor((1.0 - tp) * tmp).astype(np.int64), nside - 1)
+    north = z[pol] > 0
+    face[pol] = np.where(north, ntt, ntt + 8)
+    ix[pol] = np.where(north, nside - jm - 1, jp)
+    iy[pol] = np.where(north, nside - jp - 1, jm)
+
+    pix = (
+        face.astype(np.uint64) * np.uint64(nside) * np.uint64(nside)
+        + (_spread_bits_np(ix) | (_spread_bits_np(iy) << np.uint64(1)))
+    )
+    return pix.astype(np.int64)
+
+
+def ang2pix_udf(nside: int = 256, nest: bool = False):
     """Pandas-UDF wrapper (Arrow-vectorized), mirroring the reference's
-    ``ang2pix`` operator signature (``common/spark_utils.py:529-564``)."""
+    ``ang2pix`` operator signature (``common/spark_utils.py:529-564``).
+    ``nest=False`` matches the reference's healpy default (RING)."""
+
+    fn = ang2pix_nest_np if nest else ang2pix_ring_np
 
     @pandas_udf("long")
     def _ang2pix(ra: pd.Series, dec: pd.Series) -> pd.Series:
-        return pd.Series(
-            ang2pix_ring_np(ra.to_numpy(), dec.to_numpy(), nside)
-        )
+        return pd.Series(fn(ra.to_numpy(), dec.to_numpy(), nside))
 
     return _ang2pix
+
+
+def ang2pix_multires_udf(nsides: list[int], nest: bool = False):
+    """Multi-resolution pixel string ``pix@nside[0]_pix@nside[1]_...`` —
+    the reference's ``ang2pix_array`` (``common/spark_utils.py:567-609``),
+    used as a serving-table column so one stored key supports crossmatch
+    at several radii (coarse nside for wide cones, fine for tight)."""
+
+    fn = ang2pix_nest_np if nest else ang2pix_ring_np
+
+    @pandas_udf("string")
+    def _multires(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        r, d = ra.to_numpy(), dec.to_numpy()
+        cols = [fn(r, d, ns).astype(str) for ns in nsides]
+        out = cols[0]
+        for c in cols[1:]:
+            out = np.char.add(np.char.add(out, "_"), c)
+        return pd.Series(out)
+
+    return _multires
+
+
+def healpix_ring_expr(
+    ra: Column | str, dec: Column | str, nside: int
+) -> Column:
+    """HEALPix RING ang2pix as a pure Column expression (no UDF).
+
+    Same formula as :func:`ang2pix_ring_np` term for term, so the JVM
+    codegen path, the numpy path, and an ANSI-SQL oracle transcription
+    all agree exactly (floor boundaries are measure-zero). Requires
+    ra ∈ [0, 360); callers normalize first. Projection-level common
+    subexpression elimination keeps the repeated z/tt subtrees single-
+    evaluation in codegen.
+    """
+    r = F.col(ra) if isinstance(ra, str) else ra
+    d = F.col(dec) if isinstance(dec, str) else dec
+    z = F.sin(F.radians(d))
+    tt = F.pmod(r / F.lit(90.0), F.lit(4.0))
+
+    # equatorial belt
+    temp1 = F.lit(float(nside)) * (F.lit(0.5) + tt)
+    temp2 = F.lit(float(nside)) * z * F.lit(0.75)
+    jp = F.floor(temp1 - temp2)
+    jm = F.floor(temp1 + temp2)
+    ir = F.lit(nside + 1) + jp - jm
+    kshift = F.lit(1) - F.pmod(ir, F.lit(2))
+    ip_e = F.pmod(
+        F.floor((jp + jm - F.lit(nside) + kshift + F.lit(1)) / F.lit(2.0)),
+        F.lit(4 * nside),
+    )
+    ncap = 2 * nside * (nside - 1)
+    pix_equa = F.lit(ncap) + (ir - F.lit(1)) * F.lit(4 * nside) + ip_e
+
+    # polar caps
+    tp = tt - F.floor(tt)
+    tmp = F.lit(float(nside)) * F.sqrt(F.lit(3.0) * (F.lit(1.0) - F.abs(z)))
+    jp_p = F.floor(tp * tmp)
+    jm_p = F.floor((F.lit(1.0) - tp) * tmp)
+    ir_p = jp_p + jm_p + F.lit(1)
+    ip_p = F.pmod(F.floor(tt * ir_p), F.lit(4) * ir_p)
+    pix_pol = F.when(
+        z > 0, F.lit(2) * ir_p * (ir_p - F.lit(1)) + ip_p
+    ).otherwise(
+        F.lit(12 * nside * nside) - F.lit(2) * ir_p * (ir_p + F.lit(1)) + ip_p
+    )
+
+    return (
+        F.when(F.abs(z) <= F.lit(2.0 / 3.0), pix_equa).otherwise(pix_pol)
+    ).cast("long")
+
+
+def healpix_ring_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
+    """The DuckDB/ANSI transcription of :func:`healpix_ring_expr`, for
+    oracle harnesses. ``ra_sql`` / ``dec_sql`` are SQL fragments."""
+    ncap = 2 * nside * (nside - 1)
+    npix = 12 * nside * nside
+    z = f"sin(radians({dec_sql}))"
+    tt = f"((({ra_sql}) / 90.0) % 4.0 + 4.0) % 4.0"
+    temp1 = f"({nside} * (0.5 + {tt}))"
+    temp2 = f"({nside} * {z} * 0.75)"
+    jp = f"CAST(floor({temp1} - {temp2}) AS BIGINT)"
+    jm = f"CAST(floor({temp1} + {temp2}) AS BIGINT)"
+    ir = f"({nside} + 1 + {jp} - {jm})"
+    kshift = f"(1 - (({ir}) % 2 + 2) % 2)"
+    ip_e = (
+        f"((CAST(floor(({jp} + {jm} - {nside} + {kshift} + 1) / 2.0) AS BIGINT)"
+        f" % {4 * nside} + {4 * nside}) % {4 * nside})"
+    )
+    pix_equa = f"({ncap} + ({ir} - 1) * {4 * nside} + {ip_e})"
+    tp = f"({tt} - floor({tt}))"
+    tmp = f"({nside} * sqrt(3.0 * (1.0 - abs({z}))))"
+    jp_p = f"CAST(floor({tp} * {tmp}) AS BIGINT)"
+    jm_p = f"CAST(floor((1.0 - {tp}) * {tmp}) AS BIGINT)"
+    ir_p = f"({jp_p} + {jm_p} + 1)"
+    ip_p = (
+        f"((CAST(floor({tt} * {ir_p}) AS BIGINT) % (4 * {ir_p})"
+        f" + (4 * {ir_p})) % (4 * {ir_p}))"
+    )
+    pix_pol = (
+        f"(CASE WHEN {z} > 0 THEN 2 * {ir_p} * ({ir_p} - 1) + {ip_p} "
+        f"ELSE {npix} - 2 * {ir_p} * ({ir_p} + 1) + {ip_p} END)"
+    )
+    return (
+        f"CAST(CASE WHEN abs({z}) <= 2.0/3.0 THEN {pix_equa} "
+        f"ELSE {pix_pol} END AS BIGINT)"
+    )
 
 
 def grid_pixel_expr(
@@ -122,3 +295,112 @@ def neighbor_pixels_expr(
                  + F.pmod(col + F.lit(dc), F.lit(ncols))).cast("long")
             )
     return F.array_distinct(F.array(*cells))
+
+
+def cone_pixels_udf(
+    nside: int, radius_deg: float, nest: bool = False, nsamples: int = 16
+):
+    """Pixels covered by a cone of ``radius_deg`` around each point —
+    an approximate ``query_disc`` (array<long> per row).
+
+    Samples the disc: the center plus ``nsamples`` points on the
+    boundary circle (spherical offset by radius along equally spaced
+    bearings) are pixelized and deduplicated. Exact when the radius is
+    below the pixel scale (the disc then meets only pixels its boundary
+    samples touch); for radii well above the pixel scale, raise
+    ``nsamples`` or coarsen ``nside``. This is the query-side half of a
+    healpix-bucketed crossmatch: explode the array, equi-join on pixel
+    against the catalog's single-pixel column, then refine with the
+    exact angular predicate — same radius semantics as the reference's
+    healpy crossmatch at ``common/spark_utils.py:529-609``.
+    """
+    fn = ang2pix_nest_np if nest else ang2pix_ring_np
+    r = np.deg2rad(radius_deg)
+
+    @pandas_udf("array<long>")
+    def _cone(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        ra0 = np.deg2rad(ra.to_numpy(dtype=np.float64))
+        dec0 = np.deg2rad(dec.to_numpy(dtype=np.float64))
+        bearings = np.linspace(0.0, 2.0 * np.pi, nsamples, endpoint=False)
+        # spherical destination point formula, vectorized (rows × bearings)
+        sd, cd = np.sin(dec0)[:, None], np.cos(dec0)[:, None]
+        sr, cr = np.sin(r), np.cos(r)
+        cb = np.cos(bearings)[None, :]
+        sb = np.sin(bearings)[None, :]
+        dec_s = np.arcsin(sd * cr + cd * sr * cb)
+        ra_s = ra0[:, None] + np.arctan2(
+            sb * sr * cd, cr - sd * np.sin(dec_s)
+        )
+        all_ra = np.concatenate([ra0[:, None], ra_s], axis=1)
+        all_dec = np.concatenate([dec0[:, None], dec_s], axis=1)
+        pix = fn(
+            np.mod(np.rad2deg(all_ra), 360.0).ravel(),
+            np.rad2deg(all_dec).ravel(),
+            nside,
+        ).reshape(all_ra.shape)
+        return pd.Series([np.unique(row).tolist() for row in pix])
+
+    return _cone
+
+
+def angular_sep_deg_expr(
+    ra1: Column | str, dec1: Column | str, ra2: Column | str, dec2: Column | str
+) -> Column:
+    """Exact great-circle separation in degrees (haversine, stable at
+    small angles — the refine predicate after a pixel-bucket join)."""
+    r1 = F.radians(F.col(ra1) if isinstance(ra1, str) else ra1)
+    d1 = F.radians(F.col(dec1) if isinstance(dec1, str) else dec1)
+    r2 = F.radians(F.col(ra2) if isinstance(ra2, str) else ra2)
+    d2 = F.radians(F.col(dec2) if isinstance(dec2, str) else dec2)
+    a = (
+        F.pow(F.sin((d2 - d1) / 2), 2)
+        + F.cos(d1) * F.cos(d2) * F.pow(F.sin((r2 - r1) / 2), 2)
+    )
+    return F.degrees(
+        F.lit(2.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+    )
+
+
+def healpix_crossmatch(
+    left: DataFrame,
+    right: DataFrame,
+    radius_deg: float,
+    nside: int = 64,
+    left_ra: str = "ra",
+    left_dec: str = "dec",
+    right_ra: str = "ra",
+    right_dec: str = "dec",
+    nest: bool = False,
+) -> DataFrame:
+    """Cone-search crossmatch bucketed on HEALPix cells.
+
+    Physical plan: the (small) ``right`` side maps each row to the
+    pixels its cone covers and explodes (fan-out = covered pixels, ~1-4
+    at radius ≲ pixel scale); ``left`` — the big survey side — gets ONE
+    pixel per row as a pure scan-side expression when RING (no UDF);
+    the equi-join on pixel is broadcast when right is small, and the
+    exact angular predicate refines. Equal-area cells mean no polar
+    hot-bucket — the failure mode of naive lat/lon grids at scale.
+    """
+    if nest:
+        lpix = ang2pix_udf(nside, nest=True)(F.col(left_ra), F.col(left_dec))
+    else:
+        lpix = healpix_ring_expr(
+            F.pmod(F.col(left_ra), F.lit(360.0)), F.col(left_dec), nside
+        )
+    lt = left.withColumn("__pix", lpix)
+    rt = right.withColumn(
+        "__pixes",
+        cone_pixels_udf(nside, radius_deg, nest=nest)(
+            F.col(right_ra), F.col(right_dec)
+        ),
+    ).withColumn("__pix", F.explode("__pixes")).drop("__pixes")
+    sep = angular_sep_deg_expr(left_ra, left_dec, f"r_{right_ra}", f"r_{right_dec}")
+    rt = rt.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns], "__pix"
+    )
+    return (
+        lt.join(F.broadcast(rt), on="__pix")
+        .filter(sep <= F.lit(radius_deg))
+        .drop("__pix")
+    )

@@ -134,3 +134,32 @@ def test_sessionization_twins_agree(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_ivf_kmeans_recall_on_skewed_clusters(spark):
+    """Sampled k-means centroids must give high recall on clustered data
+    even when the low-id rows all sit in ONE cluster — the case where
+    first-n centroid seeding collapses every probe into a single cell."""
+    import numpy as np
+
+    from fink_broker_spark.ext.ann import ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim, ncl, per = 16, 8, 60
+    centers = rng.standard_normal((ncl, dim)) * 10.0
+    rows = []
+    vid = 0
+    # ids assigned cluster-by-cluster: ids 0..59 are all cluster 0
+    for ci in range(ncl):
+        for _ in range(per):
+            v = centers[ci] + rng.standard_normal(dim) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"

@@ -1,0 +1,149 @@
+"""HEALPix pixelization invariants and the healpix-bucketed crossmatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from fink_broker_spark.functions.spatial import (
+    ang2pix_multires_udf,
+    ang2pix_nest_np,
+    ang2pix_ring_np,
+    ang2pix_udf,
+    angular_sep_deg_expr,
+    healpix_crossmatch,
+    healpix_ring_expr,
+)
+from fink_broker_spark.sources.parquet import load_table
+from tests.conftest import SF0001
+
+
+def _random_sky(n, seed=11):
+    rng = np.random.default_rng(seed)
+    ra = rng.uniform(0.0, 360.0, n)
+    dec = np.rad2deg(np.arcsin(rng.uniform(-1.0, 1.0, n)))  # uniform on sphere
+    return ra, dec
+
+
+def test_ring_known_values_nside1():
+    # nside=1 has 12 pixels: ring ids 0-3 north cap, 4-7 equator, 8-11 south
+    ra = np.array([45.0, 50.0, 140.0, 45.0])
+    dec = np.array([80.0, 0.0, 0.0, -80.0])
+    pix = ang2pix_ring_np(ra, dec, 1)
+    assert pix[0] == 0  # north cap, first quadrant
+    assert 4 <= pix[1] <= 7 and 4 <= pix[2] <= 7 and pix[1] != pix[2]
+    assert 8 <= pix[3] <= 11
+
+
+def test_pixel_ranges_and_totals():
+    ra, dec = _random_sky(20000)
+    for nside in (1, 2, 16, 64):
+        for fn in (ang2pix_ring_np, ang2pix_nest_np):
+            pix = fn(ra, dec, nside)
+            assert pix.min() >= 0 and pix.max() < 12 * nside * nside
+
+
+def test_nest_and_ring_define_identical_cells():
+    """NEST is a renumbering of the same cells: grouping points by nest
+    pixel and by ring pixel must produce the identical partition."""
+    ra, dec = _random_sky(5000)
+    ring = ang2pix_ring_np(ra, dec, 8)
+    nest = ang2pix_nest_np(ra, dec, 8)
+    by_ring = {}
+    by_nest = {}
+    for i, (r, n) in enumerate(zip(ring, nest)):
+        by_ring.setdefault(r, set()).add(i)
+        by_nest.setdefault(n, set()).add(i)
+    assert sorted(map(frozenset, by_ring.values())) == sorted(
+        map(frozenset, by_nest.values())
+    )
+    # and the mapping ring<->nest is a bijection on occupied cells
+    assert len(by_ring) == len(by_nest)
+
+
+def test_nest_hierarchical_prefix():
+    """pix@2k >> 2 == pix@k — the nested-scheme parent property that
+    multi-resolution index keys rely on."""
+    ra, dec = _random_sky(5000, seed=3)
+    for k in (4, 32):
+        child = ang2pix_nest_np(ra, dec, 2 * k)
+        parent = ang2pix_nest_np(ra, dec, k)
+        assert np.array_equal(child >> 2, parent)
+
+
+def test_equal_area_occupancy():
+    """HEALPix cells are equal-area: uniform sky -> near-uniform counts.
+    (The lat/lon grid fails this badly at the poles.)"""
+    ra, dec = _random_sky(60000, seed=5)
+    pix = ang2pix_ring_np(ra, dec, 4)  # 192 cells, ~312 each
+    counts = np.bincount(pix, minlength=192)
+    assert counts.min() > 0
+    assert counts.max() / counts.min() < 1.6
+
+
+def test_expr_matches_numpy_udf(spark):
+    """The pure-Column RING expression and the numpy pandas UDF must
+    agree pixel-for-pixel on real data (shared op tree)."""
+    ev = load_table(spark, SF0001, "events").limit(2000)
+    ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
+    dec = (F.col("user_id") % 181 - 90).cast("double")
+    out = ev.select(
+        healpix_ring_expr(ra, dec, 32).alias("expr_pix"),
+        ang2pix_udf(32)(ra, dec).alias("udf_pix"),
+    )
+    bad = out.filter(F.col("expr_pix") != F.col("udf_pix")).count()
+    assert bad == 0
+
+
+def test_multires_string_matches_parts(spark):
+    ev = load_table(spark, SF0001, "events").limit(500)
+    ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
+    dec = (F.col("user_id") % 181 - 90).cast("double")
+    out = ev.select(
+        ang2pix_multires_udf([16, 64, 256])(ra, dec).alias("mr"),
+        ang2pix_udf(16)(ra, dec).alias("p16"),
+        ang2pix_udf(256)(ra, dec).alias("p256"),
+    ).collect()
+    for r in out:
+        parts = r.mr.split("_")
+        assert len(parts) == 3
+        assert int(parts[0]) == r.p16 and int(parts[2]) == r.p256
+
+
+def test_healpix_crossmatch_equals_brute_force(spark):
+    """Pixel-bucketed cone search must return exactly the brute-force
+    pair set — the disc-cover explode guarantees no boundary loss at
+    radius below the pixel scale."""
+    ra_c, dec_c = _random_sky(400, seed=21)
+    ra_q, dec_q = _random_sky(60, seed=22)
+    catalog = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_c, dec_c))],
+        "cat_id bigint, ra double, dec double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_q, dec_q))],
+        "q_id bigint, ra double, dec double",
+    )
+    radius = 2.0  # deg; nside=16 pixel scale ~3.7 deg
+    got = {
+        (r.cat_id, r.r_q_id)
+        for r in healpix_crossmatch(
+            catalog, queries, radius_deg=radius, nside=16
+        ).collect()
+    }
+    brute = {
+        (r.cat_id, r.q_id)
+        for r in catalog.crossJoin(
+            queries.select(
+                F.col("q_id"),
+                F.col("ra").alias("qra"),
+                F.col("dec").alias("qdec"),
+            )
+        )
+        .filter(
+            angular_sep_deg_expr("ra", "dec", "qra", "qdec") <= F.lit(radius)
+        )
+        .collect()
+    }
+    assert brute, "test fixture should produce at least one match"
+    assert got == brute
