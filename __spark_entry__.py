@@ -1131,6 +1131,131 @@ FROM sized GROUP BY hour
 """
 
 
+def q_tracklet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's tracklet locus candidate cut
+    (``ztf/tracklet_identification.py:30-82``) over events-derived alert
+    analogs: dmag/distance columns are pure arithmetic on table columns,
+    the predicate is one Column expression (pushed to the scan), and the
+    whole pipeline is ANSI-transcribable for the oracle."""
+    from fink_broker_spark.operators.tracklets import tracklet_candidate_cut
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_type",
+        (F.abs(F.col("value")) % 3.0 + F.lit(0.01)).alias("distnr"),
+        (F.lit(15.0) + (F.col("user_id") % 70) / 10.0).alias("magnr"),
+        (F.lit(15.0) + (F.col("event_id") % 80) / 10.0).alias("magpsf"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("12345"))
+        .otherwise(F.lit("null"))
+        .alias("ssnamenr"),
+        (F.lit(1) + F.col("event_id") % 3).cast("int").alias("ndethist"),
+        F.when(F.col("value") >= 0, F.lit("t")).otherwise(F.lit("f")).alias(
+            "isdiffpos"
+        ),
+    )
+    kept = staged.filter(
+        tracklet_candidate_cut(
+            F.col("distnr"),
+            F.col("magnr"),
+            F.col("magpsf"),
+            ssnamenr=F.col("ssnamenr"),
+            ndethist=F.col("ndethist"),
+            isdiffpos=F.col("isdiffpos"),
+        )
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("distnr").alias("min_distnr"),
+        F.max("distnr").alias("max_distnr"),
+    )
+
+
+ORACLE_TRACKLET_CANDIDATES = """
+WITH staged AS (
+  SELECT event_type,
+         abs(value) % 3.0 + 0.01 AS distnr,
+         15.0 + (user_id % 70) / 10.0 AS magnr,
+         15.0 + (event_id % 80) / 10.0 AS magpsf,
+         CASE WHEN event_id % 11 = 0 THEN '12345' ELSE 'null' END AS ssnamenr,
+         CAST(1 + event_id % 3 AS INTEGER) AS ndethist,
+         CASE WHEN value >= 0 THEN 't' ELSE 'f' END AS isdiffpos
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       min(distnr) AS min_distnr,
+       max(distnr) AS max_distnr
+FROM staged
+WHERE ssnamenr = 'null' AND ndethist = 1 AND isdiffpos = 't'
+  AND NOT ((magnr - magpsf) < 1.0
+           AND (magnr - magpsf) < -4.0 * (log10(distnr) + 0.2)
+           AND distnr < 2.0)
+GROUP BY event_type
+"""
+
+
+def q_sky_tracklets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle tracklet extraction
+    (``ztf/tracklet_identification.py:123-334``): deterministic sky
+    tracks are constructed from event rows (8 points per track, 10-arcsec
+    spacing, per-track slope), grouped into 4 "exposures", and the
+    grouped-map extractor must recover exactly the constructed
+    memberships — which the oracle recomputes declaratively (a tracklet
+    == a constructed track with ≥5 points). Bounded input (top-2400 by
+    event_id → TakeOrderedAndProject) mirrors the bounded-exposure
+    assumption of the reference; the O(n³) candidate stage is pruned by
+    ``max_pair_sep_deg`` to the physical tracklet length."""
+    from fink_broker_spark.operators.tracklets import great_circle_tracklets
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+        .limit(2400)
+    )
+    trk = (F.col("user_id") % 40).alias("trk")
+    w = Window.partitionBy("trk").orderBy("event_id")
+    pts = (
+        ev.select("event_id", trk)
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .filter(F.col("idx") < 8)
+    )
+    dt = (F.col("idx") - 3.5) * (10.0 / 3600.0)
+    slope = ((F.col("trk") % 5) - 2) / 4.0
+    sky = pts.select(
+        "event_id",
+        (F.col("trk") % 4).cast("bigint").alias("exposure"),
+        (F.col("trk") * 3.0 + dt).alias("ra"),
+        (((F.col("trk") * 7) % 121) - 60 + dt * slope).alias("dec"),
+    )
+    labeled = great_circle_tracklets(
+        sky, "exposure", max_pair_sep_deg=0.1
+    ).filter(F.col("tracklet") != "")
+    return labeled.groupBy("exposure", "tracklet").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("event_id").alias("lo_event"),
+        F.max("event_id").alias("hi_event"),
+    ).select("exposure", "n_members", "lo_event", "hi_event")
+
+
+ORACLE_SKY_TRACKLETS = """
+WITH bounded AS (
+  SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 2400
+), ranked AS (
+  SELECT event_id, user_id % 40 AS trk,
+         row_number() OVER (PARTITION BY user_id % 40 ORDER BY event_id) AS rn
+  FROM bounded
+)
+SELECT CAST(trk % 4 AS BIGINT) AS exposure,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(event_id) AS BIGINT) AS lo_event,
+       CAST(max(event_id) AS BIGINT) AS hi_event
+FROM ranked WHERE rn <= 8
+GROUP BY trk
+HAVING count(*) >= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # ext — multimodal binary columns; streaming dedup (rows-only)
 # --------------------------------------------------------------------------
@@ -1827,6 +1952,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_pixelization": q_grid_pixelization,
     "healpix_pixelization": q_healpix_pixelization,
     "tracklet_clusters": q_tracklet_clusters,
+    "tracklet_candidates": q_tracklet_candidates,
+    "sky_tracklets": q_sky_tracklets,
     "multimodal_features": q_multimodal_features,
     "stream_dedup_watermark": q_stream_dedup,
     "serialize_roundtrip": q_serialize_roundtrip,
@@ -1889,6 +2016,8 @@ _ORACLES: dict[str, str] = {
     "grid_pixelization": ORACLE_GRID_PIX,
     "healpix_pixelization": ORACLE_HEALPIX,
     "tracklet_clusters": ORACLE_TRACKLETS,
+    "tracklet_candidates": ORACLE_TRACKLET_CANDIDATES,
+    "sky_tracklets": ORACLE_SKY_TRACKLETS,
     "multimodal_features": ORACLE_MULTIMODAL,
     "serialize_roundtrip": ORACLE_SERIALIZE_ROUNDTRIP,
     "asof_join": ORACLE_ASOF_JOIN,
