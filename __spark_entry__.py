@@ -1337,10 +1337,17 @@ def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gated Avro path). Round-trip is bit-exact for doubles (shortest
     round-trip rendering).
     """
+    from fink_broker_spark.sinks.kafka import distribution_cast_plan
+
     ev = load_table(spark, sf_dir, "events")
-    wrapped = ev.select(
-        F.struct("event_id", "event_type", "value").alias("payload")
+    staged = ev.select(
+        "event_id",
+        "ts",
+        F.struct(F.col("user_id"), F.col("event_type")).alias("meta"),
+        F.array(F.col("value")).alias("history"),
     )
+    planned = distribution_cast_plan(staged)
+    wrapped = planned.select(F.struct(*planned.columns).alias("payload"))
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in wrapped.select("payload.*").schema.fields
@@ -1349,13 +1356,23 @@ def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json("payload").alias("value"),
         F.lit(schema_ddl).alias("key"),
     )
-    return wire.select(
+    decoded = wire.select(
         F.from_json("value", schema_ddl).alias("decoded")
     ).select("decoded.*")
+    # flatten for the oracle: the string-cast timestamp is compared as
+    # parsed-back epoch micros (string rendering differs across engines)
+    return decoded.select(
+        "event_id",
+        F.unix_micros(F.to_timestamp("ts")).alias("ts_us"),
+        F.col("meta.user_id").alias("user_id"),
+        F.col("meta.event_type").alias("event_type"),
+        F.element_at("history", 1).alias("value"),
+    )
 
 
 ORACLE_SERIALIZE_ROUNDTRIP = """
-SELECT event_id, event_type, value FROM events
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
 """
 
 

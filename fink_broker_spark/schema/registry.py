@@ -69,3 +69,80 @@ class SchemaRegistry:
         ``limit(1).collect()`` idiom)."""
         row = df.select(col).limit(1).collect()
         return row[0][0] if row else None
+
+    # -- version-keyed column plans (``rubin/hbase_utils.py:170-230``) --
+
+    def save_plan(
+        self, name: str, version: str, plan: dict[str, tuple[str, object]]
+    ) -> str:
+        """Persist a column plan ``{col: (sql_type, default)}`` for one
+        schema version — the registry analog of the reference's
+        avsc-derived column dictionaries."""
+        path = os.path.join(self.root, f"{name}__{version}.plan.json")
+        with open(path, "w") as fh:
+            json.dump(
+                {c: [t, d] for c, (t, d) in plan.items()},
+                fh,
+                indent=2,
+                sort_keys=True,
+            )
+        return path
+
+    def load_plan(
+        self, name: str, version: str
+    ) -> dict[str, tuple[str, object]]:
+        with open(os.path.join(self.root, f"{name}__{version}.plan.json")) as fh:
+            raw = json.load(fh)
+        return {c: (t, d) for c, (t, d) in raw.items()}
+
+    def plan_versions(self, name: str) -> list[str]:
+        prefix, suffix = f"{name}__", ".plan.json"
+        return sorted(
+            f[len(prefix) : -len(suffix)]
+            for f in os.listdir(self.root)
+            if f.startswith(prefix) and f.endswith(suffix)
+        )
+
+
+def versioned_select(
+    df: DataFrame,
+    plans: dict[str, dict[str, tuple[str, object]]],
+    version_col: str = "schema_version",
+) -> DataFrame:
+    """Apply per-version cast/default column plans in ONE projection.
+
+    ``plans`` maps a stamped schema version to its column dictionary
+    ``{col: (sql_type, default)}`` — the registry form of the
+    reference's per-version avsc dictionaries
+    (``rubin/hbase_utils.py:170-230``, ``extract_avsc_schema``). The
+    reference loops versions and processes each batch separately; here a
+    mixed-version night is a single scan: every output column is one
+    ``CASE`` over the row-stamped version — present columns are cast
+    with NULLs defaulted, absent-at-that-version columns get that
+    version's default (or typed NULL). No per-version filter/union, so
+    one job, one pass, full codegen, and partition pruning untouched.
+
+    Output = union of all plan columns (sorted) + the version column.
+    """
+    targets: dict[str, str] = {}
+    for plan in plans.values():
+        for col, (sql_type, _default) in plan.items():
+            targets.setdefault(col, sql_type)
+    present = set(df.columns)
+    out_cols = []
+    for col in sorted(targets):
+        expr = F.lit(None).cast(targets[col])
+        for version, plan in plans.items():
+            if col in plan:
+                sql_type, default = plan[col]
+                if col in present:
+                    branch = F.coalesce(
+                        F.col(col).cast(sql_type), F.lit(default).cast(sql_type)
+                    )
+                else:
+                    branch = F.lit(default).cast(sql_type)
+                expr = F.when(
+                    F.col(version_col) == F.lit(version), branch
+                ).otherwise(expr)
+        out_cols.append(expr.alias(col))
+    return df.select(*out_cols, F.col(version_col))

@@ -32,6 +32,53 @@ def avro_available(spark) -> bool:
         return False
 
 
+def distribution_cast_plan(df: DataFrame) -> DataFrame:
+    """The distribute-stage serialization plan
+    (``bin/ztf/distribute.py:76-99`` + the nullability workaround for
+    spark-avro's non-nullable inference, ``common/distribution_utils.py:
+    118-124`` / fink-broker bug #852), derived from the schema instead of
+    hand-listed column names:
+
+    - ``timestamp`` columns → ISO strings (Avro has no logical-type
+      guarantee across consumer languages; the reference casts its three
+      broker timestamps the same way)
+    - ``struct`` columns → re-built with ``struct(col.*)`` so every
+      nested field is re-marked nullable (the codegen-only rewrap the
+      reference does for candidate/cutout/lc_features)
+    - ``array`` columns → ``explode(array(col))``: wrap into a 1-element
+      outer array and explode it back. Row-count-neutral, but the
+      round-trip launders the element nullability the same way the
+      reference treats ``prv_candidates``
+    - everything else passes through untouched
+
+    Pure projections (one generator per step), so Catalyst collapses the
+    chain into the serializing select — zero extra shuffles or scans.
+    """
+    from pyspark.sql.types import ArrayType, StructType, TimestampType
+
+    plain = []
+    arrays = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, TimestampType):
+            plain.append(c.cast("string").alias(f.name))
+        elif isinstance(f.dataType, StructType):
+            plain.append(
+                F.struct(
+                    *[c[s.name].alias(s.name) for s in f.dataType.fields]
+                ).alias(f.name)
+            )
+        elif isinstance(f.dataType, ArrayType):
+            plain.append(c)  # placeholder ordering; rewrapped below
+            arrays.append(f.name)
+        else:
+            plain.append(c)
+    out = df.select(*plain)
+    for name in arrays:  # one generator per projection is a Spark rule
+        out = out.withColumn(name, F.explode(F.array(F.col(name))))
+    return out
+
+
 def serialize_payload(
     df: DataFrame, columns: list[str] | None = None, use_avro: bool = False
 ) -> DataFrame:

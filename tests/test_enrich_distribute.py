@@ -99,6 +99,33 @@ def test_serialize_payload_schema_as_key(spark):
     assert set(body) == {"event_id", "event_type"}
 
 
+def test_distribution_cast_plan(spark):
+    """Schema-driven distribute-stage casts: timestamps become strings,
+    structs are re-wrapped with all-nullable fields, arrays survive the
+    explode(array(col)) nullability laundering row-for-row."""
+    from pyspark.sql.types import ArrayType, StringType, StructType
+
+    from fink_broker_spark.sinks.kafka import distribution_cast_plan
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05.123456", (7, "a"), [1.5, 2.5])],
+        "id bigint, ts string, meta struct<n:int,s:string>, hist array<double>",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # make the struct fields non-nullable to prove the rewrap relaxes them
+    planned = distribution_cast_plan(df)
+    fields = {f.name: f for f in planned.schema.fields}
+    assert isinstance(fields["ts"].dataType, StringType)
+    assert isinstance(fields["meta"].dataType, StructType)
+    assert all(sub.nullable for sub in fields["meta"].dataType.fields)
+    assert isinstance(fields["hist"].dataType, ArrayType)
+    rows = planned.collect()
+    assert len(rows) == 1
+    assert rows[0].hist == [1.5, 2.5]
+    assert rows[0].meta.n == 7 and rows[0].meta.s == "a"
+    assert rows[0].ts.startswith("2024-01-02 03:04:05")
+    assert rows[0].id == 1
+
+
 def test_kafka_source_config_options():
     cfg = KafkaSourceConfig(
         servers="broker:9092",
@@ -121,6 +148,55 @@ def test_schema_registry_roundtrip(spark, tmp_path):
     assert reg.versions("events") == ["v1"]
     stamped = SchemaRegistry.stamp_version(ev, "v1")
     assert SchemaRegistry.read_version(stamped) == "v1"
+
+
+def test_versioned_select_mixed_version_night(spark, tmp_path):
+    """Two schema versions written into one night directory load back in
+    a single pass with per-version casts and defaults applied — the
+    mixed-version night the reference handles with per-version column
+    dictionaries (``rubin/hbase_utils.py:170-230``)."""
+    from fink_broker_spark.schema.registry import versioned_select
+
+    night = str(tmp_path / "night")
+    # v1 has (id, flux); v2 adds snr and widens flux semantics
+    spark.createDataFrame(
+        [(1, 10.0, "v1"), (2, None, "v1")],
+        "id bigint, flux double, schema_version string",
+    ).write.parquet(night + "/a.parquet")
+    spark.createDataFrame(
+        [(3, 30.0, 5.5, "v2"), (4, 40.0, None, "v2")],
+        "id bigint, flux double, snr double, schema_version string",
+    ).write.parquet(night + "/b.parquet")
+
+    reg = SchemaRegistry(str(tmp_path / "schemas"))
+    reg.save_plan("alerts", "v1", {"id": ("bigint", -1), "flux": ("double", 0.0)})
+    reg.save_plan(
+        "alerts",
+        "v2",
+        {"id": ("bigint", -1), "flux": ("double", 0.0), "snr": ("double", -9.0)},
+    )
+    assert reg.plan_versions("alerts") == ["v1", "v2"]
+
+    mixed = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(night)
+    )
+    plans = {v: reg.load_plan("alerts", v) for v in reg.plan_versions("alerts")}
+    out = versioned_select(mixed, plans)
+    got = {r.id: (r.flux, r.snr, r.schema_version) for r in out.collect()}
+    assert got == {
+        1: (10.0, None, "v1"),  # snr absent from v1's plan -> typed NULL
+        2: (0.0, None, "v1"),  # NULL flux defaulted per v1's plan
+        3: (30.0, 5.5, "v2"),
+        4: (40.0, -9.0, "v2"),  # NULL snr defaulted per v2's plan
+    }
+    assert [f.name for f in out.schema.fields] == [
+        "flux",
+        "id",
+        "snr",
+        "schema_version",
+    ]
 
 
 def test_healpix_invariants():
