@@ -154,9 +154,18 @@ def cmd_distribute(args):
 
 
 def cmd_archive(args):
-    """Archive: compact the night, build the salted index table, compute
-    nightly statistics (``bin/ztf/merge.py``, ``archive_index.py``,
-    ``archive_statistics.py``)."""
+    """Archive: compact the night, build the salted index table in
+    stepped file chunks, compute nightly statistics (``bin/ztf/merge.py``,
+    ``archive_index.py``, ``archive_science.py:60-66``,
+    ``archive_statistics.py``).
+
+    The index build walks the compacted night ``-chunk_files`` files at
+    a time (the reference's 10-file ZTF / 100-file Rubin stepped loads):
+    each chunk is an independent, retryable job and the serving-store
+    append stays bounded regardless of night size.
+    """
+    from fink_broker_spark.archive.chunked import ingest_chunks
+    from fink_broker_spark.archive.index_tables import build_index_table
     from fink_broker_spark.archive.statistics import nightly_statistics
     from fink_broker_spark.sinks.parquet import compact_night
     from fink_broker_spark.sources.parquet import scan_parquet
@@ -169,6 +178,31 @@ def cmd_archive(args):
     out = scan_parquet(spark, compacted)
     stats = nightly_statistics(out).collect()[0].asDict()
     stats["compaction_partitions"] = nparts
+
+    if getattr(args, "index_prefix", None):
+        index_dir = os.path.join(args.index_prefix, f"night={args.night}")
+
+        def load_chunk(chunk, idx):
+            # plan from the chunk itself: leaf-file reads don't carry the
+            # night's dir-partition columns (the reference drops its
+            # year/month/day partition cols the same way before loading)
+            plan = {c: (c, t) for c, t in chunk.dtypes}
+            key_cols = [
+                c for c in ("event_id", "ts") if c in chunk.columns
+            ] or [chunk.columns[0]]
+            table = build_index_table(chunk, plan, key_cols)
+            (
+                table.write.mode("append")
+                .partitionBy("salt_bucket")
+                .parquet(index_dir)
+            )
+            return chunk.count()
+
+        counts = ingest_chunks(
+            spark, compacted, load_chunk, chunk_files=args.chunk_files
+        )
+        stats["index_chunks"] = len(counts)
+        stats["index_rows"] = int(sum(counts))
     return stats
 
 
@@ -201,6 +235,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_distribute)
 
     p = sub.add_parser("archive")
+    p.add_argument("-index_prefix", default=None,
+                   help="when set, build the salted index table here in "
+                        "stepped chunks")
+    p.add_argument("-chunk_files", type=int, default=10,
+                   help="files per index-build step (reference: 10 ZTF / "
+                        "100 Rubin)")
     _common(p)
     p.add_argument("-science_prefix", required=True)
     p.add_argument("-archive_prefix", required=True)

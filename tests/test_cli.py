@@ -48,9 +48,17 @@ def test_cli_four_services(spark, tmp_path):
     n_purch = spark.read.parquet(outs["purchases"]).count()
     assert n_purch == sci_df.filter("event_type = 'purchase'").count() > 0
 
+    index = str(tmp_path / "index")
     stats = main([
         "archive", "-science_prefix", sci, "-archive_prefix", arch,
         "-night", night, "-cpus", "8",
+        "-index_prefix", index, "-chunk_files", "1",
     ])
     assert stats["n_total"] == 1000
     assert stats["compaction_partitions"] >= 1
+    # stepped index build: one chunk per compacted file, all rows indexed
+    assert stats["index_chunks"] >= 1
+    assert stats["index_rows"] == 1000
+    idx = spark.read.parquet(os.path.join(index, f"night={night}"))
+    assert idx.count() == 1000
+    assert {"rowkey", "salt_bucket"} <= set(idx.columns)
