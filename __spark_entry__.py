@@ -621,6 +621,176 @@ GROUP BY 1
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents → fixed-token-budget
+    bins by exclusive prefix sum within deterministic shards. The window
+    is partitioned by shard (32 independent sorted streams — never a
+    global ORDER BY, which would serialize the corpus through one
+    task)."""
+    from fink_broker_spark.ext.pipeline import pack_by_prefix_sum
+    from fink_broker_spark.functions.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    packed = pack_by_prefix_sum(
+        staged, "n_tokens", budget=256, id_col="doc_id", nshards=32
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(floor(excl / 256.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language down-sampling with a deterministic modulo predicate
+    (pushdown-friendly; the xxhash64 production twin shares the shape —
+    rate equivalence pinned in tests)."""
+    from fink_broker_spark.ext.pipeline import stratified_keep_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = stratified_keep_expr(
+        "lang", {"en": 35, "zh": 80, "de": 100}, "doc_id", default_pct=50
+    )
+    return docs.filter(keep).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE doc_id % 100 < (CASE lang WHEN 'en' THEN 35 WHEN 'zh' THEN 80
+                                WHEN 'de' THEN 100 ELSE 50 END)
+GROUP BY lang
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as chained regexp_replace (emails then long digit
+    runs — whole-stage codegen, no UDF). PII is injected
+    deterministically per doc so the scrub provably fires on every
+    row, then counts and the redacted tail are oracle-checked."""
+    from fink_broker_spark.ext.pipeline import pii_counts, pii_scrub_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") + F.lit(100000000)).cast("string"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_digit_runs"].cast("bigint").alias("n_digit_runs"),
+        F.length(pii_scrub_expr("text")).cast("bigint").alias("len_scrubbed"),
+        F.right(pii_scrub_expr("text"), F.lit(24)).alias("tail"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com ref ' || CAST(doc_id + 100000000 AS VARCHAR) AS text
+  FROM documents
+), scrub AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS clean
+  FROM inj
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs,
+       CAST(length(clean) AS BIGINT) AS len_scrubbed,
+       right(clean, 24) AS tail
+FROM scrub
+"""
+
+
+def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: most-common-token fraction and
+    distinct-token ratio per document (explode → two-level aggregate,
+    shuffle ∝ tokens with map-side partials), rolled up per language
+    with the keep rule applied."""
+    from fink_broker_spark.ext.pipeline import repetition_metrics
+    from fink_broker_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", tokens_expr("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    met = repetition_metrics(staged, "doc_id", "toks")
+    joined = staged.select("doc_id", "lang").join(met, "doc_id")
+    top_frac = F.col("top_token_count") / F.col("n_tokens")
+    distinct_ratio = F.col("distinct_tokens") / F.col("n_tokens")
+    keep = (top_frac < 0.12) & (distinct_ratio > 0.35)
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(keep).alias("n_kept"),
+        F.max(top_frac).alias("max_top_frac"),
+        F.min(distinct_ratio).alias("min_distinct_ratio"),
+    )
+
+
+ORACLE_REPETITION_RULES = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(lower(text))) > 0
+), per AS (
+  SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3
+), met AS (
+  SELECT doc_id, lang, SUM(c) AS n_tokens, COUNT(*) AS distinct_tokens,
+         MAX(c) AS top_cnt
+  FROM per GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(top_cnt AS DOUBLE) / n_tokens < 0.12
+                      AND CAST(distinct_tokens AS DOUBLE) / n_tokens > 0.35
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       max(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS max_top_frac,
+       min(CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS min_distinct_ratio
+FROM met GROUP BY lang
+"""
+
+
 def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-shingle Jaccard near-dup pairs (threshold 0.8)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1953,6 +2123,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
+    "repetition_rules": q_repetition_rules,
     "jaccard_neardup": q_jaccard_neardup,
     "minhash_lsh_neardup": q_minhash_lsh,
     "simhash_neardup": q_simhash,
@@ -2014,6 +2188,10 @@ _ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "repetition_rules": ORACLE_REPETITION_RULES,
     "jaccard_neardup": ORACLE_JACCARD_NEARDUP,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "rollup_aggregates": ORACLE_ROLLUP,

@@ -1,0 +1,151 @@
+"""Training-data pipeline operators: packing, sampling, PII, repetition.
+
+The extension surface a 100 TB pretraining-data pipeline needs on top of
+the relational core (dedup/ANN/text live in ``ext/dedup.py``,
+``ext/ann.py``, ``functions/text.py``):
+
+- sequence packing: assign documents to fixed-token-budget training
+  bins, sharded so no global sort/single-partition window appears
+- stratified down-sampling: per-stratum keep rates with a deterministic,
+  pushdown-friendly predicate
+- PII scrubbing: email/long-digit redaction as chained regexp_replace
+  column expressions (codegen, no UDF)
+- repetition metrics: Gopher-style most-common-token fraction and
+  distinct-token ratio for repetition filtering
+
+Everything is declarative Column algebra or a shuffle on a bounded key
+(tokens), so Catalyst owns pushdown and AQE owns skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Conservative email matcher (shared verbatim with oracle SQL; Java and
+#: RE2 agree on this subset).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: Long digit runs (account numbers, phones once separators are gone).
+DIGIT_RUN_PATTERN = r"[0-9]{6,}"
+
+
+def pack_by_prefix_sum(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    nshards: int = 32,
+) -> DataFrame:
+    """Assign each document a training bin ``(shard, bin)`` by exclusive
+    prefix sum of token counts within its shard.
+
+    Packing semantics: docs are ordered by ``id_col`` inside
+    ``nshards`` deterministic shards (``id % nshards``); a doc starts in
+    the bin where its exclusive running total lands, so every bin holds
+    ~``budget`` tokens (the last doc may straddle — the standard
+    prefix-sum packing used when exact bin closure doesn't matter).
+
+    Scale: the window is partitioned by shard — ``nshards`` independent
+    sorted streams, never a global ORDER BY (which would serialize the
+    whole corpus through one task). Raise ``nshards`` with the cluster;
+    bins are globally unique as the (shard, bin) pair.
+    """
+    shard = (F.col(id_col) % nshards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = df.select(F.col(id_col), shard, F.col(token_col))
+    return staged.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum(token_col).over(w), F.lit(0)) / F.lit(budget)
+        ).cast("bigint"),
+    )
+
+
+def stratified_keep_expr(
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    id_col: str,
+    default_pct: int = 100,
+) -> Column:
+    """Deterministic per-stratum keep predicate: ``id % 100 < rate``.
+
+    Oracle-transcribable form (plain modulo on the id). Production data
+    with structured ids should decorrelate via
+    :func:`hash_keep_expr`; the predicate shape (and pushdown behavior)
+    is identical.
+    """
+    rate = F.lit(default_pct)
+    for stratum, pct in rates_pct.items():
+        rate = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(pct)
+        ).otherwise(rate)
+    return (F.col(id_col) % 100) < rate
+
+
+def hash_keep_expr(
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    id_col: str,
+    default_pct: int = 100,
+    seed: int = 0,
+) -> Column:
+    """Production twin of :func:`stratified_keep_expr`: the bucket comes
+    from ``xxhash64(id, seed)`` so sequential/structured ids cannot bias
+    the sample. Not SQL-oracle-able (engine-specific hash); equivalence
+    of the *rate* is asserted statistically in tests."""
+    rate = F.lit(default_pct)
+    for stratum, pct in rates_pct.items():
+        rate = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(pct)
+        ).otherwise(rate)
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(100)) < rate
+
+
+def pii_scrub_expr(col: Column | str) -> Column:
+    """Chained redaction: emails → ``<EMAIL>``, 6+ digit runs →
+    ``<NUM>``. Pure ``regexp_replace`` pipeline — whole-stage codegen,
+    order fixed (emails first so their digits don't half-match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, DIGIT_RUN_PATTERN, "<NUM>")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (for audit/report columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), F.lit(0))),
+        "n_digit_runs": F.size(
+            F.regexp_extract_all(c, F.lit(DIGIT_RUN_PATTERN), F.lit(0))
+        ),
+    }
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, tokens_col: str
+) -> DataFrame:
+    """Per-document repetition statistics from a **materialized** token
+    array column (HOF-recompute discipline: tokenize once upstream).
+
+    Output: ``id_col, n_tokens, distinct_tokens, top_token_count`` —
+    enough for the Gopher-style rules ``top_token_count/n_tokens`` (most
+    common word fraction) and ``distinct_tokens/n_tokens`` (vocabulary
+    collapse). Plan: explode → two-level aggregate on (doc, token) then
+    (doc) — shuffle volume ∝ total tokens with map-side partial
+    aggregation, never quadratic.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("__tok")
+    )
+    per_token = tok.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return per_token.groupBy(id_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+        F.max("__cnt").cast("bigint").alias("top_token_count"),
+    )

@@ -1,0 +1,114 @@
+"""Training-pipeline operators: packing, sampling, PII, repetition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fink_broker_spark.ext.pipeline import (
+    hash_keep_expr,
+    pack_by_prefix_sum,
+    pii_counts,
+    pii_scrub_expr,
+    repetition_metrics,
+    stratified_keep_expr,
+)
+
+
+def test_pack_by_prefix_sum_semantics(spark):
+    # one shard, budget 10: docs of 4,4,4,4 tokens -> excl sums 0,4,8,12
+    # -> bins 0,0,0,1
+    df = spark.createDataFrame(
+        [(i * 4, 4) for i in range(4)], "doc_id bigint, n_tokens int"
+    )
+    packed = pack_by_prefix_sum(df, "n_tokens", budget=10, id_col="doc_id", nshards=1)
+    got = {r.doc_id: (r.shard, r.bin) for r in packed.collect()}
+    assert got == {0: (0, 0), 4: (0, 0), 8: (0, 0), 12: (0, 1)}
+
+
+def test_pack_sharding_is_parallel_and_exhaustive(spark):
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(100)], "doc_id bigint, n_tokens int"
+    )
+    packed = pack_by_prefix_sum(df, "n_tokens", budget=21, id_col="doc_id", nshards=8)
+    assert packed.count() == 100  # no doc lost
+    assert packed.select("shard").distinct().count() == 8
+    # the window must hash-partition on shard — a SinglePartition
+    # exchange would mean a global sort through one task
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    shards = {r.shard for r in packed.collect()}
+    assert shards == set(range(8))
+    # bins fill to ~budget within a shard: 13 docs x 7 tokens, budget 21
+    # -> 3 docs per bin
+    one = [
+        (r.bin, r.doc_id)
+        for r in packed.filter(F.col("shard") == 0).collect()
+    ]
+    from collections import Counter
+
+    sizes = Counter(b for b, _ in one)
+    assert all(v <= 3 for v in sizes.values())
+
+
+def test_stratified_and_hash_sampling_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(10000)],
+        "doc_id bigint, lang string",
+    )
+    mod_keep = df.filter(
+        stratified_keep_expr("lang", {"en": 30, "de": 90}, "doc_id")
+    )
+    by_lang = {
+        r.lang: r["count"]
+        for r in mod_keep.groupBy("lang").count().collect()
+    }
+    # even ids 0..9998: kept when id%100<30 -> 15 per 100 even ids
+    assert by_lang["en"] == 1500
+    assert by_lang["de"] == 4500
+    # hash twin: same rates within statistical tolerance
+    hash_keep = df.filter(
+        hash_keep_expr("lang", {"en": 30, "de": 90}, "doc_id")
+    )
+    hl = {
+        r.lang: r["count"]
+        for r in hash_keep.groupBy("lang").count().collect()
+    }
+    assert abs(hl["en"] - 1500) < 150
+    assert abs(hl["de"] - 4500) < 250
+
+
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or 123456789 now"),
+            (2, "clean text 12345 short digits stay"),
+        ],
+        "id int, text string",
+    )
+    counts = pii_counts("text")
+    out = df.select(
+        "id",
+        pii_scrub_expr("text").alias("clean"),
+        counts["n_emails"].alias("ne"),
+        counts["n_digit_runs"].alias("nd"),
+    ).collect()
+    rows = {r.id: r for r in out}
+    assert rows[1].clean == "mail me at <EMAIL> or <NUM> now"
+    assert rows[1].ne == 1 and rows[1].nd == 1
+    # 5-digit run is below the threshold and survives
+    assert rows[2].clean == "clean text 12345 short digits stay"
+    assert rows[2].ne == 0 and rows[2].nd == 0
+
+
+def test_repetition_metrics_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a", "b"]),  # top=3/4, distinct=2/4
+            (2, ["x", "y", "z"]),  # top=1/3, distinct=3/3
+        ],
+        "doc_id bigint, toks array<string>",
+    )
+    met = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "toks").collect()}
+    assert (met[1].n_tokens, met[1].distinct_tokens, met[1].top_token_count) == (4, 2, 3)
+    assert (met[2].n_tokens, met[2].distinct_tokens, met[2].top_token_count) == (3, 3, 1)
