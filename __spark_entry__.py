@@ -1012,6 +1012,66 @@ FROM g GROUP BY user_id
 """
 
 
+def q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third sessionizer: Spark's native ``session_window`` (engine-side
+    window merging, watermark-aware in streaming — the recommended plan
+    when only session aggregates are needed). Boundary semantics match
+    the lag twin: sessions break only when the gap is strictly
+    exceeded; ``session_end = last_event + gap``. Timestamps exposed as
+    epoch micros for the oracle."""
+    from fink_broker_spark.streaming.sessions import sessionize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", nanos_to_micros("ts_ns"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "event_id", "ts")
+    )
+    sess = sessionize(
+        ev,
+        "user_id",
+        "ts",
+        "30 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)).alias("n_events"),
+            "first_event": F.min("event_id"),
+            "last_event": F.max("event_id"),
+        },
+    )
+    return sess.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "first_event",
+        "last_event",
+    )
+
+
+ORACLE_SESSION_NATIVE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), d AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) + {SESSION_GAP_US} AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_session_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sessionization, computed imperatively per user group with
     ``applyInPandas`` (§2.12 grouped-map surface) — must match the
@@ -2137,6 +2197,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_provenance": q_file_provenance,
     "session_window_lag": q_session_lag,
     "session_applyinpandas": q_session_applyinpandas,
+    "session_native": q_session_native,
     "nightly_stats": q_nightly_stats,
     "enrich_pipeline": q_enrich_pipeline,
     "classification_cascade": q_classification_cascade,
@@ -2205,6 +2266,7 @@ _ORACLES: dict[str, str] = {
     "session_window_lag": ORACLE_SESSIONS,
     # the imperative grouped-map variant must match the same oracle
     "session_applyinpandas": ORACLE_SESSIONS,
+    "session_native": ORACLE_SESSION_NATIVE,
     "nightly_stats": ORACLE_NIGHTLY_STATS,
     "enrich_pipeline": ORACLE_ENRICH_PIPELINE,
     "classification_cascade": ORACLE_CASCADE,

@@ -207,6 +207,31 @@ def test_windowed_aggregation_stream_equals_batch(spark, tmp_path):
     assert streamed.count() > 0
 
 
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Native session_window sessionization: the watermarked stream
+    drains to the same session set the batch plan computes."""
+    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.streaming.replay import replay_to_table
+    from fink_broker_spark.streaming.sessions import sessionize
+
+    stage = _stage_events(tmp_path)
+
+    def sess(df, streaming):
+        staged = df.withColumn("ts", nanos_to_timestamp("ts"))
+        if streaming:
+            staged = staged.withWatermark("ts", "1 hour")
+        return sessionize(staged, "user_id", "ts", "30 minutes")
+
+    streamed = replay_to_table(
+        spark, stage, lambda df: sess(df, True), output_mode="complete"
+    )
+    batch = sess(spark.read.parquet(stage), False)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() > 0
+
+
 def test_chunked_ingest_covers_night(spark, tmp_path):
     """Chunked archival ingest (bin/ztf/archive_science.py:60-66): the
     chunk union equals the whole night; each chunk is bounded."""
