@@ -80,17 +80,33 @@ def distribution_cast_plan(df: DataFrame) -> DataFrame:
 
 
 def serialize_payload(
-    df: DataFrame, columns: list[str] | None = None, use_avro: bool = False
+    df: DataFrame,
+    columns: list[str] | None = None,
+    use_avro: bool = False,
+    key_format: str = "spark_json",
 ) -> DataFrame:
     """Columns → single binary/string ``value`` + schema-string ``key``.
 
     The key carries the payload schema derived from the DataFrame itself,
     exactly the reference's idempotent-key protocol
     (``common/distribution_utils.py:36-39,87,118-124``).
+    ``key_format="avsc"`` emits the Avro schema document instead of the
+    Spark JSON schema — the reference's actual key content
+    (``schema_converter.to_avro``), available jar-free via
+    :mod:`fink_broker_spark.schema.avro_schema`.
     """
     cols = columns or df.columns
     payload: Column = F.struct(*[F.col(c) for c in cols])
-    schema_key = F.lit(df.select(*cols).schema.json())
+    if key_format == "avsc":
+        import json as _json
+
+        from fink_broker_spark.schema.avro_schema import spark_schema_to_avsc
+
+        schema_key = F.lit(
+            _json.dumps(spark_schema_to_avsc(df.select(*cols).schema))
+        )
+    else:
+        schema_key = F.lit(df.select(*cols).schema.json())
     if use_avro:
         from pyspark.sql.avro.functions import to_avro
 
