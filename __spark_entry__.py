@@ -1650,6 +1650,62 @@ ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 """
 
 
+def q_healpix_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix-bucketed cone crossmatch with exact haversine refine
+    (the production twin of ``cone_crossmatch``'s grid demo; reference
+    ``ztf/science.py:84-197`` + ``common/spark_utils.py:529-609``).
+
+    The oracle is a brute-force cross join with the identical haversine
+    op tree — an *algorithmic* check: the pixel-bucket candidate stage
+    (survey side gets one scan-side pixel, catalog cones explode to
+    their covering pixels, broadcast equi-join on pixel) must lose no
+    pair at radius below the pixel scale. Only pair ids are emitted, so
+    the hash never touches a trig double."""
+    from fink_broker_spark.functions.spatial import healpix_crossmatch
+
+    survey = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+        ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+    )
+    catalog = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 131) % 3600) / 10.0).alias("ra"),
+        ((((F.col("s_suppkey") * 61) % 1200) / 10.0) - 60.0).alias("dec"),
+    )
+    matched = healpix_crossmatch(
+        survey, catalog, radius_deg=2.0, nside=16
+    )
+    return matched.select(
+        "event_id", F.col("r_s_suppkey").alias("s_suppkey")
+    )
+
+
+ORACLE_HEALPIX_CROSSMATCH = """
+WITH survey AS (
+  SELECT event_id,
+         ((event_id * 193) % 3600) / 10.0 AS ra,
+         (((user_id * 37) % 1200) / 10.0) - 60.0 AS dec
+  FROM events
+), cat AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 131) % 3600) / 10.0 AS ra,
+         (((s_suppkey * 61) % 1200) / 10.0) - 60.0 AS dec
+  FROM supplier
+)
+SELECT survey.event_id, cat.s_suppkey
+FROM survey, cat
+WHERE degrees(2.0 * atan2(
+        sqrt(pow(sin((radians(cat.dec) - radians(survey.dec)) / 2), 2)
+             + cos(radians(survey.dec)) * cos(radians(cat.dec))
+               * pow(sin((radians(cat.ra) - radians(survey.ra)) / 2), 2)),
+        sqrt(1.0 - (pow(sin((radians(cat.dec) - radians(survey.dec)) / 2), 2)
+             + cos(radians(survey.dec)) * cos(radians(cat.dec))
+               * pow(sin((radians(cat.ra) - radians(survey.ra)) / 2), 2)))))
+      <= 2.0
+"""
+
+
 def q_cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cone-search crossmatch via neighbor-cell bucketing + exact refine.
 
@@ -2211,6 +2267,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serialize_roundtrip": q_serialize_roundtrip,
     "asof_join": q_asof_join,
     "cone_crossmatch": q_cone_crossmatch,
+    "healpix_crossmatch": q_healpix_crossmatch,
     "cube_stats": q_cube_stats,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -2279,6 +2336,7 @@ _ORACLES: dict[str, str] = {
     "serialize_roundtrip": ORACLE_SERIALIZE_ROUNDTRIP,
     "asof_join": ORACLE_ASOF_JOIN,
     "cone_crossmatch": ORACLE_CONE_CROSSMATCH,
+    "healpix_crossmatch": ORACLE_HEALPIX_CROSSMATCH,
     "cube_stats": ORACLE_CUBE_STATS,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
     "window_suite": ORACLE_WINDOW_SUITE,
