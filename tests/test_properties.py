@@ -97,3 +97,94 @@ def test_asof_join_matches_naive(spark, left, right):
         cands = [(rt, v) for (rk, rt, v) in rrows if rk == k and rt <= t]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+docs_tokens = st.lists(st.integers(1, 50), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=docs_tokens, budget=st.integers(5, 100), nshards=st.integers(1, 4))
+def test_pack_by_prefix_sum_matches_naive(spark, tokens, budget, nshards):
+    from fink_broker_spark.ext.pipeline import pack_by_prefix_sum
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    packed = pack_by_prefix_sum(
+        df, "n_tokens", budget=budget, id_col="doc_id", nshards=nshards
+    )
+    got = {r.doc_id: (r.shard, r.bin) for r in packed.collect()}
+
+    want = {}
+    for shard in range(nshards):
+        running = 0
+        for i, t in rows:
+            if i % nshards != shard:
+                continue
+            want[i] = (shard, running // budget)
+            running += t
+    # every doc lands in exactly one bin, matching the per-shard naive pack
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=1, max_size=30
+    )
+)
+def test_repetition_metrics_match_counter(spark, words):
+    from collections import Counter
+
+    from fink_broker_spark.ext.pipeline import repetition_metrics
+
+    df = spark.createDataFrame([(1, words)], "doc_id bigint, toks array<string>")
+    row = repetition_metrics(df, "doc_id", "toks").collect()[0]
+    c = Counter(words)
+    assert row.n_tokens == len(words)
+    assert row.distinct_tokens == len(c)
+    assert row.top_token_count == max(c.values())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(0.0, 359.9, allow_nan=False),
+            st.floats(-89.0, 89.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    nside=st.sampled_from([1, 4, 16, 64]),
+)
+def test_healpix_expr_matches_numpy_property(spark, pts, nside):
+    import numpy as np
+
+    from fink_broker_spark.functions.spatial import (
+        ang2pix_ring_np,
+        healpix_ring_expr,
+    )
+
+    df = spark.createDataFrame(pts, "ra double, dec double")
+    got = [
+        r.pix
+        for r in df.select(
+            healpix_ring_expr("ra", "dec", nside).alias("pix")
+        ).collect()
+    ]
+    ra = np.array([p[0] for p in pts])
+    dec = np.array([p[1] for p in pts])
+    want = ang2pix_ring_np(ra, dec, nside).tolist()
+    assert got == want
