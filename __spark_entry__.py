@@ -1492,20 +1492,21 @@ HAVING count(*) >= 5
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing (cutout struct family,
-    ``bin/ztf/distribute.py:89-95``): pack → mapInPandas extract. The
-    oracle checks the relational surface (byte length + sha256); the stub
-    feature vectors are covered in pytest."""
-    from fink_broker_spark.ext.multimodal import extract_features, pack_media
+    ``bin/ztf/distribute.py:89-95``): pack → audit columns. Length and
+    sha256 are JVM built-ins over the packed bytes (``mapInPandas`` is
+    reserved for the actual feature extraction, which can't be pruned
+    inside a Python batch fn — see ``ext/multimodal.extract_features``,
+    covered in pytest). The oracle checks the relational surface."""
+    from fink_broker_spark.ext.multimodal import pack_media
 
     ev = load_table(spark, sf_dir, "events")
     media = pack_media(
         ev, "event_id", F.col("props").cast("binary"), kind="blob"
     )
-    feats = extract_features(media, dim=8)
-    return feats.select(
+    return media.select(
         "media_id",
-        "n_bytes",
-        F.col("content_sha256").alias("content_sha256"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("media.data"), 256).alias("content_sha256"),
     )
 
 
