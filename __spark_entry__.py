@@ -1707,6 +1707,66 @@ WHERE degrees(2.0 * atan2(
 """
 
 
+def q_xmatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdsxmatch`` enrichment (``ztf/science.py:84-197``): each alert
+    labeled with its nearest catalog class within 2°, else Unknown —
+    healpix-bucketed candidates, exact refine, deterministic
+    (sep, id) nearest ranking, left join back. Oracle: brute-force
+    cross join + the identical haversine tree + row_number."""
+    from fink_broker_spark.enrich.xmatch import crossmatch_enrich
+
+    alerts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+        ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+    )
+    catalog = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("cat_id"),
+        (((F.col("s_suppkey") * 131) % 3600) / 10.0).alias("ra"),
+        ((((F.col("s_suppkey") * 61) % 1200) / 10.0) - 60.0).alias("dec"),
+        F.element_at(
+            F.array(F.lit("Star"), F.lit("Galaxy"), F.lit("QSO"), F.lit("YSO")),
+            (F.col("s_suppkey") % 4 + 1).cast("int"),
+        ).alias("main_type"),
+    )
+    out = crossmatch_enrich(alerts, catalog, radius_deg=2.0)
+    return out.select("event_id", "cdsxmatch")
+
+
+ORACLE_XMATCH_ENRICH = """
+WITH alerts AS (
+  SELECT event_id,
+         ((event_id * 193) % 3600) / 10.0 AS ra,
+         (((user_id * 37) % 1200) / 10.0) - 60.0 AS dec
+  FROM events
+), cat AS (
+  SELECT s_suppkey AS cat_id,
+         ((s_suppkey * 131) % 3600) / 10.0 AS ra,
+         (((s_suppkey * 61) % 1200) / 10.0) - 60.0 AS dec,
+         (CASE s_suppkey % 4 WHEN 0 THEN 'Star' WHEN 1 THEN 'Galaxy'
+                             WHEN 2 THEN 'QSO' ELSE 'YSO' END) AS main_type
+  FROM supplier
+), pairs AS (
+  SELECT a.event_id, c.cat_id, c.main_type,
+         degrees(2.0 * atan2(
+           sqrt(pow(sin((radians(c.dec) - radians(a.dec)) / 2), 2)
+                + cos(radians(a.dec)) * cos(radians(c.dec))
+                  * pow(sin((radians(c.ra) - radians(a.ra)) / 2), 2)),
+           sqrt(1.0 - (pow(sin((radians(c.dec) - radians(a.dec)) / 2), 2)
+                + cos(radians(a.dec)) * cos(radians(c.dec))
+                  * pow(sin((radians(c.ra) - radians(a.ra)) / 2), 2))))) AS sep
+  FROM alerts a, cat c
+), ranked AS (
+  SELECT event_id, main_type,
+         row_number() OVER (PARTITION BY event_id ORDER BY sep, cat_id) AS rn
+  FROM pairs WHERE sep <= 2.0
+)
+SELECT a.event_id,
+       COALESCE(r.main_type, 'Unknown') AS cdsxmatch
+FROM alerts a LEFT JOIN ranked r ON a.event_id = r.event_id AND r.rn = 1
+"""
+
+
 def q_cone_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cone-search crossmatch via neighbor-cell bucketing + exact refine.
 
@@ -2269,6 +2329,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "cone_crossmatch": q_cone_crossmatch,
     "healpix_crossmatch": q_healpix_crossmatch,
+    "xmatch_enrich": q_xmatch_enrich,
     "cube_stats": q_cube_stats,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
@@ -2338,6 +2399,7 @@ _ORACLES: dict[str, str] = {
     "asof_join": ORACLE_ASOF_JOIN,
     "cone_crossmatch": ORACLE_CONE_CROSSMATCH,
     "healpix_crossmatch": ORACLE_HEALPIX_CROSSMATCH,
+    "xmatch_enrich": ORACLE_XMATCH_ENRICH,
     "cube_stats": ORACLE_CUBE_STATS,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
     "window_suite": ORACLE_WINDOW_SUITE,

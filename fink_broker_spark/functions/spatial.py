@@ -303,36 +303,45 @@ def cone_pixels_udf(
     """Pixels covered by a cone of ``radius_deg`` around each point —
     an approximate ``query_disc`` (array<long> per row).
 
-    Samples the disc: the center plus ``nsamples`` points on the
-    boundary circle (spherical offset by radius along equally spaced
-    bearings) are pixelized and deduplicated. Exact when the radius is
-    below the pixel scale (the disc then meets only pixels its boundary
-    samples touch); for radii well above the pixel scale, raise
-    ``nsamples`` or coarsen ``nside``. This is the query-side half of a
+    Samples the disc: the center, ``nsamples`` points on the boundary
+    circle, and ``nsamples`` bearing-offset points on the half-radius
+    interior ring are pixelized and deduplicated. Exact when the radius
+    is at or below the pixel scale; the interior ring keeps coverage
+    through ~2× the pixel scale. For still larger radii, raise
+    ``nsamples`` or coarsen ``nside`` (missing a pixel silently drops
+    candidate pairs — prefer a coarser grid when unsure). This is the query-side half of a
     healpix-bucketed crossmatch: explode the array, equi-join on pixel
     against the catalog's single-pixel column, then refine with the
     exact angular predicate — same radius semantics as the reference's
     healpy crossmatch at ``common/spark_utils.py:529-609``.
     """
     fn = ang2pix_nest_np if nest else ang2pix_ring_np
-    r = np.deg2rad(radius_deg)
 
     @pandas_udf("array<long>")
     def _cone(ra: pd.Series, dec: pd.Series) -> pd.Series:
         ra0 = np.deg2rad(ra.to_numpy(dtype=np.float64))
         dec0 = np.deg2rad(dec.to_numpy(dtype=np.float64))
         bearings = np.linspace(0.0, 2.0 * np.pi, nsamples, endpoint=False)
-        # spherical destination point formula, vectorized (rows × bearings)
         sd, cd = np.sin(dec0)[:, None], np.cos(dec0)[:, None]
-        sr, cr = np.sin(r), np.cos(r)
-        cb = np.cos(bearings)[None, :]
-        sb = np.sin(bearings)[None, :]
-        dec_s = np.arcsin(sd * cr + cd * sr * cb)
-        ra_s = ra0[:, None] + np.arctan2(
-            sb * sr * cd, cr - sd * np.sin(dec_s)
-        )
-        all_ra = np.concatenate([ra0[:, None], ra_s], axis=1)
-        all_dec = np.concatenate([dec0[:, None], dec_s], axis=1)
+        ra_parts = [ra0[:, None]]
+        dec_parts = [dec0[:, None]]
+        # sample the boundary AND an interior ring (half radius, offset
+        # bearings) so pixels strictly inside the disc are still touched
+        # when the radius exceeds the pixel scale
+        for frac, offset in ((1.0, 0.0), (0.5, np.pi / nsamples)):
+            r = np.deg2rad(radius_deg) * frac
+            sr, cr = np.sin(r), np.cos(r)
+            cbo = np.cos(bearings + offset)[None, :]
+            sbo = np.sin(bearings + offset)[None, :]
+            # spherical destination point formula (rows × bearings)
+            dec_s = np.arcsin(sd * cr + cd * sr * cbo)
+            ra_s = ra0[:, None] + np.arctan2(
+                sbo * sr * cd, cr - sd * np.sin(dec_s)
+            )
+            ra_parts.append(ra_s)
+            dec_parts.append(dec_s)
+        all_ra = np.concatenate(ra_parts, axis=1)
+        all_dec = np.concatenate(dec_parts, axis=1)
         pix = fn(
             np.mod(np.rad2deg(all_ra), 360.0).ravel(),
             np.rad2deg(all_dec).ravel(),
@@ -371,6 +380,7 @@ def healpix_crossmatch(
     right_ra: str = "ra",
     right_dec: str = "dec",
     nest: bool = False,
+    keep_sep: str | None = None,
 ) -> DataFrame:
     """Cone-search crossmatch bucketed on HEALPix cells.
 
@@ -399,8 +409,13 @@ def healpix_crossmatch(
     rt = rt.select(
         *[F.col(c).alias(f"r_{c}") for c in right.columns], "__pix"
     )
-    return (
+    out = (
         lt.join(F.broadcast(rt), on="__pix")
         .filter(sep <= F.lit(radius_deg))
         .drop("__pix")
     )
+    if keep_sep:
+        # ``keep_sep`` names an output column with the exact separation
+        # (e.g. for nearest-match ranking in enrichment)
+        out = out.withColumn(keep_sep, sep)
+    return out

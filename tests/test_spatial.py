@@ -110,6 +110,62 @@ def test_multires_string_matches_parts(spark):
         assert int(parts[0]) == r.p16 and int(parts[2]) == r.p256
 
 
+def test_crossmatch_radius_above_pixel_scale(spark):
+    """The interior-ring disc cover must keep the match complete when
+    the radius exceeds the pixel scale (nside=32 ⇒ ~1.8°, radius 2°)."""
+    ra_c, dec_c = _random_sky(300, seed=31)
+    ra_q, dec_q = _random_sky(40, seed=32)
+    catalog = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_c, dec_c))],
+        "cat_id bigint, ra double, dec double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_q, dec_q))],
+        "q_id bigint, ra double, dec double",
+    )
+    radius = 2.0
+    got = {
+        (r.cat_id, r.r_q_id)
+        for r in healpix_crossmatch(
+            catalog, queries, radius_deg=radius, nside=32
+        ).collect()
+    }
+    brute = {
+        (r.cat_id, r.q_id)
+        for r in catalog.crossJoin(
+            queries.select(
+                F.col("q_id"),
+                F.col("ra").alias("qra"),
+                F.col("dec").alias("qdec"),
+            )
+        )
+        .filter(
+            angular_sep_deg_expr("ra", "dec", "qra", "qdec") <= F.lit(radius)
+        )
+        .collect()
+    }
+    assert brute and got == brute
+
+
+def test_crossmatch_enrich_nearest_and_unknown(spark):
+    from fink_broker_spark.enrich.xmatch import crossmatch_enrich
+
+    alerts = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, 10.4, 0.0), (3, 200.0, -40.0)],
+        "event_id bigint, ra double, dec double",
+    )
+    catalog = spark.createDataFrame(
+        [(7, 10.1, 0.0, "Star"), (8, 10.45, 0.0, "QSO")],
+        "cat_id bigint, ra double, dec double, main_type string",
+    )
+    out = {
+        r.event_id: r.cdsxmatch
+        for r in crossmatch_enrich(alerts, catalog, radius_deg=1.0).collect()
+    }
+    # alert 1 nearer to Star(0.1°) than QSO(0.45°); alert 2 nearer QSO
+    assert out == {1: "Star", 2: "QSO", 3: "Unknown"}
+
+
 def test_healpix_crossmatch_equals_brute_force(spark):
     """Pixel-bucketed cone search must return exactly the brute-force
     pair set — the disc-cover explode guarantees no boundary loss at
