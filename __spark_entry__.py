@@ -791,6 +791,63 @@ FROM met GROUP BY lang
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: docs sharing any word 3-gram with the
+    "benchmark" split (every 50th doc) are dropped via a broadcast
+    semi-join on exploded distinct shingles + one anti-join — the
+    corpus is never shuffled on content. Rolled up per language."""
+    from fink_broker_spark.ext.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, benchmark, n=3)
+    total = corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
+    return (
+        total.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            (F.col("n_docs") - F.coalesce("n_clean", F.lit(0))).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+), corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 0
+), btok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM bench WHERE length(trim(text)) > 0
+), bsh AS (
+  SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM btok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), ctok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM corpus WHERE length(trim(text)) > 0
+), csh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM ctok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), contaminated AS (
+  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (shingle)
+)
+SELECT corpus.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+FROM corpus LEFT JOIN contaminated k ON corpus.doc_id = k.doc_id
+GROUP BY corpus.lang
+"""
+
+
 def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-shingle Jaccard near-dup pairs (threshold 0.8)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2300,6 +2357,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
@@ -2368,6 +2426,7 @@ _ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pii_scrub": ORACLE_PII_SCRUB,

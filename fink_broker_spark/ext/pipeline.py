@@ -125,6 +125,50 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     }
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: drop every document sharing ANY word
+    ``n``-gram with the benchmark corpus.
+
+    Plan: both sides tokenize once (materialized column — HOF-recompute
+    discipline) and explode their distinct shingles; the benchmark
+    shingle set — eval suites are tiny next to a training corpus — is
+    deduplicated and **broadcast**, so contamination detection is a
+    broadcast left-semi join on the doc side's exploded shingles (no
+    shuffle of the corpus), then one anti-join keyed on the contaminated
+    ids. Output: the clean documents, schema unchanged.
+    """
+    from fink_broker_spark.functions.text import (
+        shingles_from_tokens_expr,
+        tokens_expr,
+    )
+
+    bench_shingles = (
+        benchmark.select(tokens_expr(bench_text_col).alias("__toks"))
+        .select(
+            F.explode(shingles_from_tokens_expr("__toks", n)).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    ).select(
+        id_col, F.explode(shingles_from_tokens_expr("__toks", n)).alias("shingle")
+    )
+    contaminated = (
+        doc_shingles.join(F.broadcast(bench_shingles), on="shingle", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, on=id_col, how="left_anti")
+
+
 def repetition_metrics(
     df: DataFrame, id_col: str, tokens_col: str
 ) -> DataFrame:

@@ -112,3 +112,23 @@ def test_repetition_metrics_hand_computed(spark):
     met = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "toks").collect()}
     assert (met[1].n_tokens, met[1].distinct_tokens, met[1].top_token_count) == (4, 2, 3)
     assert (met[2].n_tokens, met[2].distinct_tokens, met[2].top_token_count) == (3, 3, 1)
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    from fink_broker_spark.ext.pipeline import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran away"),  # shares "quick brown fox"
+            (2, "a slow brown fox ran away"),  # no shared 3-gram
+            (3, "the quick red fox jumps high"),  # bigrams overlap, no 3-gram
+        ],
+        "doc_id bigint, text string",
+    )
+    clean = decontaminate(docs, bench, n=3)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+    # schema passes through untouched
+    assert clean.columns == docs.columns
