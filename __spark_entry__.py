@@ -429,6 +429,46 @@ FROM orders
 """
 
 
+def q_index_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full serving-index build (``bin/ztf/archive_index.py:47-296``
+    via ``archive/index_tables.build_index_table``): flatten/cast plan,
+    salt bucket, composite rowkey, bucket-partitioned sort — summarized
+    per bucket (count + min/max rowkey, i.e. exactly the parquet
+    min/max stats a prefix scan prunes on)."""
+    from fink_broker_spark.archive.index_tables import build_index_table
+
+    ev = load_table(spark, sf_dir, "events")
+    table = build_index_table(
+        ev,
+        flatten_plan={
+            "event_id": ("event_id", "bigint"),
+            "user_id": ("user_id", "bigint"),
+            "value": ("value", "double"),
+        },
+        key_cols=["event_id", "user_id"],
+    )
+    return table.groupBy("salt_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("rowkey").alias("min_key"),
+        F.max("rowkey").alias("max_key"),
+    )
+
+
+ORACLE_INDEX_BUCKETS = """
+WITH keyed AS (
+  SELECT lpad(right(CAST(event_id AS VARCHAR), 3), 3, '0') AS salt_bucket,
+         concat_ws('_', lpad(right(CAST(event_id AS VARCHAR), 3), 3, '0'),
+                   CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR)) AS rowkey
+  FROM events
+)
+SELECT salt_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(rowkey) AS min_key,
+       max(rowkey) AS max_key
+FROM keyed GROUP BY salt_bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # SURVEY §2.10 — array ops / HOFs on the embeddings table
 # --------------------------------------------------------------------------
@@ -2350,6 +2390,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "night_partitions": q_night_partitions,
     "salted_histogram": q_salted_histogram,
     "rowkey_flatten": q_rowkey_flatten,
+    "index_buckets": q_index_buckets,
     "explode_embeddings": q_explode_embeddings,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2419,6 +2460,7 @@ _ORACLES: dict[str, str] = {
     "night_partitions": ORACLE_NIGHT_PARTITIONS,
     "salted_histogram": ORACLE_SALTED_HISTOGRAM,
     "rowkey_flatten": ORACLE_ROWKEY_FLATTEN,
+    "index_buckets": ORACLE_INDEX_BUCKETS,
     "explode_embeddings": ORACLE_EXPLODE_EMBEDDINGS,
     "embedding_norms": ORACLE_EMBEDDING_NORMS,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
