@@ -2130,6 +2130,58 @@ FROM events GROUP BY event_type
 """
 
 
+def q_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance (the decode-stage contract: a bad
+    alert must not kill the night). JSON is corrupted deterministically
+    for every 7th event (leading garbage — Spark's Jackson parser
+    forgives trailing bytes but not a broken prefix); ``from_json`` in
+    PERMISSIVE mode yields NULL structs that are counted and
+    quarantined declaratively — no try/except, no UDF, the scan keeps
+    streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("x{"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    decoded = staged.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "raw",
+            "k int, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("parsed"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            F.col("parsed._corrupt_record").isNotNull()
+        ).alias("n_malformed"),
+        F.sum(F.col("parsed.k").cast("bigint")).alias("sum_k_valid"),
+    )
+
+
+ORACLE_MALFORMED_RECORDS = """
+WITH staged AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN 'x{' || props ELSE props END AS raw
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(CASE WHEN json_valid(raw)
+                     THEN CAST(raw ->> 'k' AS BIGINT) ELSE NULL END) AS BIGINT)
+         AS sum_k_valid
+FROM staged GROUP BY event_type
+"""
+
+
 def q_history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-object history arrays — the reference's core data shape
     (``prv_candidates: array<struct>``, §1.1): build each user's ordered
@@ -2436,6 +2488,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "filter_fanout": q_filter_fanout,
     "json_extract": q_json_extract,
+    "malformed_records": q_malformed_records,
     "history_arrays": q_history_arrays,
     "dedup_groups": q_dedup_groups,
     "union_evolution": q_union_evolution,
@@ -2507,6 +2560,7 @@ _ORACLES: dict[str, str] = {
     "percentiles": ORACLE_PERCENTILES,
     "filter_fanout": ORACLE_FILTER_FANOUT,
     "json_extract": ORACLE_JSON_EXTRACT,
+    "malformed_records": ORACLE_MALFORMED_RECORDS,
     "history_arrays": ORACLE_HISTORY_ARRAYS,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "union_evolution": ORACLE_UNION_EVOLUTION,
