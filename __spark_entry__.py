@@ -831,6 +831,52 @@ FROM met GROUP BY lang
 """
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting: per (lang, source) document/token totals and
+    each cell's share of the corpus token budget — the report that
+    drives training mixture weights. Token counting stays in codegen;
+    the share is one window over the tiny aggregate (never the raw
+    corpus)."""
+    from fink_broker_spark.functions.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_cell = (
+        docs.select(
+            "lang", "source", token_count_expr("text").alias("n_tokens")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return per_cell.select(
+        "lang",
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens") / F.sum("tokens").over(total)).alias("token_share"),
+    )
+
+
+ORACLE_CORPUS_MIXTURE = r"""
+WITH t AS (
+  SELECT lang, source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+  FROM documents
+), cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens
+  FROM t GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, tokens,
+       CAST(tokens AS DOUBLE) / CAST(SUM(tokens) OVER () AS DOUBLE) AS token_share
+FROM cell
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: docs sharing any word 3-gram with the
     "benchmark" split (every 50th doc) are dropped via a broadcast
@@ -2450,6 +2496,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_mixture": q_corpus_mixture,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
@@ -2521,6 +2568,7 @@ _ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "lang_id": ORACLE_LANG_ID,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

@@ -190,15 +190,15 @@ def kmeans_centroids(
     from the point farthest from its centroid, so all ``nlist`` cells
     survive even on degenerate data.
     """
-    rows = (
+    sample = (
         corpus.select(vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
         .limit(sample_size)
-        .collect()
+        .toPandas()  # Arrow transfer: ~10× faster than row collect here
     )
-    if not rows:
+    if sample.empty:
         raise ValueError("kmeans_centroids: empty corpus")
-    x = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     rng = np.random.default_rng(seed)
     # k-means++ seeding: first center uniform, then ~ D^2 weighting
     centers = [x[rng.integers(len(x))]]
