@@ -234,3 +234,41 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_scan_pushdown_and_partition_pruning(spark, tmp_path):
+    """Plan-level contracts the engine relies on at 100 TB: predicate
+    pushdown reaches the parquet scan (PushedFilters), night-partition
+    predicates prune directories (PartitionFilters), and projections
+    shrink ReadSchema."""
+    from fink_broker_spark.core.time import with_night_partitions
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    out = str(tmp_path / "nights")
+    ev = load_table(spark, SF0001, "events")
+    from fink_broker_spark.core.time import nanos_to_timestamp
+
+    staged = with_night_partitions(
+        ev.withColumn("ts", nanos_to_timestamp("ts_ns")), "ts"
+    )
+    staged.write.partitionBy("year", "month", "day").mode(
+        "overwrite"
+    ).parquet(out)
+
+    back = spark.read.parquet(out)
+    plan = (
+        back.filter((F.col("day") == 5) & (F.col("value") > 100.0))
+        .select("event_id", "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "(day" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(value" in plan
+    # column pruning: ReadSchema carries only the selected data columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_id" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
