@@ -110,6 +110,116 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way selective join (customer ⋈ orders ⋈
+    lineitem) with per-order revenue and a global top-10 — the plan
+    audit target for join ordering + TakeOrderedAndProject. Revenue
+    sums run in decimal for cross-engine exactness."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("o_orderdate_day"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS o_orderdate_day,
+       o_orderpriority,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+                (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way snowflake join (region → nation →
+    supplier/customer → orders → lineitem) with the dimension chain
+    broadcast — the canonical star-join plan the engine must keep
+    shuffle-free on every dimension edge."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    dims = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(dims), supp.s_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+                (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
 def q_quality_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained boolean quality cuts (``bin/ztf/raw2science.py:92-95``
     re-expressed on lineitem), then a per-status tally."""
@@ -2475,6 +2585,8 @@ FROM (
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "quality_cuts": q_quality_cuts,
     "event_type_stats": q_event_type_stats,
     "conditional_recode": q_conditional_recode,
@@ -2547,6 +2659,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "quality_cuts": ORACLE_QUALITY_CUTS,
     "event_type_stats": ORACLE_EVENT_TYPE_STATS,
     "conditional_recode": ORACLE_CONDITIONAL_RECODE,
