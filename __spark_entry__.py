@@ -2523,6 +2523,62 @@ WHERE c_custkey >= 300 AND c_custkey < 600
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-semantics contract: NULLs injected deterministically,
+    then counted through the aisles where engines disagree if they're
+    sloppy — count(*) vs count(col), null-safe equality join
+    (``<=>`` / ``IS NOT DISTINCT FROM``), coalesce fallback, and
+    sum-ignores-null — all per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("user_id") % 10)
+        .alias("bucket"),
+    )
+    # null-safe self-match: how many OTHER rows of the same type share
+    # the bucket under <=> (NULL pairs with NULL)
+    counts = staged.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    joined = staged.alias("s").join(
+        counts.alias("c"),
+        (F.col("s.event_type") == F.col("c.event_type"))
+        & F.col("s.bucket").eqNullSafe(F.col("c.bucket")),
+    )
+    return joined.groupBy("s.event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s.bucket").alias("n_nonnull"),
+        F.sum(F.coalesce(F.col("s.bucket"), F.lit(-1)).cast("bigint")).alias(
+            "sum_coalesced"
+        ),
+        F.sum(F.col("s.bucket").cast("bigint")).alias("sum_ignorenull"),
+        F.sum(F.col("c.n_bucket").cast("bigint")).alias("sum_peers"),
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH staged AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id % 10 END AS bucket
+  FROM events
+), counts AS (
+  SELECT event_type, bucket, count(*) AS n_bucket
+  FROM staged GROUP BY 1, 2
+)
+SELECT s.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(s.bucket) AS BIGINT) AS n_nonnull,
+       CAST(SUM(COALESCE(s.bucket, -1)) AS BIGINT) AS sum_coalesced,
+       CAST(SUM(s.bucket) AS BIGINT) AS sum_ignorenull,
+       CAST(SUM(c.n_bucket) AS BIGINT) AS sum_peers
+FROM staged s JOIN counts c
+  ON s.event_type = c.event_type AND s.bucket IS NOT DISTINCT FROM c.bucket
+GROUP BY s.event_type
+"""
+
+
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family depth (trunc, datediff, date_add; the night
     partition columns of §2.10 are the same family): monthly order
@@ -2651,6 +2707,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "history_arrays": q_history_arrays,
     "dedup_groups": q_dedup_groups,
     "union_evolution": q_union_evolution,
+    "null_semantics": q_null_semantics,
     "date_arithmetic": q_date_arithmetic,
     "deterministic_ids": q_deterministic_ids,
     "ann_kernel_topk": q_ann_kernel_topk,
@@ -2726,6 +2783,7 @@ _ORACLES: dict[str, str] = {
     "history_arrays": ORACLE_HISTORY_ARRAYS,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "union_evolution": ORACLE_UNION_EVOLUTION,
+    "null_semantics": ORACLE_NULL_SEMANTICS,
     "date_arithmetic": ORACLE_DATE_ARITHMETIC,
     "deterministic_ids": ORACLE_DETERMINISTIC_IDS,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
