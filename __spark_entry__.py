@@ -2116,6 +2116,72 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_pivot_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type counts as columns.
+    Spark's ``pivot`` with an explicit value list compiles to one
+    aggregation with conditional counts — the same single-shuffle plan
+    the CASE-based oracle spells out (an implicit-pivot would add a
+    distinct-values job; the explicit list keeps it one pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+ORACLE_PIVOT_RECODE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via ``stack`` — the inverse reshape,
+    turning per-row metric columns into (metric, value) rows without a
+    shuffle (a generator projection over the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, val)"
+        ),
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("val").cast("decimal(18,9)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+ORACLE_UNPIVOT_STACK = """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,9))), 2) AS DOUBLE) AS total
+FROM long GROUP BY metric
+"""
+
+
 def q_schema_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution projection: requested columns that are absent in
     this night's data come back as typed defaults
@@ -2697,6 +2763,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "healpix_crossmatch": q_healpix_crossmatch,
     "xmatch_enrich": q_xmatch_enrich,
     "cube_stats": q_cube_stats,
+    "pivot_recode": q_pivot_recode,
+    "unpivot_stack": q_unpivot_stack,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
     "window_suite": q_window_suite,
@@ -2774,6 +2842,8 @@ _ORACLES: dict[str, str] = {
     "healpix_crossmatch": ORACLE_HEALPIX_CROSSMATCH,
     "xmatch_enrich": ORACLE_XMATCH_ENRICH,
     "cube_stats": ORACLE_CUBE_STATS,
+    "pivot_recode": ORACLE_PIVOT_RECODE,
+    "unpivot_stack": ORACLE_UNPIVOT_STACK,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
     "window_suite": ORACLE_WINDOW_SUITE,
     "percentiles": ORACLE_PERCENTILES,
