@@ -272,3 +272,20 @@ def test_scan_pushdown_and_partition_pruning(spark, tmp_path):
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "event_id" in read_schema and "value" in read_schema
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_snowflake_join_stays_broadcast(spark):
+    """The Q5-shaped dimension chain must keep every dimension edge
+    broadcast (explicit hints): 5 BroadcastHashJoins, no SortMergeJoin,
+    no shuffle of the fact table on any dimension key."""
+    import __spark_entry__ as em
+    from tests.conftest import SF0001
+
+    plan = (
+        em.queries()["local_supplier_volume"](spark, SF0001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
