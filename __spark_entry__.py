@@ -2589,6 +2589,31 @@ WHERE c_custkey >= 300 AND c_custkey < 600
 """
 
 
+def q_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality three ways per event_type (exact / HLL++ scalar /
+    DataSketches HLL), plus an ALL row whose estimate comes from
+    MERGING the per-type sketches — the fixed-size mergeable-partial
+    pattern that replaces exact countDistinct at 100 TB. Estimates are
+    engine-specific → rows-only driver check; error bounds and
+    merge associativity are pinned in tests/test_sketches.py."""
+    from fink_broker_spark.functions.sketches import (
+        cardinality_report,
+        hll_merged_estimate,
+        hll_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = cardinality_report(ev, ["event_type"], "user_id")
+    partials = hll_partials(ev, ["event_type"], "user_id")
+    merged = hll_merged_estimate(partials).select(
+        F.lit("ALL").alias("event_type"),
+        F.lit(None).cast("bigint").alias("exact"),
+        F.lit(None).cast("bigint").alias("approx"),
+        F.col("estimate").alias("hll_estimate"),
+    )
+    return per_type.unionByName(merged)
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL null-semantics contract: NULLs injected deterministically,
     then counted through the aisles where engines disagree if they're
@@ -2775,6 +2800,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "history_arrays": q_history_arrays,
     "dedup_groups": q_dedup_groups,
     "union_evolution": q_union_evolution,
+    "approx_cardinality": q_approx_cardinality,
     "null_semantics": q_null_semantics,
     "date_arithmetic": q_date_arithmetic,
     "deterministic_ids": q_deterministic_ids,
