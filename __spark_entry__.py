@@ -220,6 +220,37 @@ GROUP BY n_name
 """
 
 
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation —
+    customers bucketed by how many qualifying orders they have,
+    INCLUDING the zero-order customers the outer join preserves (the
+    classic correctness trap an inner join silently gets wrong)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q_quality_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained boolean quality cuts (``bin/ztf/raw2science.py:92-95``
     re-expressed on lineitem), then a per-status tally."""
@@ -2733,6 +2764,7 @@ FROM (
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "customer_distribution": q_customer_distribution,
     "local_supplier_volume": q_local_supplier_volume,
     "quality_cuts": q_quality_cuts,
     "event_type_stats": q_event_type_stats,
@@ -2811,6 +2843,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "quality_cuts": ORACLE_QUALITY_CUTS,
     "event_type_stats": ORACLE_EVENT_TYPE_STATS,
