@@ -220,6 +220,59 @@ GROUP BY n_name
 """
 
 
+def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging (the reference's anomaly-module shape,
+    ``bin/ztf/archive_anomalies``-family, declaratively): per-type
+    median + MAD via exact ``percentile`` (bit-identical to DuckDB's
+    ``quantile_cont``), then |x − median| > 5·MAD outlier counts. Two
+    aggregations over the same grouping — Catalyst reuses the shuffle
+    via the self-join on the tiny per-type stats (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = dev.select("event_type", "value").join(
+        F.broadcast(mad), "event_type"
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            F.abs(F.col("value") - F.col("med")) > 5.0 * F.col("mad")
+        ).alias("n_anomalies"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+    )
+
+
+ORACLE_ANOMALY_SCORES = """
+WITH stats AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, s.med, abs(e.value - s.med) AS adev
+  FROM events e JOIN stats s USING (event_type)
+), mads AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad, min(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs(d.value - m.med) > 5.0 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       min(m.med) AS med,
+       min(m.mad) AS mad
+FROM dev d JOIN mads m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregation —
     customers bucketed by how many qualifying orders they have,
@@ -2765,6 +2818,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "customer_distribution": q_customer_distribution,
+    "anomaly_scores": q_anomaly_scores,
     "local_supplier_volume": q_local_supplier_volume,
     "quality_cuts": q_quality_cuts,
     "event_type_stats": q_event_type_stats,
@@ -2844,6 +2898,7 @@ _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "anomaly_scores": ORACLE_ANOMALY_SCORES,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "quality_cuts": ORACLE_QUALITY_CUTS,
     "event_type_stats": ORACLE_EVENT_TYPE_STATS,
