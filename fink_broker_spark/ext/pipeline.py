@@ -50,13 +50,12 @@ def pack_by_prefix_sum(
     whole corpus through one task). Raise ``nshards`` with the cluster;
     bins are globally unique as the (shard, bin) pair.
     """
-    shard = (F.col(id_col) % nshards).alias("shard")
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    staged = df.select(F.col(id_col), shard, F.col(token_col))
+    staged = df.withColumn("shard", F.col(id_col) % nshards)
     return staged.withColumn(
         "bin",
         F.floor(
