@@ -57,12 +57,24 @@ def partitions_for_date(
     partition_factory=PartitionOffset,
 ):
     """Offsets of the first message at/after ``date_ms``, per partition
-    (``get_partitions_by_date``, ``decoding_utils.py:140-187``)."""
+    (``get_partitions_by_date``, ``decoding_utils.py:140-187``).
+
+    ``offsets_for_times`` returns a negative sentinel for a partition
+    with no message at/after the date (quiet partition, or a date in
+    the future); those are resolved to the partition's high watermark —
+    "start at the end" — so callers never sum or commit sentinels.
+    """
     wanted = [
         partition_factory(topic, p, date_ms)
         for p in _topic_partitions(consumer, topic, timeout)
     ]
-    return consumer.offsets_for_times(wanted)
+    resolved = []
+    for part in consumer.offsets_for_times(wanted):
+        if part.offset < 0:
+            _lo, hi = consumer.get_watermark_offsets(part, timeout=timeout)
+            part = partition_factory(part.topic, part.partition, max(hi, 0))
+        resolved.append(part)
+    return resolved
 
 
 def count_between_dates(

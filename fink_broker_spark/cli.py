@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -181,6 +182,11 @@ def cmd_archive(args):
 
     if getattr(args, "index_prefix", None):
         index_dir = os.path.join(args.index_prefix, f"night={args.night}")
+        # the chunk loop appends; clear the night first so a rerun (or a
+        # retry after a mid-run failure) is idempotent instead of
+        # duplicating previously written chunks
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
 
         def load_chunk(chunk, idx):
             # plan from the chunk itself: leaf-file reads don't carry the

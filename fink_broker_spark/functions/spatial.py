@@ -219,11 +219,15 @@ def healpix_ring_expr(
 
 def healpix_ring_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
     """The DuckDB/ANSI transcription of :func:`healpix_ring_expr`, for
-    oracle harnesses. ``ra_sql`` / ``dec_sql`` are SQL fragments."""
+    oracle harnesses. ``ra_sql`` / ``dec_sql`` are SQL fragments;
+    ``ra_sql`` must be non-negative (callers normalize to [0, 360)) —
+    for a non-negative dividend, plain ``%`` equals Spark's ``pmod``
+    bit-for-bit, whereas the ``((x%4)+4)%4`` wrap would round-trip the
+    value through [4, 8) and shave low mantissa bits."""
     ncap = 2 * nside * (nside - 1)
     npix = 12 * nside * nside
     z = f"sin(radians({dec_sql}))"
-    tt = f"((({ra_sql}) / 90.0) % 4.0 + 4.0) % 4.0"
+    tt = f"((({ra_sql}) / 90.0) % 4.0)"
     temp1 = f"({nside} * (0.5 + {tt}))"
     temp2 = f"({nside} * {z} * 0.75)"
     jp = f"CAST(floor({temp1} - {temp2}) AS BIGINT)"
@@ -298,18 +302,21 @@ def neighbor_pixels_expr(
 
 
 def cone_pixels_udf(
-    nside: int, radius_deg: float, nest: bool = False, nsamples: int = 16
+    nside: int, radius_deg: float, nest: bool = False, nsamples: int = 32
 ):
     """Pixels covered by a cone of ``radius_deg`` around each point —
     an approximate ``query_disc`` (array<long> per row).
 
     Samples the disc: the center, ``nsamples`` points on the boundary
     circle, and ``nsamples`` bearing-offset points on the half-radius
-    interior ring are pixelized and deduplicated. Exact when the radius
-    is at or below the pixel scale; the interior ring keeps coverage
-    through ~2× the pixel scale. For still larger radii, raise
-    ``nsamples`` or coarsen ``nside`` (missing a pixel silently drops
-    candidate pairs — prefer a coarser grid when unsure). This is the query-side half of a
+    interior ring are pixelized and deduplicated. This is a SAMPLED
+    cover, not a geometric one: a pixel the disc overlaps only in a
+    corner sliver narrower than the sample spacing (~2πr/nsamples of
+    arc) can be missed, silently dropping candidate pairs. Keep the
+    radius at or below the pixel scale (where the brute-force-equality
+    tests hold at the default ``nsamples``), and raise ``nsamples`` or
+    coarsen ``nside`` for wider cones — the cost is linear and
+    vectorized, so oversampling is cheap insurance. This is the query-side half of a
     healpix-bucketed crossmatch: explode the array, equi-join on pixel
     against the catalog's single-pixel column, then refine with the
     exact angular predicate — same radius semantics as the reference's
@@ -333,8 +340,10 @@ def cone_pixels_udf(
             sr, cr = np.sin(r), np.cos(r)
             cbo = np.cos(bearings + offset)[None, :]
             sbo = np.sin(bearings + offset)[None, :]
-            # spherical destination point formula (rows × bearings)
-            dec_s = np.arcsin(sd * cr + cd * sr * cbo)
+            # spherical destination point formula (rows × bearings);
+            # clip: the sine can exceed 1 by a ulp at the poles, and
+            # arcsin(1+ulp)=NaN would corrupt that sample's pixel
+            dec_s = np.arcsin(np.clip(sd * cr + cd * sr * cbo, -1.0, 1.0))
             ra_s = ra0[:, None] + np.arctan2(
                 sbo * sr * cd, cr - sd * np.sin(dec_s)
             )

@@ -48,11 +48,20 @@ def with_salted_repartition(
 
     ``pmod`` (not ``%``) keeps salts in [0, nbuckets) — Spark's ``%``
     follows the dividend's sign, which would double the bucket range and
-    emit negatives. The salt hashes the full row (all columns), so it is
-    deterministic across task retries, unlike
-    ``monotonically_increasing_id``.
+    emit negatives. The salt hashes the key plus every other column, so
+    it is deterministic across task retries (unlike
+    ``monotonically_increasing_id``). Rows of a hot key spread as far
+    as their non-key columns differ; byte-identical duplicate rows
+    share a salt by construction — which is fine for the two-phase
+    aggregation this feeds, because identical rows land in the same
+    ``(key, salt)`` group and map-side partial aggregation collapses
+    them to one row per input partition before the shuffle.
     """
+    others = [c for c in df.columns if c != key]
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(nbuckets)),
+        F.pmod(
+            F.xxhash64(F.col(key), *[F.col(c) for c in others]),
+            F.lit(nbuckets),
+        ),
     )

@@ -104,16 +104,28 @@ def tracklet_candidate_cut(
     that also sit within the FWHM-scaled shift envelope
     (``magnr - magpsf < -4 * (log10(distnr) + 0.2)``) at ``distnr < 2``.
     Pure column algebra → ANSI-transcribable and pushed to the scan.
+
+    Edge semantics match the reference's numpy arithmetic rather than
+    SQL NULL propagation: ``distnr == 0`` makes the shift term
+    ``log10(0) = -inf`` (envelope always satisfied → in the locus iff
+    ``dmag < 1``), and a negative ``distnr`` yields NaN comparisons that
+    are all false (row kept). Spark's ``log10`` returns NULL for both —
+    which would NULL the whole predicate and silently drop kept rows —
+    so the zero case is branched explicitly.
     """
     from pyspark.sql import functions as F
 
     dmag = magnr - magpsf
     in_locus = (
         (dmag < F.lit(1.0))
-        & (dmag < F.lit(-4.0) * (F.log10(distnr) + F.lit(0.2)))
         & (distnr < F.lit(2.0))
+        & (
+            F.when(distnr == 0, F.lit(True)).otherwise(
+                dmag < F.lit(-4.0) * (F.log10(distnr) + F.lit(0.2))
+            )
+        )
     )
-    keep = ~in_locus
+    keep = ~F.coalesce(in_locus, F.lit(False))
     if ssnamenr is not None:
         keep = (ssnamenr == F.lit("null")) & keep
     if ndethist is not None:

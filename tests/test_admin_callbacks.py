@@ -193,6 +193,26 @@ def test_offsets_report_lag_and_uncommitted():
     assert rep["total_lag"] == 160
 
 
+def test_future_date_resolves_sentinels_to_watermarks():
+    """A date past the newest message returns the high watermark, never
+    the confluent -1 sentinel — counting to 'now' stays non-negative
+    and reset-to-future seeks to the end instead of committing -1."""
+
+    class _QuietConsumer(_FakeConsumer):
+        def offsets_for_times(self, partitions):
+            return [
+                PartitionOffset(p.topic, p.partition, -1) for p in partitions
+            ]
+
+    c = _QuietConsumer()
+    got = partitions_for_date(c, "alerts", date_to_ms("2026-01-03"))
+    # watermark his: 300, 120, 10
+    assert [(p.partition, p.offset) for p in got] == [(0, 300), (1, 120), (2, 10)]
+    out = reset_to_date(c, "alerts", "2026-01-03")
+    assert all(p.offset >= 0 for p in out)
+    assert c.committed_calls == [out]
+
+
 def test_metadata_error_raises():
     class _ErrConsumer(_FakeConsumer):
         def list_topics(self, topic, timeout=None):

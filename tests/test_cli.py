@@ -62,3 +62,13 @@ def test_cli_four_services(spark, tmp_path):
     idx = spark.read.parquet(os.path.join(index, f"night={night}"))
     assert idx.count() == 1000
     assert {"rowkey", "salt_bucket"} <= set(idx.columns)
+
+    # rerunning the archive must be idempotent: the night's index is
+    # rebuilt, not appended to
+    main([
+        "archive", "-science_prefix", sci, "-archive_prefix", arch,
+        "-night", night, "-cpus", "8",
+        "-index_prefix", index, "-chunk_files", "1",
+    ])
+    idx2 = spark.read.parquet(os.path.join(index, f"night={night}"))
+    assert idx2.count() == 1000

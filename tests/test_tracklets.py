@@ -103,6 +103,13 @@ def test_candidate_cut_locus(spark):
             (0.3, 18.0, 15.0),
             # far from template: distnr >= 2 escapes
             (2.5, 18.0, 18.5),
+            # distnr == 0: log10(0) = -inf in the reference's numpy, so
+            # the shift envelope always holds -> in locus (dmag < 1)
+            (0.0, 18.0, 18.5),
+            # distnr == 0 but bright outlier -> kept
+            (0.0, 18.0, 15.0),
+            # negative distnr: NaN comparisons are all false -> kept
+            (-1.0, 18.0, 18.5),
         ],
         "distnr double, magnr double, magpsf double",
     )
@@ -110,4 +117,4 @@ def test_candidate_cut_locus(spark):
         F.col("distnr"), F.col("magnr"), F.col("magpsf")
     )
     got = [r.k for r in df.select(keep.alias("k")).collect()]
-    assert got == [False, True, True]
+    assert got == [False, True, True, False, True, True]
