@@ -2304,6 +2304,49 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE-frame sliding aggregate: each event sees its
+    user's trailing-1-hour event count and decimal-exact value sum —
+    the moving-average family tumbling windows can't express (every row
+    gets its own trailing horizon, not a shared bucket). RANGE frames
+    over epoch seconds; count is frame-size-exact under ties because
+    RANGE includes all peer rows."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(nanos_to_micros("ts_ns") / 1000000).cast("bigint").alias("ts_s"),
+        F.col("value").cast("decimal(18,9)").alias("val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum("val").over(w), 2).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+WITH staged AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+         CAST(value AS DECIMAL(18,9)) AS val
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(ROUND(SUM(val) OVER w, 2) AS DOUBLE) AS sum_trailing_1h
+FROM staged
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/offset window family (rank, dense_rank, ntile, lag) —
     beyond the reference's single unbounded-max window (§2.7), free in
@@ -2878,6 +2921,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_stack": q_unpivot_stack,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "range_frame_window": q_range_frame_window,
     "window_suite": q_window_suite,
     "percentiles": q_percentiles,
     "filter_fanout": q_filter_fanout,
@@ -2959,6 +3003,7 @@ _ORACLES: dict[str, str] = {
     "pivot_recode": ORACLE_PIVOT_RECODE,
     "unpivot_stack": ORACLE_UNPIVOT_STACK,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
+    "range_frame_window": ORACLE_RANGE_FRAME,
     "window_suite": ORACLE_WINDOW_SUITE,
     "percentiles": ORACLE_PERCENTILES,
     "filter_fanout": ORACLE_FILTER_FANOUT,
