@@ -273,6 +273,45 @@ GROUP BY d.event_type
 """
 
 
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape through the SQL-string surface: a correlated
+    EXISTS subquery Catalyst rewrites into a left-semi join (the
+    rewrite itself is what's under test — the DataFrame twin is
+    ``semi_anti_join``). Uses ``spark.sql`` dataframe templating, the
+    engine's raw-SQL entry point (SURVEY §2.4 SQL-string filters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM {orders} o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1994-01-01'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1995-01-01'
+          AND EXISTS (
+            SELECT 1 FROM {lineitem} l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """,
+        orders=orders,
+        lineitem=li,
+    )
+
+
+ORACLE_ORDER_PRIORITY_EXISTS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
 def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregation —
     customers bucketed by how many qualifying orders they have,
@@ -2860,6 +2899,7 @@ FROM (
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "order_priority_exists": q_order_priority_exists,
     "customer_distribution": q_customer_distribution,
     "anomaly_scores": q_anomaly_scores,
     "local_supplier_volume": q_local_supplier_volume,
@@ -2941,6 +2981,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "order_priority_exists": ORACLE_ORDER_PRIORITY_EXISTS,
     "customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "anomaly_scores": ORACLE_ANOMALY_SCORES,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
