@@ -26,13 +26,27 @@ def cardinality_report(
     """Per-group distinct-count three ways: exact (the shuffle-heavy
     baseline), ``approx_count_distinct`` (HLL++, scalar), and a
     DataSketches HLL estimate (mergeable). Exact is kept so callers can
-    audit sketch error at test scale and drop it in production."""
-    return df.groupBy(*group_cols).agg(
-        F.countDistinct(key_col).alias("exact"),
+    audit sketch error at test scale and drop it in production.
+
+    The exact count runs as its own two-level aggregate and joins back
+    on the (tiny) group key: mixing ``countDistinct`` with the sketch
+    aggregates in one ``agg`` makes Catalyst plan an Expand (every
+    input row replicated per distinct-aggregate), tripling the scan's
+    row volume for no benefit."""
+    sketches = df.groupBy(*group_cols).agg(
         F.approx_count_distinct(key_col, rsd).alias("approx"),
         F.hll_sketch_estimate(
             F.hll_sketch_agg(key_col, F.lit(lgk))
         ).alias("hll_estimate"),
+    )
+    exact = (
+        df.select(*group_cols, key_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return exact.join(sketches, on=list(group_cols)).select(
+        *group_cols, "exact", "approx", "hll_estimate"
     )
 
 
