@@ -285,8 +285,8 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         FROM {orders} o
-        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1994-01-01'
-          AND o.o_orderdate < TIMESTAMP_NTZ '1995-01-01'
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1997-01-01'
           AND EXISTS (
             SELECT 1 FROM {lineitem} l
             WHERE l.l_orderkey = o.o_orderkey
@@ -302,8 +302,8 @@ def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORDER_PRIORITY_EXISTS = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o.o_orderdate < TIMESTAMP '1995-01-01'
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate

@@ -72,7 +72,14 @@ def partitions_for_date(
     for part in consumer.offsets_for_times(wanted):
         if part.offset < 0:
             _lo, hi = consumer.get_watermark_offsets(part, timeout=timeout)
-            part = partition_factory(part.topic, part.partition, max(hi, 0))
+            if hi < 0:
+                # invalid watermark is an ERROR, not "start at 0" — a
+                # silent 0 would rewind the group to the beginning
+                raise RuntimeError(
+                    f"invalid high watermark for {part.topic}"
+                    f"[{part.partition}]: {hi}"
+                )
+            part = partition_factory(part.topic, part.partition, hi)
         resolved.append(part)
     return resolved
 

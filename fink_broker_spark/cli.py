@@ -182,11 +182,12 @@ def cmd_archive(args):
 
     if getattr(args, "index_prefix", None):
         index_dir = os.path.join(args.index_prefix, f"night={args.night}")
-        # the chunk loop appends; clear the night first so a rerun (or a
-        # retry after a mid-run failure) is idempotent instead of
-        # duplicating previously written chunks
-        if os.path.isdir(index_dir):
-            shutil.rmtree(index_dir)
+        # build into a staging dir and swap on success: a rerun is
+        # idempotent (no chunk duplication) AND a mid-run crash leaves
+        # the previous complete index serving instead of a partial one
+        build_dir = index_dir + "__building"
+        if os.path.isdir(build_dir):
+            shutil.rmtree(build_dir)
 
         def load_chunk(chunk, idx):
             # plan from the chunk itself: leaf-file reads don't carry the
@@ -200,13 +201,16 @@ def cmd_archive(args):
             (
                 table.write.mode("append")
                 .partitionBy("salt_bucket")
-                .parquet(index_dir)
+                .parquet(build_dir)
             )
             return chunk.count()
 
         counts = ingest_chunks(
             spark, compacted, load_chunk, chunk_files=args.chunk_files
         )
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        os.rename(build_dir, index_dir)
         stats["index_chunks"] = len(counts)
         stats["index_rows"] = int(sum(counts))
     return stats

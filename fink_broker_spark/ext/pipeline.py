@@ -50,6 +50,11 @@ def pack_by_prefix_sum(
     whole corpus through one task). Raise ``nshards`` with the cluster;
     bins are globally unique as the (shard, bin) pair.
     """
+    if conflict := {"shard", "bin"} & set(df.columns):
+        raise ValueError(
+            f"pack_by_prefix_sum would overwrite input column(s) "
+            f"{sorted(conflict)}; rename them first"
+        )
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

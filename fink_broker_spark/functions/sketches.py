@@ -41,6 +41,9 @@ def cardinality_report(
     )
     exact = (
         df.select(*group_cols, key_col)
+        # countDistinct semantics: NULL keys are not a distinct value
+        # (the sketch aggregates skip them too)
+        .where(F.col(key_col).isNotNull())
         .distinct()
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("exact"))

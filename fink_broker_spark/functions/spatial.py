@@ -219,15 +219,25 @@ def healpix_ring_expr(
 
 def healpix_ring_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
     """The DuckDB/ANSI transcription of :func:`healpix_ring_expr`, for
-    oracle harnesses. ``ra_sql`` / ``dec_sql`` are SQL fragments;
-    ``ra_sql`` must be non-negative (callers normalize to [0, 360)) —
-    for a non-negative dividend, plain ``%`` equals Spark's ``pmod``
-    bit-for-bit, whereas the ``((x%4)+4)%4`` wrap would round-trip the
-    value through [4, 8) and shave low mantissa bits."""
+    oracle harnesses. ``ra_sql`` / ``dec_sql`` are SQL fragments.
+
+    The ``tt`` wrap mirrors Spark's ``pmod`` branch for branch so both
+    engines agree bit-for-bit on EVERY input: for a non-negative
+    dividend pmod is plain fmod (an unconditional ``((x%4)+4)%4`` would
+    round-trip through [4, 8) and shave low mantissa bits); for a
+    negative dividend pmod adds the modulus once, and fmod(x,4)+4 lies
+    in (0, 4) where the trailing ``%4`` of the classic wrap is exact —
+    so the CASE form is identical to pmod in both regimes."""
     ncap = 2 * nside * (nside - 1)
     npix = 12 * nside * nside
     z = f"sin(radians({dec_sql}))"
-    tt = f"((({ra_sql}) / 90.0) % 4.0)"
+    x = f"(({ra_sql}) / 90.0)"
+    # condition on the REMAINDER's sign, exactly like pmod's branch:
+    # fmod(-8, 4) = -0.0 is not < 0, and pmod returns it unchanged
+    tt = (
+        f"(CASE WHEN ({x} % 4.0) < 0 THEN ({x} % 4.0) + 4.0"
+        f" ELSE {x} % 4.0 END)"
+    )
     temp1 = f"({nside} * (0.5 + {tt}))"
     temp2 = f"({nside} * {z} * 0.75)"
     jp = f"CAST(floor({temp1} - {temp2}) AS BIGINT)"

