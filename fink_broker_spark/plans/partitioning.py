@@ -39,4 +39,10 @@ def estimate_coalesce_partitions(
     of how many small streaming appends a night produced.
     """
     size = plan_size_bytes(df)
+    if size >= (1 << 50):
+        # Catalyst reports Long.MaxValue when statistics are unknown
+        # (e.g. a local relation); anything in the petabyte range is
+        # that sentinel, not a real estimate — keep the input's current
+        # partitioning instead of requesting billions of files
+        return max(1, df.rdd.getNumPartitions())
     return max(1, int(size / (target_partition_mb * MB)) + 1)

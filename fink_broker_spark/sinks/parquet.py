@@ -57,3 +57,35 @@ def compact_night(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     return n
+
+
+def overwrite_night(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    target_partition_mb: float = 128.0,
+) -> int:
+    """Reprocess-one-night upsert: DYNAMIC partition overwrite.
+
+    ``mode("overwrite")`` with ``partitionOverwriteMode=dynamic``
+    replaces ONLY the partitions present in ``df`` (the night being
+    re-run) and leaves every other night's directory untouched — the
+    lake-level correction path when a night must be rebuilt after a
+    science-module fix, without a table format and without rewriting
+    history. Static overwrite (the Spark default) would silently drop
+    every other partition under ``path``, which is why the mode is set
+    explicitly on the writer rather than trusted to session config.
+    """
+    from fink_broker_spark.plans.partitioning import (
+        estimate_coalesce_partitions,
+    )
+
+    n = estimate_coalesce_partitions(df, target_partition_mb)
+    (
+        df.coalesce(n)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return n

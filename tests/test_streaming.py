@@ -305,3 +305,27 @@ def test_stateful_running_totals(spark, tmp_path):
     for k, (n, total) in batch.items():
         assert last.loc[k, "n"] == n
         assert abs(last.loc[k, "total"] - total) < 1e-6
+
+
+def test_overwrite_night_is_partition_scoped(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the re-run night; the
+    other nights' data survives byte-for-byte."""
+    from fink_broker_spark.sinks.parquet import overwrite_night
+
+    out = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, "2024", "01", "01", 10.0), (2, "2024", "01", "02", 20.0)],
+        "id bigint, year string, month string, day string, v double",
+    )
+    base.write.partitionBy("year", "month", "day").parquet(out)
+
+    redo = spark.createDataFrame(
+        [(3, "2024", "01", "02", 99.0), (4, "2024", "01", "02", 98.0)],
+        "id bigint, year string, month string, day string, v double",
+    )
+    overwrite_night(redo, out)
+
+    back = spark.read.parquet(out)
+    assert back.filter("day = '01'").count() == 1  # untouched night
+    got = sorted(r.id for r in back.filter("day = '02'").collect())
+    assert got == [3, 4]  # fully replaced night, old row 2 gone
