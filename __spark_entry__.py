@@ -2780,6 +2780,22 @@ def q_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(merged)
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table (``ext/pca.py``):
+    fixed-size moment partials → driver eigendecomposition → vectorized
+    projection matmul. Eigenvectors are not ANSI-expressible → rows-only
+    driver check; numpy equivalence is pinned in tests/test_ext.py.
+    Output: per-vector top-4 coordinates (rounded for row stability)."""
+    from fink_broker_spark.ext.pca import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, k=4)
+    return proj.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca4"),
+    )
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL null-semantics contract: NULLs injected deterministically,
     then counted through the aisles where engines disagree if they're
@@ -2971,6 +2987,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "union_evolution": q_union_evolution,
     "approx_cardinality": q_approx_cardinality,
+    "embedding_pca": q_embedding_pca,
     "null_semantics": q_null_semantics,
     "date_arithmetic": q_date_arithmetic,
     "deterministic_ids": q_deterministic_ids,

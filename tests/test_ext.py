@@ -163,3 +163,38 @@ def test_ivf_kmeans_recall_on_skewed_clusters(spark):
     approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
+def test_distributed_pca_matches_numpy(spark):
+    """Two-phase moment PCA must equal a single-machine numpy PCA:
+    identical components (deterministic sign), descending explained
+    variance, and bit-close projections regardless of partitioning."""
+    import numpy as np
+
+    from fink_broker_spark.ext.pca import fit_pca_model, pca_project
+
+    rng = np.random.default_rng(3)
+    basis = rng.standard_normal((8, 8))
+    scales = np.array([10.0, 5.0, 2.0, 0.1, 0.1, 0.1, 0.1, 0.1])
+    x = rng.standard_normal((500, 8)) * scales @ basis
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = fit_pca_model(df, 3)
+
+    mean = x.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov((x - mean).T, bias=True))
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(model["components"], ref, atol=1e-8)
+    assert np.all(np.diff(model["explained"]) <= 0)
+
+    proj = pca_project(df.repartition(7), 3, model=model)
+    got = {r.vec_id: np.array(r.pca) for r in proj.collect()}
+    want = (x - mean) @ ref.T
+    assert max(np.abs(got[i] - want[i]).max() for i in range(500)) < 1e-9
