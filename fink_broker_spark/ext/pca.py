@@ -69,6 +69,10 @@ def fit_pca_model(
     n = sum(p["n"] for p in partials)
     s = np.sum([np.asarray(p["s"]) for p in partials], axis=0)
     d = len(s)
+    if not 1 <= k <= d:
+        raise ValueError(
+            f"fit_pca_model: k={k} out of range for {d}-dim embeddings"
+        )
     g = np.sum(
         [np.asarray(p["g"]).reshape(d, d) for p in partials], axis=0
     )

@@ -44,6 +44,7 @@ def compact_night(
     partition_cols: tuple[str, ...] = ("year", "month", "day"),
     target_partition_mb: float = 128.0,
     mode: str = "append",
+    dynamic_overwrite: bool = False,
 ) -> int:
     """Rewrite a night's many small streaming files as ~128 MB files.
 
@@ -53,6 +54,8 @@ def compact_night(
     """
     n = estimate_coalesce_partitions(df, target_partition_mb)
     writer = df.coalesce(n).write.mode(mode)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
@@ -74,18 +77,21 @@ def overwrite_night(
     science-module fix, without a table format and without rewriting
     history. Static overwrite (the Spark default) would silently drop
     every other partition under ``path``, which is why the mode is set
-    explicitly on the writer rather than trusted to session config.
+    explicitly on the writer rather than trusted to session config —
+    and why empty ``partition_cols`` (which would make the overwrite
+    unscoped) is refused outright.
     """
-    from fink_broker_spark.plans.partitioning import (
-        estimate_coalesce_partitions,
+    if not partition_cols:
+        raise ValueError(
+            "overwrite_night without partition columns would statically "
+            "overwrite the whole path; use compact_night(mode='overwrite') "
+            "if that is really intended"
+        )
+    return compact_night(
+        df,
+        path,
+        partition_cols,
+        target_partition_mb,
+        mode="overwrite",
+        dynamic_overwrite=True,
     )
-
-    n = estimate_coalesce_partitions(df, target_partition_mb)
-    (
-        df.coalesce(n)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
-    return n

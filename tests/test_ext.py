@@ -198,3 +198,18 @@ def test_distributed_pca_matches_numpy(spark):
     got = {r.vec_id: np.array(r.pca) for r in proj.collect()}
     want = (x - mean) @ ref.T
     assert max(np.abs(got[i] - want[i]).max() for i in range(500)) < 1e-9
+
+
+def test_pca_rejects_out_of_range_k(spark):
+    import pytest
+
+    from fink_broker_spark.ext.pca import fit_pca_model
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [2.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        fit_pca_model(df, k=5)
+    with pytest.raises(ValueError, match="out of range"):
+        fit_pca_model(df, k=0)

@@ -329,3 +329,13 @@ def test_overwrite_night_is_partition_scoped(spark, tmp_path):
     assert back.filter("day = '01'").count() == 1  # untouched night
     got = sorted(r.id for r in back.filter("day = '02'").collect())
     assert got == [3, 4]  # fully replaced night, old row 2 gone
+
+
+def test_overwrite_night_refuses_unscoped(spark, tmp_path):
+    import pytest
+
+    from fink_broker_spark.sinks.parquet import overwrite_night
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="partition columns"):
+        overwrite_night(df, str(tmp_path / "x"), partition_cols=())
