@@ -2239,6 +2239,86 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the hand-picked margin list rollup/cube
+    can't express: (flag,status), (flag), and grand total — but NOT
+    (status)) with grouping_id disambiguating the NULL-keyed margin
+    rows, through the SQL surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """,
+        li=li,
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: users whose (possibly empty) purchase
+    array still yields a row — ``explode_outer`` vs plain ``explode``,
+    the upper-limit row-preservation idiom of the reference's index
+    tables (``bin/ztf/archive_index.py`` isNull-after-explode). Every
+    7th user's array is emptied by construction so the null-preserving
+    branch provably fires (every user in the lake has purchases —
+    without this the explode/explode_outer distinction would be
+    vacuous)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("user_id") % 7 != 0),
+                    F.col("event_id"),
+                )
+            )
+        ).alias("purchases")
+    )
+    exploded = per_user.select(
+        "user_id", F.explode_outer("purchases").alias("purchase_id")
+    )
+    return exploded.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("purchase_id").alias("n_purchases"),
+    )
+
+
+ORACLE_EXPLODE_OUTER = """
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(event_id) FILTER (WHERE event_type = 'purchase'
+                                            AND user_id % 7 <> 0))
+           AS purchases
+  FROM events GROUP BY user_id
+), exploded AS (
+  SELECT user_id, unnest(purchases) AS purchase_id FROM per_user
+  WHERE len(purchases) > 0
+  UNION ALL
+  -- DuckDB's filtered list() yields NULL (not []) when nothing matches
+  SELECT user_id, NULL FROM per_user
+  WHERE purchases IS NULL OR len(purchases) = 0
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(purchase_id) AS BIGINT) AS n_purchases
+FROM exploded GROUP BY user_id
+"""
+
+
 def q_pivot_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide): per-user event-type counts as columns.
     Spark's ``pivot`` with an explicit value list compiles to one
@@ -2973,6 +3053,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "healpix_crossmatch": q_healpix_crossmatch,
     "xmatch_enrich": q_xmatch_enrich,
     "cube_stats": q_cube_stats,
+    "grouping_sets": q_grouping_sets,
+    "explode_outer_nulls": q_explode_outer_nulls,
     "pivot_recode": q_pivot_recode,
     "unpivot_stack": q_unpivot_stack,
     "schema_defaults": q_schema_defaults,
@@ -3058,6 +3140,8 @@ _ORACLES: dict[str, str] = {
     "healpix_crossmatch": ORACLE_HEALPIX_CROSSMATCH,
     "xmatch_enrich": ORACLE_XMATCH_ENRICH,
     "cube_stats": ORACLE_CUBE_STATS,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+    "explode_outer_nulls": ORACLE_EXPLODE_OUTER,
     "pivot_recode": ORACLE_PIVOT_RECODE,
     "unpivot_stack": ORACLE_UNPIVOT_STACK,
     "schema_defaults": ORACLE_SCHEMA_DEFAULTS,
