@@ -3174,8 +3174,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, SF001)
 
 
+# Driver-sampling priority: the correctness driver checks the FIRST ~50
+# entries of queries() per round (dict order == iteration order).  Round 1+2
+# kept re-sampling already-green queries, leaving 18 queries with no driver
+# CORRECTNESS row ever and 14 checked only in round 1 (including
+# json_extract, whose r1 hash-fail fix is otherwise unverified).  Order:
+#   1. never driver-checked (r01 ∪ r02 have no row)
+#   2. checked in r01 only (stale — fix verification + refresh)
+#   3. double-green (checked in r02) last.
+_DRIVER_PRIORITY: list[str] = [
+    # -- never checked in r01 or r02 --
+    "tracklet_candidates",
+    "sky_tracklets",
+    "healpix_crossmatch",
+    "xmatch_enrich",
+    "grouping_sets",
+    "explode_outer_nulls",
+    "pivot_recode",
+    "unpivot_stack",
+    "range_frame_window",
+    "malformed_records",
+    "union_evolution",
+    "approx_cardinality",
+    "embedding_pca",
+    "null_semantics",
+    "date_arithmetic",
+    "deterministic_ids",
+    "ann_kernel_topk",
+    "embedding_quantize",
+    # -- checked in r01 only --
+    "json_extract",
+    "multimodal_features",
+    "stream_dedup_watermark",
+    "serialize_roundtrip",
+    "asof_join",
+    "cone_crossmatch",
+    "cube_stats",
+    "schema_defaults",
+    "ivf_ann_topk",
+    "window_suite",
+    "percentiles",
+    "filter_fanout",
+    "history_arrays",
+    "dedup_groups",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    ordered = {n: _QUERIES[n] for n in _DRIVER_PRIORITY if n in _QUERIES}
+    ordered.update((n, f) for n, f in _QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

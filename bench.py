@@ -49,11 +49,11 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
+            timings[name] = round(time.perf_counter() - start, 2)
         except Exception as exc:  # one broken query must not lose the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            timings[name] = round(time.perf_counter() - start, 3)
-    total = round(time.perf_counter() - total_start, 3)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:120]
+            timings[name] = round(time.perf_counter() - start, 2)
+    total = round(time.perf_counter() - total_start, 2)
 
     out = {
         "metric": "total_query_wall_time",
@@ -64,7 +64,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # ONE compact line: the harness keeps only a bounded tail of stdout, so
+    # the serialized object must fit inside that window to be parseable
+    # (round-2 bench line was ~2.6 kB and lost its head; compact separators
+    # + 2-decimal timings keep it under ~2 kB).
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    print(f"bench line length: {len(line)} chars", file=sys.stderr)
     spark.stop()
 
 

@@ -18,10 +18,10 @@ from __future__ import annotations
 
 import argparse
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
+from fink_broker_spark.core import fs as hfs
 from fink_broker_spark.core.session import get_session
 
 
@@ -185,9 +185,11 @@ def cmd_archive(args):
         # build into a staging dir and swap on success: a rerun is
         # idempotent (no chunk duplication) AND a mid-run crash leaves
         # the previous complete index serving instead of a partial one
+        # swap runs through the Hadoop FileSystem API so the
+        # idempotent-swap guarantee holds wherever Spark is writing
+        # (local FS, HDFS; see core/fs.py for the S3A rename caveat)
         build_dir = index_dir + "__building"
-        if os.path.isdir(build_dir):
-            shutil.rmtree(build_dir)
+        hfs.delete(spark, build_dir)
 
         def load_chunk(chunk, idx):
             # plan from the chunk itself: leaf-file reads don't carry the
@@ -208,9 +210,8 @@ def cmd_archive(args):
         counts = ingest_chunks(
             spark, compacted, load_chunk, chunk_files=args.chunk_files
         )
-        if os.path.isdir(index_dir):
-            shutil.rmtree(index_dir)
-        os.rename(build_dir, index_dir)
+        hfs.delete(spark, index_dir)
+        hfs.rename(spark, build_dir, index_dir)
         stats["index_chunks"] = len(counts)
         stats["index_rows"] = int(sum(counts))
     return stats

@@ -48,8 +48,17 @@ def cardinality_report(
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("exact"))
     )
-    return exact.join(sketches, on=list(group_cols)).select(
-        *group_cols, "exact", "approx", "hll_estimate"
+    # left join from the sketch side: a group whose keys are ALL NULL has
+    # no exact row (NULLs filtered above) but must still be reported, with
+    # exact = 0 — an inner join would silently drop the whole group.
+    return (
+        sketches.join(exact, on=list(group_cols), how="left")
+        .select(
+            *group_cols,
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            "approx",
+            "hll_estimate",
+        )
     )
 
 

@@ -72,3 +72,25 @@ def test_cli_four_services(spark, tmp_path):
     ])
     idx2 = spark.read.parquet(os.path.join(index, f"night={night}"))
     assert idx2.count() == 1000
+
+
+def test_hadoop_fs_swap_helpers(spark, tmp_path):
+    """The staging swap goes through the Hadoop FileSystem layer: delete
+    is recursive and idempotent, rename is replace-at-path (target must
+    not exist), and both see directories Spark wrote."""
+    from fink_broker_spark.core import fs as hfs
+
+    src = str(tmp_path / "build")
+    dst = str(tmp_path / "serve")
+    spark.range(10).write.parquet(src)
+    spark.range(5).write.parquet(dst)
+    assert hfs.exists(spark, src) and hfs.exists(spark, dst)
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        hfs.rename(spark, src, dst)
+    assert hfs.delete(spark, dst) is True
+    assert hfs.delete(spark, dst) is False  # idempotent
+    hfs.rename(spark, src, dst)
+    assert not hfs.exists(spark, src)
+    assert spark.read.parquet(dst).count() == 10

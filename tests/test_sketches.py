@@ -23,6 +23,20 @@ def test_hll_error_bounds(spark):
         assert abs(r.approx - r.exact) / r.exact < 0.05
 
 
+def test_all_null_group_reported_with_exact_zero(spark):
+    """A group whose key values are ALL NULL must still appear in the
+    report (exact = 0), not vanish through the exact-side join."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("b", None)],
+        "g string, k int",
+    )
+    rows = {r.g: r for r in cardinality_report(df, ["g"], "k").collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].exact == 2
+    assert rows["b"].exact == 0
+    assert rows["b"].approx == 0
+
+
 def test_hll_merge_associativity(spark):
     """Union of per-group sketches must estimate the SAME cardinality
     as one global sketch — the property that lets nightly partials roll
