@@ -1678,6 +1678,137 @@ SELECT pix, count(*) AS n, min(mr) AS first_mr FROM px GROUP BY pix
 ORACLE_HEALPIX = _oracle_healpix()
 
 
+def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-radius lookup against a serving index keyed by the
+    multi-resolution pixel string (the reference's ``ang2pix_array``
+    column, ``common/spark_utils.py:567-609``, used as the HBase
+    ``pixel`` index-table row key, ``bin/ztf/archive_index.py:93-150``).
+
+    The index stores ONE string key ``pix@8_pix@64`` per row; a wide
+    cone (radius ~ the nside=8 scale) matches on the coarse component,
+    a tight cone (radius ~ the nside=64 scale) on the fine component —
+    component extraction is codegen ``split``+``cast`` on the stored
+    key, never a re-pixelization of the indexed side. Probes broadcast
+    (tiny), candidates refine with the exact haversine predicate, and
+    per-probe counts aggregate after the filter. Counts only, so the
+    oracle hash never touches a trig double."""
+    from fink_broker_spark.functions.spatial import healpix_ring_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    # serving index: payload + the one stored multires key
+    idx = ev.select(
+        "event_id",
+        (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+        ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+    )
+    idx = idx.select(
+        "event_id",
+        "ra",
+        "dec",
+        F.concat_ws(
+            "_",
+            healpix_ring_expr("ra", "dec", 8).cast("string"),
+            healpix_ring_expr("ra", "dec", 64).cast("string"),
+        ).alias("hpx"),
+    )
+    probes = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 0)
+        .select(
+            "s_suppkey",
+            (((F.col("s_suppkey") * 131) % 3600) / 10.0).alias("p_ra"),
+            ((((F.col("s_suppkey") * 61) % 1200) / 10.0) - 60.0).alias("p_dec"),
+        )
+    )
+    probes = probes.select(
+        "s_suppkey",
+        "p_ra",
+        "p_dec",
+        healpix_ring_expr("p_ra", "p_dec", 8).alias("p8"),
+        healpix_ring_expr("p_ra", "p_dec", 64).alias("p64"),
+    )
+    from fink_broker_spark.functions.spatial import angular_sep_deg_expr
+
+    def lookup(component: int, probe_pix: str, radius: float, out: str):
+        cand = idx.withColumn(
+            "__k", F.split("hpx", "_").getItem(component).cast("long")
+        ).join(F.broadcast(probes), F.col("__k") == F.col(probe_pix))
+        return (
+            cand.filter(
+                angular_sep_deg_expr("ra", "dec", "p_ra", "p_dec")
+                <= F.lit(radius)
+            )
+            .groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    wide = lookup(0, "p8", 3.0, "n_wide")
+    tight = lookup(1, "p64", 0.9, "n_tight")
+    return (
+        probes.select("s_suppkey")
+        .join(wide, "s_suppkey", "left")
+        .join(tight, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_wide", F.lit(0)).alias("n_wide"),
+            F.coalesce("n_tight", F.lit(0)).alias("n_tight"),
+        )
+    )
+
+
+def _oracle_multires_index() -> str:
+    from fink_broker_spark.functions.spatial import healpix_ring_sql
+
+    i_ra = "(((event_id * 193) % 3600) / 10.0)"
+    i_dec = "((((user_id * 37) % 1200) / 10.0) - 60.0)"
+    p_ra = "(((s_suppkey * 131) % 3600) / 10.0)"
+    p_dec = "((((s_suppkey * 61) % 1200) / 10.0) - 60.0)"
+    hav = (
+        "degrees(2.0 * atan2("
+        "sqrt(pow(sin((radians(i.dec) - radians(p.p_dec)) / 2), 2)"
+        " + cos(radians(p.p_dec)) * cos(radians(i.dec))"
+        "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2)),"
+        "sqrt(1.0 - (pow(sin((radians(i.dec) - radians(p.p_dec)) / 2), 2)"
+        " + cos(radians(p.p_dec)) * cos(radians(i.dec))"
+        "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2)))))"
+    )
+    return f"""
+WITH idx AS (
+  SELECT event_id, {i_ra} AS ra, {i_dec} AS dec,
+         concat_ws('_',
+           CAST({healpix_ring_sql(i_ra, i_dec, 8)} AS VARCHAR),
+           CAST({healpix_ring_sql(i_ra, i_dec, 64)} AS VARCHAR)) AS hpx
+  FROM events
+), probes AS (
+  SELECT s_suppkey, {p_ra} AS p_ra, {p_dec} AS p_dec,
+         {healpix_ring_sql(p_ra, p_dec, 8)} AS p8,
+         {healpix_ring_sql(p_ra, p_dec, 64)} AS p64
+  FROM supplier WHERE s_suppkey % 3 = 0
+), wide AS (
+  SELECT p.s_suppkey, count(*) AS n_wide
+  FROM idx i JOIN probes p
+    ON CAST(string_split(i.hpx, '_')[1] AS BIGINT) = p.p8
+  WHERE {hav} <= 3.0
+  GROUP BY 1
+), tight AS (
+  SELECT p.s_suppkey, count(*) AS n_tight
+  FROM idx i JOIN probes p
+    ON CAST(string_split(i.hpx, '_')[2] AS BIGINT) = p.p64
+  WHERE {hav} <= 0.9
+  GROUP BY 1
+)
+SELECT probes.s_suppkey,
+       COALESCE(wide.n_wide, 0) AS n_wide,
+       COALESCE(tight.n_tight, 0) AS n_tight
+FROM probes
+LEFT JOIN wide ON probes.s_suppkey = wide.s_suppkey
+LEFT JOIN tight ON probes.s_suppkey = tight.s_suppkey
+"""
+
+
+ORACLE_MULTIRES_INDEX = _oracle_multires_index()
+
+
 def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map clustering (``ztf/tracklet_identification.py:123-334``
     skeleton): group events by hour ("exposure"), 1-D gap-split clusters
@@ -3042,6 +3173,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classification_cascade": q_classification_cascade,
     "grid_pixelization": q_grid_pixelization,
     "healpix_pixelization": q_healpix_pixelization,
+    "multires_index": q_multires_index,
     "tracklet_clusters": q_tracklet_clusters,
     "tracklet_candidates": q_tracklet_candidates,
     "sky_tracklets": q_sky_tracklets,
@@ -3130,6 +3262,7 @@ _ORACLES: dict[str, str] = {
     "classification_cascade": ORACLE_CASCADE,
     "grid_pixelization": ORACLE_GRID_PIX,
     "healpix_pixelization": ORACLE_HEALPIX,
+    "multires_index": ORACLE_MULTIRES_INDEX,
     "tracklet_clusters": ORACLE_TRACKLETS,
     "tracklet_candidates": ORACLE_TRACKLET_CANDIDATES,
     "sky_tracklets": ORACLE_SKY_TRACKLETS,
@@ -3183,6 +3316,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. checked in r01 only (stale — fix verification + refresh)
 #   3. double-green (checked in r02) last.
 _DRIVER_PRIORITY: list[str] = [
+    # -- new this round (no driver row yet, by construction) --
+    "multires_index",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
     "sky_tracklets",

@@ -16,11 +16,21 @@ turns a cone-search crossmatch into an equi-join on pixel id
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+
+def healpix_pixel_scale_deg(nside: int) -> float:
+    """Characteristic pixel size in degrees: sqrt of the (equal) pixel
+    area, ``sqrt(4π / (12·nside²))`` ≈ 58.63°/nside (healpy's
+    ``nside2resol``). The sampled cone cover is guaranteed-complete only
+    for radii at or below this scale — see :func:`cone_pixels_udf`."""
+    return float(np.degrees(np.sqrt(4.0 * np.pi / (12.0 * nside * nside))))
 
 
 def ang2pix_ring_np(
@@ -400,6 +410,7 @@ def healpix_crossmatch(
     right_dec: str = "dec",
     nest: bool = False,
     keep_sep: str | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Cone-search crossmatch bucketed on HEALPix cells.
 
@@ -410,7 +421,36 @@ def healpix_crossmatch(
     the equi-join on pixel is broadcast when right is small, and the
     exact angular predicate refines. Equal-area cells mean no polar
     hot-bucket — the failure mode of naive lat/lon grids at scale.
+
+    **Completeness guard**: the sampled cone cover is complete only for
+    ``radius_deg`` ≲ the pixel scale (58.6°/nside). When the caller's
+    ``nside`` is too fine for the radius, the *bucketing* resolution is
+    auto-coarsened (halved until the scale covers the radius) with a
+    warning — results are identical because bucketing only generates
+    candidates and the exact haversine predicate decides membership;
+    only bucket granularity changes. Enforced, not just documented:
+    ``tests/test_spatial.py::test_too_fine_nside_auto_coarsens`` checks
+    a radius≫scale call still recovers 100% of brute-force pairs.
+
+    **Large catalogs**: ``broadcast=False`` drops the broadcast hint so
+    the pixel equi-join plans as a shuffle join (SortMergeJoin /
+    ShuffledHashJoin, AQE free to re-plan) — for catalog sides too big
+    for the driver (Gaia-scale), where the reference offloads to a
+    remote xmatch service, this engine shuffle-joins instead.
     """
+    scale = healpix_pixel_scale_deg(nside)
+    eff_nside = nside
+    while eff_nside > 1 and radius_deg > healpix_pixel_scale_deg(eff_nside):
+        eff_nside //= 2
+    if eff_nside != nside:
+        warnings.warn(
+            f"healpix_crossmatch: radius_deg={radius_deg} exceeds the "
+            f"nside={nside} pixel scale ({scale:.3f} deg); coarsening "
+            f"bucketing to nside={eff_nside} so the sampled cone cover "
+            f"stays complete (results unchanged, candidate fan-in wider)",
+            stacklevel=2,
+        )
+        nside = eff_nside
     if nest:
         lpix = ang2pix_udf(nside, nest=True)(F.col(left_ra), F.col(left_dec))
     else:
@@ -429,7 +469,7 @@ def healpix_crossmatch(
         *[F.col(c).alias(f"r_{c}") for c in right.columns], "__pix"
     )
     out = (
-        lt.join(F.broadcast(rt), on="__pix")
+        lt.join(F.broadcast(rt) if broadcast else rt, on="__pix")
         .filter(sep <= F.lit(radius_deg))
         .drop("__pix")
     )

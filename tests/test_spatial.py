@@ -147,6 +147,86 @@ def test_crossmatch_radius_above_pixel_scale(spark):
     assert brute and got == brute
 
 
+def _pair_fixture(spark, n_cat=300, n_q=40, seed=41):
+    ra_c, dec_c = _random_sky(n_cat, seed=seed)
+    ra_q, dec_q = _random_sky(n_q, seed=seed + 1)
+    catalog = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_c, dec_c))],
+        "cat_id bigint, ra double, dec double",
+    )
+    queries = spark.createDataFrame(
+        [(i, float(r), float(d)) for i, (r, d) in enumerate(zip(ra_q, dec_q))],
+        "q_id bigint, ra double, dec double",
+    )
+    return catalog, queries
+
+
+def _brute_pairs(catalog, queries, radius):
+    return {
+        (r.cat_id, r.q_id)
+        for r in catalog.crossJoin(
+            queries.select(
+                F.col("q_id"),
+                F.col("ra").alias("qra"),
+                F.col("dec").alias("qdec"),
+            )
+        )
+        .filter(
+            angular_sep_deg_expr("ra", "dec", "qra", "qdec") <= F.lit(radius)
+        )
+        .collect()
+    }
+
+
+def test_too_fine_nside_auto_coarsens(spark):
+    """The completeness contract is ENFORCED: a caller passing an nside
+    whose pixel scale (58.6/nside deg) is far below the radius gets a
+    warning and auto-coarsened bucketing — and still recovers 100% of
+    the brute-force pair set (before the guard this silently dropped
+    corner-sliver pixels from the sampled cone cover)."""
+    import warnings as _warnings
+
+    catalog, queries = _pair_fixture(spark)
+    radius = 2.0  # nside=256 scale ~0.23 deg — way too fine
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        df = healpix_crossmatch(catalog, queries, radius_deg=radius, nside=256)
+        got = {(r.cat_id, r.r_q_id) for r in df.collect()}
+    assert any("coarsening" in str(w.message) for w in caught)
+    brute = _brute_pairs(catalog, queries, radius)
+    assert brute and got == brute
+
+
+def test_crossmatch_shuffle_join_path(spark):
+    """broadcast=False plans the pixel equi-join as a shuffle join
+    (SortMergeJoin/ShuffledHashJoin) — the Gaia-scale catalog path where
+    broadcasting the right side would OOM the driver — and returns the
+    identical pair set."""
+    catalog, queries = _pair_fixture(spark, seed=51)
+    radius = 2.0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = healpix_crossmatch(
+            catalog, queries, radius_deg=radius, nside=16, broadcast=False
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        got = {(r.cat_id, r.r_q_id) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == _brute_pairs(catalog, queries, radius)
+    # and the default path (broadcast hint) agrees
+    bc = {
+        (r.cat_id, r.r_q_id)
+        for r in healpix_crossmatch(
+            catalog, queries, radius_deg=radius, nside=16
+        ).collect()
+    }
+    assert got == bc
+
+
 def test_crossmatch_enrich_nearest_and_unknown(spark):
     from fink_broker_spark.enrich.xmatch import crossmatch_enrich
 
