@@ -6,12 +6,22 @@ the spark-avro datasource and re-reading the file header
 ``schema_converter.to_avro`` through py4j for the schema-as-key
 protocol (``common/distribution_utils.py:36-39``). Both need the
 spark-avro jar on the classpath. This module converts the Spark schema
-directly in Python with the same mapping spark-avro's
-``SchemaConverters`` applies (nullable → ``["null", T]`` union with
-``"default": null``, timestamps → ``long/timestamp-micros``, dates →
-``int/date``), so the .avsc dump and the schema-as-key string work in
-any environment — and bit-match what the jar would emit for the
-supported type surface.
+directly in Python with the exact serialization spark-avro's
+``SchemaConverters.toAvroType`` produces, pinned against the reference's
+own jar-emitted schema (``utest/datasets/schemas/schema_20190903.avsc``):
+
+- nullable fields are **type-first** unions ``[T, "null"]`` with NO
+  ``"default"`` entry (Avro permits either order; byte-level equality of
+  the schema-as-key string requires matching the jar's choice),
+- nested records carry the **dotted fullname** of their field path
+  (``topLevelRecord.candidate``) in ``"name"`` with no separate
+  ``"namespace"`` key — array/map element records take the field's own
+  name under the parent record's fullname,
+- timestamps → ``long/timestamp-micros``, dates → ``int/date``,
+  decimals → ``bytes/decimal``.
+
+So the .avsc dump and the schema-as-key string byte-match what the jar
+would emit for this type surface, in any environment.
 """
 
 from __future__ import annotations
@@ -34,9 +44,10 @@ _PRIMITIVES: dict[type, Any] = {
 }
 
 
-def _avro_type(
-    dt: T.DataType, name: str, namespace: str, seen: set[str]
-) -> Any:
+def _avro_type(dt: T.DataType, name: str, parent: str) -> Any:
+    """Avro type for ``dt``; ``name`` is the enclosing field's name and
+    ``parent`` the fullname of the enclosing record (nested records are
+    named ``{parent}.{name}``, matching spark-avro's namespacing)."""
     kind = type(dt)
     if kind in _PRIMITIVES:
         return _PRIMITIVES[kind]
@@ -52,45 +63,34 @@ def _avro_type(
             "scale": dt.scale,
         }
     if isinstance(dt, T.ArrayType):
-        item = _avro_type(dt.elementType, name + "_item", namespace, seen)
+        item = _avro_type(dt.elementType, name, parent)
         if dt.containsNull:
-            item = ["null", item]
+            item = [item, "null"]
         return {"type": "array", "items": item}
     if isinstance(dt, T.MapType):
         if not isinstance(dt.keyType, T.StringType):
             raise ValueError("Avro maps require string keys")
-        value = _avro_type(dt.valueType, name + "_value", namespace, seen)
+        value = _avro_type(dt.valueType, name, parent)
         if dt.valueContainsNull:
-            value = ["null", value]
+            value = [value, "null"]
         return {"type": "map", "values": value}
     if isinstance(dt, T.StructType):
-        return _record(dt, name, namespace, seen)
+        return _record(dt, name, parent)
     raise ValueError(f"unsupported Spark type for Avro: {dt.simpleString()}")
 
 
-def _record(
-    st: T.StructType, name: str, namespace: str, seen: set[str]
-) -> dict:
-    # Avro record names must be unique within a schema document
-    base, rec_name, i = name, name, 0
-    while rec_name in seen:
-        i += 1
-        rec_name = f"{base}_{i}"
-    seen.add(rec_name)
+def _record(st: T.StructType, name: str, parent: str) -> dict:
+    fullname = f"{parent}.{name}" if parent else name
     fields = []
     for f in st.fields:
-        ftype = _avro_type(f.dataType, f.name, namespace, seen)
+        ftype = _avro_type(f.dataType, f.name, fullname)
         entry: dict[str, Any] = {"name": f.name}
-        if f.nullable:
-            entry["type"] = ["null", ftype]
-            entry["default"] = None
-        else:
-            entry["type"] = ftype
+        # spark-avro: type-first union, no "default" — byte-matching the
+        # jar output matters because the schema travels as the message
+        # key and consumers compare it as a string
+        entry["type"] = [ftype, "null"] if f.nullable else ftype
         fields.append(entry)
-    rec = {"type": "record", "name": rec_name, "fields": fields}
-    if namespace:
-        rec["namespace"] = namespace
-    return rec
+    return {"type": "record", "name": fullname, "fields": fields}
 
 
 def spark_schema_to_avsc(
@@ -98,8 +98,90 @@ def spark_schema_to_avsc(
     name: str = "topLevelRecord",
     namespace: str = "",
 ) -> dict:
-    """Avro schema document (dict) for a Spark ``StructType``."""
-    return _record(schema, name, namespace, set())
+    """Avro schema document (dict) for a Spark ``StructType``.
+
+    ``namespace`` mirrors spark-avro's ``recordNamespace`` option: it is
+    emitted as a separate ``"namespace"`` key on the root record and
+    prefixes the dotted fullnames of nested records."""
+    doc = _record(schema, name, namespace)
+    if namespace:
+        # root keeps short name + explicit namespace (children inline
+        # their dotted fullname, as the jar serializes them)
+        doc["name"] = name
+        doc["namespace"] = namespace
+    return doc
+
+
+def _spark_type(avro: Any) -> tuple[T.DataType, bool]:
+    """(Spark type, nullable) for an Avro type node — the inverse mapping
+    of :func:`_avro_type`, for consuming registry/.avsc schemas."""
+    if isinstance(avro, list):  # union; only [T, "null"] / ["null", T]
+        branches = [b for b in avro if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported Avro union: {avro}")
+        dt, _ = _spark_type(branches[0])
+        return dt, True
+    if isinstance(avro, str):
+        simple = {
+            "long": T.LongType(),
+            "int": T.IntegerType(),
+            "double": T.DoubleType(),
+            "float": T.FloatType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+            "null": T.NullType(),
+        }
+        if avro not in simple:
+            raise ValueError(f"unsupported Avro primitive: {avro}")
+        return simple[avro], False
+    logical = avro.get("logicalType")
+    if logical == "timestamp-micros":
+        return T.TimestampType(), False
+    if logical == "date":
+        return T.DateType(), False
+    if logical == "decimal":
+        return T.DecimalType(avro["precision"], avro["scale"]), False
+    kind = avro["type"]
+    if kind == "record":
+        fields = []
+        for f in avro["fields"]:
+            dt, nullable = _spark_type(f["type"])
+            fields.append(T.StructField(f["name"], dt, nullable))
+        return T.StructType(fields), False
+    if kind == "array":
+        dt, nullable = _spark_type(avro["items"])
+        return T.ArrayType(dt, containsNull=nullable), False
+    if kind == "map":
+        dt, nullable = _spark_type(avro["values"])
+        return T.MapType(T.StringType(), dt, valueContainsNull=nullable), False
+    if isinstance(kind, (str, list, dict)) and kind != avro:
+        return _spark_type(kind)  # {"type": "long", ...} wrapper form
+    raise ValueError(f"unsupported Avro type: {avro!r}")
+
+
+def avsc_to_spark_schema(doc: dict) -> T.StructType:
+    """Spark ``StructType`` for an Avro record document — consuming the
+    registry's ``/schemas/ids/{id}`` payloads or saved ``.avsc`` files
+    (the reference goes the other way through the jar; this closes the
+    round trip jar-free)."""
+    if doc.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    dt, _ = _spark_type(doc)
+    return dt
+
+
+def plan_from_avsc(doc: dict) -> dict[str, tuple[str, object]]:
+    """Column plan ``{col: (sql_type, default)}`` for a record schema —
+    the registry-fed input to ``schema.registry.versioned_select`` (the
+    reference's ``extract_avsc_schema`` dictionaries,
+    ``rubin/hbase_utils.py:170-230``)."""
+    plan: dict[str, tuple[str, object]] = {}
+    for f in doc["fields"]:
+        dt, _ = _spark_type(f["type"])
+        default = f.get("default")
+        plan[f["name"]] = (dt.simpleString(), default)
+    return plan
 
 
 def save_avsc(

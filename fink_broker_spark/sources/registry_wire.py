@@ -41,3 +41,76 @@ def registry_magic_ok(value: Column | str) -> Column:
     before decode instead of throwing in a UDF)."""
     v = F.col(value) if isinstance(value, str) else value
     return F.hex(F.substring(v, 1, 1)) == F.lit("00")
+
+
+def decode_framed(
+    df,
+    value_col: str,
+    client,
+    codec: str = "json",
+):
+    """Decode Confluent-framed messages into version-correct columns.
+
+    The full Rubin ``stream2raw`` decode path jar-free: extract schema
+    ids and payloads as column algebra, resolve the batch's distinct ids
+    through the registry ``client`` (a bounded driver collect — the id
+    set is the registry's version count, not the row count), merge the
+    per-id Spark schemas into one parse superschema, and apply each id's
+    cast/default plan through ``versioned_select`` as one CASE-per-column
+    projection. Mixed-id batches are a single scan, no per-version
+    filter/union (contrast ``bin/rubin/stream2raw.py:354-358``, which
+    deserializes per message in Python).
+
+    ``codec='json'`` carries the protocol without the spark-avro jar
+    (same framing, JSON payload); ``codec='avro'`` uses ``from_avro``
+    per id and requires the jar on the classpath.
+    """
+    from pyspark.sql.types import StructType
+
+    from fink_broker_spark.schema.registry import versioned_select
+
+    framed = df.select(
+        registry_schema_id(value_col).alias("schema_id"),
+        registry_payload(value_col).alias("__payload"),
+    ).filter(registry_magic_ok(value_col))
+    ids = sorted(
+        r.schema_id for r in framed.select("schema_id").distinct().collect()
+    )
+    plans = {str(i): client.plan(i) for i in ids}
+    if codec == "json":
+        # one parse with the merged superschema: fields a version lacks
+        # parse as NULL and the version plan supplies the default
+        merged: dict[str, object] = {}
+        for i in ids:
+            for f in client.spark_schema(i).fields:
+                merged.setdefault(f.name, f)
+        superschema = StructType([merged[k] for k in sorted(merged)])
+        parsed = framed.select(
+            "schema_id",
+            F.from_json(
+                F.col("__payload").cast("string"), superschema
+            ).alias("__r"),
+        )
+        flat = parsed.select("schema_id", "__r.*")
+    elif codec == "avro":
+        from pyspark.sql.avro.functions import from_avro
+
+        parts = []
+        for i in ids:
+            schema_str = __import__("json").dumps(client.schema(i))
+            parts.append(
+                framed.filter(F.col("schema_id") == i).select(
+                    "schema_id",
+                    from_avro(F.col("__payload"), schema_str).alias("__r"),
+                ).select("schema_id", "__r.*")
+            )
+        flat = parts[0]
+        for p in parts[1:]:
+            flat = flat.unionByName(p, allowMissingColumns=True)
+    else:
+        raise ValueError(f"unknown codec: {codec}")
+    return versioned_select(
+        flat.withColumn("schema_id", F.col("schema_id").cast("string")),
+        plans,
+        version_col="schema_id",
+    )
