@@ -786,9 +786,13 @@ FROM (
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise cosine near-dup (embedding dedup baseline)."""
+    """Exact pairwise cosine near-dup (embedding dedup baseline).
+
+    ``reduction="cumsum"`` pins sequential IEEE reductions so the cosine
+    doubles hash-match the DuckDB oracle bit-for-bit; production runs
+    the BLAS default (same pair set, last-ulp cosine variance)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return embedding_neardup_pairs(emb, threshold=0.45, reduction="cumsum")
 
 
 ORACLE_EMBEDDING_NEARDUP = """

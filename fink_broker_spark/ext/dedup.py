@@ -461,19 +461,41 @@ def dedup_groups(
     return labels
 
 
-def _neardup_kernel(rids, rmat, cids, cmat, cnorms, threshold):
-    """Score every row of (rids, rmat) against the matrix (cids, cmat).
+def _neardup_kernel(
+    rids, rmat, rnorms, cids, cmat, cnorms, threshold, reduction="blas"
+):
+    """Score (rids, rmat) × (cids, cmat), keep id_a < id_b pairs with
+    cosine ≥ threshold — ONE kernel, two reduction modes (the unified
+    kernel shared conceptually with ``ann.brute_force_topk_kernel``'s
+    matrix path):
 
-    Keeps only pairs with id_a < id_b and cosine ≥ threshold. All dot
-    products are ``np.cumsum`` left-to-right reductions, so the result
-    is bit-identical to the pure-expression form and the DuckDB oracle.
+    - ``"blas"``: one matmul for the whole block pair — the production
+      mode; dot products are BLAS reductions (pairwise/SIMD order), so
+      values can differ from a sequential sum in the last ulp.
+    - ``"cumsum"``: per-row ``np.cumsum`` left-to-right reductions,
+      bit-identical to the pure-expression form and the DuckDB oracle —
+      the parity mode the oracled query runs.
     """
+    if not len(rids) or not len(cids):
+        return [], [], []
+    if reduction == "blas":
+        sims = (rmat @ cmat.T) / np.outer(rnorms, cnorms)
+        keep = (np.asarray(rids)[:, None] < np.asarray(cids)[None, :]) & (
+            sims >= threshold
+        )
+        ai, bj = np.nonzero(keep)
+        return (
+            [int(x) for x in np.asarray(rids)[ai]],
+            [int(x) for x in np.asarray(cids)[bj]],
+            [float(x) for x in sims[ai, bj]],
+        )
+    if reduction != "cumsum":
+        raise ValueError(f"unknown reduction: {reduction}")
     out_a, out_b, out_c = [], [], []
-    for rid, v in zip(rids, rmat):
+    for rid, v, vnorm in zip(rids, rmat, rnorms):
         mask = cids > rid
         if not mask.any():
             continue
-        vnorm = np.sqrt(np.cumsum(v * v)[-1])
         prods = cmat[mask] * v
         dots = np.cumsum(prods, axis=1)[:, -1]
         cos = dots / (vnorm * cnorms[mask])
@@ -492,6 +514,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nblocks: int = 8,
+    reduction: str = "blas",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, fully distributed).
 
@@ -511,9 +534,12 @@ def embedding_neardup_pairs(
     where even blocked-quadratic compute is too much, prune candidates
     first with :func:`fink_broker_spark.ext.ann.lsh_topk`.
 
-    The summation is ``np.cumsum`` (strictly sequential), so every dot
-    product is the same left-to-right IEEE reduction the pure-expression
-    form and the DuckDB oracle compute — results are bit-identical.
+    ``reduction="blas"`` (default) scores each block pair with one
+    matmul — the production mode. ``reduction="cumsum"`` forces strictly
+    sequential left-to-right IEEE reductions, bit-identical to the
+    pure-expression form and the DuckDB oracle — what the oracled
+    ``embedding_neardup`` query runs; both modes select the same pair
+    set whenever no pair's cosine sits within an ulp of the threshold.
     """
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
     # every unordered pair {blk, j}: j scans all blocks, least/greatest
@@ -549,19 +575,24 @@ def embedding_neardup_pairs(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
         ids = pdf[id_col].to_numpy()
-        # per-vector norm: sequential sum of squares, then sqrt
-        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        if reduction == "cumsum":
+            # sequential sum of squares — parity with the oracle's tree
+            norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        else:
+            norms = np.sqrt((mat * mat).sum(axis=1))
         if pa == pb:
-            a, b, c = _neardup_kernel(ids, mat, ids, mat, norms, threshold)
+            a, b, c = _neardup_kernel(
+                ids, mat, norms, ids, mat, norms, threshold, reduction
+            )
         else:
             left = (pdf["__blk"] == pa).to_numpy()
             a1, b1, c1 = _neardup_kernel(
-                ids[left], mat[left], ids[~left], mat[~left], norms[~left],
-                threshold,
+                ids[left], mat[left], norms[left],
+                ids[~left], mat[~left], norms[~left], threshold, reduction,
             )
             a2, b2, c2 = _neardup_kernel(
-                ids[~left], mat[~left], ids[left], mat[left], norms[left],
-                threshold,
+                ids[~left], mat[~left], norms[~left],
+                ids[left], mat[left], norms[left], threshold, reduction,
             )
             a, b, c = a1 + a2, b1 + b2, c1 + c2
         return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c})

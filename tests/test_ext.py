@@ -123,6 +123,30 @@ def test_embedding_neardup_invariant_to_block_count(spark):
     assert base, "probe threshold should produce at least one pair"
 
 
+def test_embedding_neardup_reduction_modes_agree(spark):
+    """The unified kernel's two reduction modes — BLAS matmul
+    (production) and cumsum (oracle bit-parity) — must select the same
+    pair set, with cosines equal to ~1e-12 (last-ulp reduction-order
+    variance only)."""
+    from fink_broker_spark.ext.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF0001, "embeddings")
+    blas = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.45, nblocks=3, reduction="blas"
+        ).collect()
+    }
+    cumsum = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.45, nblocks=3, reduction="cumsum"
+        ).collect()
+    }
+    assert blas and set(blas) == set(cumsum)
+    assert all(abs(blas[k] - cumsum[k]) < 1e-12 for k in blas)
+
+
 def test_sessionization_twins_agree(spark):
     """The declarative window sessionizer and the grouped-map twin must
     stay value-identical — the imperative form is a surface exercise,
