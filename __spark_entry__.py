@@ -1733,25 +1733,62 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from fink_broker_spark.functions.spatial import angular_sep_deg_expr
 
-    def lookup(component: int, probe_pix: str, radius: float, out: str):
-        cand = idx.withColumn(
-            "__k", F.split("hpx", "_").getItem(component).cast("long")
-        ).join(F.broadcast(probes), F.col("__k") == F.col(probe_pix))
-        return (
-            cand.filter(
-                angular_sep_deg_expr("ra", "dec", "p_ra", "p_dec")
-                <= F.lit(radius)
+    # ONE scan of the index: each stored key explodes into its
+    # (level, component) rows, probes explode the same way with their
+    # per-level radius, and a single broadcast equi-join on
+    # (level, pixel) serves both radii — the pixelization CASE trees
+    # evaluate once per side instead of once per lookup level
+    parts = F.split("hpx", "_")
+    lv_idx = idx.select(
+        "ra",
+        "dec",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("lvl"),
+                    parts.getItem(0).cast("long").alias("k"),
+                ),
+                F.struct(
+                    F.lit(1).alias("lvl"),
+                    parts.getItem(1).cast("long").alias("k"),
+                ),
             )
-            .groupBy("s_suppkey")
-            .agg(F.count(F.lit(1)).alias(out))
+        ).alias("lk"),
+    ).select("ra", "dec", "lk.lvl", "lk.k")
+    lv_probes = probes.select(
+        "s_suppkey",
+        "p_ra",
+        "p_dec",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("lvl"),
+                    F.col("p8").alias("k"),
+                    F.lit(3.0).alias("radius"),
+                ),
+                F.struct(
+                    F.lit(1).alias("lvl"),
+                    F.col("p64").alias("k"),
+                    F.lit(0.9).alias("radius"),
+                ),
+            )
+        ).alias("lk"),
+    ).select("s_suppkey", "p_ra", "p_dec", "lk.lvl", "lk.k", "lk.radius")
+    hits = (
+        lv_idx.join(F.broadcast(lv_probes), on=["lvl", "k"])
+        .filter(
+            angular_sep_deg_expr("ra", "dec", "p_ra", "p_dec")
+            <= F.col("radius")
         )
-
-    wide = lookup(0, "p8", 3.0, "n_wide")
-    tight = lookup(1, "p64", 0.9, "n_tight")
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.when(F.col("lvl") == 0, 1)).alias("n_wide"),
+            F.count(F.when(F.col("lvl") == 1, 1)).alias("n_tight"),
+        )
+    )
     return (
         probes.select("s_suppkey")
-        .join(wide, "s_suppkey", "left")
-        .join(tight, "s_suppkey", "left")
+        .join(hits, "s_suppkey", "left")
         .select(
             "s_suppkey",
             F.coalesce("n_wide", F.lit(0)).alias("n_wide"),
@@ -1811,6 +1848,105 @@ LEFT JOIN tight ON probes.s_suppkey = tight.s_suppkey
 
 
 ORACLE_MULTIRES_INDEX = _oracle_multires_index()
+
+
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_DAY_US = 86_400_000_000
+
+
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval (range) join via time bucketing: events fall into
+    per-order promotional windows (start/end synthesized from order
+    keys into the events' own epoch), joined on a shared customer hash.
+    The naive plan is a non-equi BroadcastNestedLoopJoin; the operator
+    (``operators/relational.py:interval_join``) buckets both sides to
+    day cells so the candidate stage is a plain equi-join — the
+    time-axis analog of the reference's pixel-bucketed crossmatch
+    (``common/spark_utils.py:529-609``). Counts only, so the oracle
+    hash stays integer."""
+    from fink_broker_spark.operators.relational import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("k"), "ts"
+    )
+    start_us = (
+        F.lit(_EPOCH_2024_US)
+        + (F.col("o_orderkey") % 29).cast("long") * F.lit(_DAY_US)
+    )
+    end_us = (
+        start_us
+        + (F.col("o_orderkey") % 3 + 1).cast("long") * F.lit(_DAY_US)
+    )
+    windows = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_custkey") % 50).alias("k"),
+        F.timestamp_micros(start_us).alias("w_start"),
+        F.timestamp_micros(end_us).alias("w_end"),
+    )
+    pairs = interval_join(
+        ev, windows, "ts", "w_start", "w_end", on=["k"], bucket=_DAY_US
+    )
+    return pairs.groupBy(
+        F.col("r_o_orderpriority").alias("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("r_o_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_RANGE_JOIN_WINDOWS = f"""
+WITH ev AS (
+  SELECT user_id % 50 AS k, ts FROM events
+), w AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey % 50 AS k,
+         make_timestamp({_EPOCH_2024_US} + (o_orderkey % 29) * {_DAY_US})
+           AS w_start,
+         make_timestamp({_EPOCH_2024_US} + (o_orderkey % 29) * {_DAY_US}
+                        + (o_orderkey % 3 + 1) * {_DAY_US}) AS w_end
+  FROM orders
+)
+SELECT w.o_orderpriority,
+       count(*) AS n_pairs,
+       count(DISTINCT w.o_orderkey) AS n_orders
+FROM ev JOIN w ON ev.k = w.k AND ev.ts >= w.w_start AND ev.ts <= w.w_end
+GROUP BY 1
+"""
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: events hash to 5 hot keys (20% of the
+    fact table each — the hot-object pathology of any alert archive);
+    ``replicated_skew_join`` salts the fact side and replicates the dim
+    so each hot key spreads over 8 reducers instead of melting one.
+    Result-identical to the plain join by construction (oracle is the
+    plain join)."""
+    from fink_broker_spark.operators.relational import replicated_skew_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % 5).alias("r_regionkey"),
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    joined = replicated_skew_join(
+        ev, reg, on=["r_regionkey"], salt_col="event_id", nsalts=8
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SKEW_JOIN_SALTED = """
+SELECT r.r_name,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN region r ON e.user_id % 5 = r.r_regionkey
+GROUP BY 1
+"""
 
 
 def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3178,6 +3314,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_pixelization": q_grid_pixelization,
     "healpix_pixelization": q_healpix_pixelization,
     "multires_index": q_multires_index,
+    "range_join_windows": q_range_join_windows,
+    "skew_join_salted": q_skew_join_salted,
     "tracklet_clusters": q_tracklet_clusters,
     "tracklet_candidates": q_tracklet_candidates,
     "sky_tracklets": q_sky_tracklets,
@@ -3267,6 +3405,8 @@ _ORACLES: dict[str, str] = {
     "grid_pixelization": ORACLE_GRID_PIX,
     "healpix_pixelization": ORACLE_HEALPIX,
     "multires_index": ORACLE_MULTIRES_INDEX,
+    "range_join_windows": ORACLE_RANGE_JOIN_WINDOWS,
+    "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "tracklet_clusters": ORACLE_TRACKLETS,
     "tracklet_candidates": ORACLE_TRACKLET_CANDIDATES,
     "sky_tracklets": ORACLE_SKY_TRACKLETS,
@@ -3322,6 +3462,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # -- new this round (no driver row yet, by construction) --
     "multires_index",
+    "range_join_windows",
+    "skew_join_salted",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
     "sky_tracklets",

@@ -218,3 +218,98 @@ def flatten_cast(
     return df.select(
         *[F.col(src).cast(dtype).alias(out) for out, (src, dtype) in plan.items()]
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket: int = 86_400_000_000,
+) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    ``start <= t <= end`` (both ends inclusive) and equal ``on`` keys.
+
+    Not an operator Spark ships (a raw non-equi join plans as
+    BroadcastNestedLoopJoin — per-key cross product). Physical plan
+    here: both sides bucket time into width-``bucket`` cells — points
+    to one cell (scan-side expression), intervals to the cell range
+    they span (``sequence`` + ``explode``) — so the candidate stage is
+    a plain shuffled **equi-join** on (keys, cell), and the exact
+    ``BETWEEN`` predicate refines. The astronomy special case is the
+    reference's pixel-bucketed crossmatch (space instead of time); this
+    is the same trick on the time axis.
+
+    Scale: shuffle ∝ |points| + |intervals| · (span/bucket + 1).
+    Pick ``bucket`` ≈ the median interval span so the explode fan-out
+    stays ~2 and no cell goes hot; AQE handles residual cell skew.
+    Timestamp columns are compared as epoch microseconds (``bucket`` is
+    in µs; default one day); numeric time columns are bucketed as-is.
+    """
+    from pyspark.sql.types import TimestampType
+
+    def as_us(df: DataFrame, col: str) -> Column:
+        if isinstance(df.schema[col].dataType, TimestampType):
+            return F.unix_micros(F.col(col))
+        return F.col(col).cast("long")
+
+    on = list(on)
+    p_cell = F.floor(as_us(points, point_time) / F.lit(bucket))
+    i_lo = F.floor(as_us(intervals, start_col) / F.lit(bucket))
+    i_hi = F.floor(as_us(intervals, end_col) / F.lit(bucket))
+    pt = points.withColumn("__cell", p_cell)
+    it = (
+        intervals.withColumn(
+            "__cell", F.explode(F.sequence(i_lo, i_hi))
+        )
+        .select(
+            *[F.col(c).alias(c if c in on else f"r_{c}") for c in intervals.columns],
+            "__cell",
+        )
+    )
+    t = F.col(point_time)
+    lo = F.col(f"r_{start_col}") if start_col not in on else F.col(start_col)
+    hi = F.col(f"r_{end_col}") if end_col not in on else F.col(end_col)
+    return (
+        pt.join(it, on=on + ["__cell"])
+        .filter((t >= lo) & (t <= hi))
+        .drop("__cell")
+    )
+
+
+def replicated_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_col: str,
+    nsalts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that stays parallel under heavy key skew: the big side
+    is salted by a high-cardinality column, the small side is replicated
+    ``nsalts``× (explode over the salt range), and the join runs on
+    (keys, salt) — each hot key fans across ``nsalts`` reducers instead
+    of melting one.
+
+    Result-identical to ``big.join(small, on, how)``: every big row
+    carries exactly one salt and the small side holds every salt, so
+    each matching pair meets exactly once (and a left row that matches
+    nothing is emitted once for ``how="left"``).
+
+    When to use: the small side is too big to broadcast (else
+    :func:`broadcast_equi_join` is strictly better) AND the key
+    histogram is skewed beyond what AQE's skew-join splitting handles
+    (AQE splits oversized *partitions* of the sorted side; salting also
+    splits a single oversized *key*). ``salt_col`` must vary within a
+    key (a row id, not the join key) — the salt is derived by
+    ``xxhash64`` so reruns are deterministic.
+    """
+    on = list(on)
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(nsalts)).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1)))
+    )
+    return b.join(s, on=on + ["__salt"], how=how).drop("__salt")

@@ -292,3 +292,89 @@ def test_snowflake_join_stays_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_equals_naive_nonequi(spark):
+    """Bucketed interval join must return exactly the naive non-equi
+    join's pair set: inclusive ends, multi-bucket spans, key matching."""
+    from fink_broker_spark.operators.relational import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 250), (4, "a", 900),
+         (5, "a", 300)],  # 300 == interval end: inclusive
+        "pid bigint, k string, t bigint",
+    )
+    intervals = spark.createDataFrame(
+        [(10, "a", 100, 300),   # spans 3 cells at bucket=100
+         (11, "b", 240, 260),
+         (12, "a", 800, 801),
+         (13, "c", 0, 1000)],   # key with no points
+        "iid bigint, k string, s bigint, e bigint",
+    )
+    got = {
+        (r.pid, r.r_iid)
+        for r in interval_join(
+            points, intervals, "t", "s", "e", on=["k"], bucket=100
+        ).collect()
+    }
+    naive = {
+        (p.pid, i.iid)
+        for p in points.collect()
+        for i in intervals.collect()
+        if p.k == i.k and i.s <= p.t <= i.e
+    }
+    assert naive == {(1, 10), (2, 10), (5, 10), (3, 11)}
+    assert got == naive
+
+
+def test_interval_join_timestamp_columns(spark):
+    """Timestamp sides bucket via epoch micros; same inclusive
+    semantics."""
+    from fink_broker_spark.operators.relational import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-03 00:00:00"),
+         (3, "2024-01-05 00:00:01")],
+        "pid bigint, t string",
+    ).select("pid", F.col("t").cast("timestamp").alias("t"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+        "iid bigint, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r.pid, r.r_iid)
+        for r in interval_join(points, intervals, "t", "s", "e").collect()
+    }
+    assert got == {(1, 10), (2, 10)}
+
+
+def test_replicated_skew_join_equals_plain_join(spark):
+    """Salted join must be result-identical to the plain join for inner
+    and left joins, including rows whose key matches nothing."""
+    from fink_broker_spark.operators.relational import replicated_skew_join
+
+    big = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+    )
+    small = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (5, "unmatched")], "k bigint, label string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, big.join(small, on=["k"], how=how).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                replicated_skew_join(
+                    big, small, on=["k"], salt_col="row_id", nsalts=7,
+                    how=how,
+                ).collect(),
+            )
+        )
+        assert salted == plain, how
