@@ -2869,6 +2869,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``VariantType`` semi-structured path (``parse_json`` →
+    binary variant → typed ``variant_get`` with nested/array paths).
+
+    At 100 TB this is the modern replacement for per-access
+    ``get_json_object`` string re-parsing: the document parses ONCE into
+    the binary variant encoding and every path extraction reads the
+    encoded form — the difference compounds with extraction count. The
+    document here is synthesized from typed columns (integers only, so
+    the JSON rendering is engine-independent) and carries a nested
+    object plus an array to exercise ``$.meta.k`` and ``$.ids[1]``
+    paths. The oracle computes straight from the source columns —
+    identical results prove extraction round-trips the values exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": '),
+        F.col("props"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('", "ids": ['),
+        F.col("user_id").cast("string"),
+        F.lit(", "),
+        F.col("event_id").cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    flat = ev.select(
+        F.variant_get(v, "$.type", "string").alias("vtype"),
+        F.variant_get(v, "$.meta.k", "int").alias("k"),
+        F.variant_get(v, "$.ids[1]", "bigint").alias("eid"),
+    )
+    return flat.groupBy("vtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        F.max("eid").alias("max_event_id"),
+    )
+
+
+ORACLE_VARIANT_JSON = """
+SELECT event_type AS vtype, count(*) AS n,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_malformed_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record tolerance (the decode-stage contract: a bad
     alert must not kill the night). JSON is corrupted deterministically
@@ -3316,6 +3362,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multires_index": q_multires_index,
     "range_join_windows": q_range_join_windows,
     "skew_join_salted": q_skew_join_salted,
+    "variant_json": q_variant_json,
     "tracklet_clusters": q_tracklet_clusters,
     "tracklet_candidates": q_tracklet_candidates,
     "sky_tracklets": q_sky_tracklets,
@@ -3407,6 +3454,7 @@ _ORACLES: dict[str, str] = {
     "multires_index": ORACLE_MULTIRES_INDEX,
     "range_join_windows": ORACLE_RANGE_JOIN_WINDOWS,
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
+    "variant_json": ORACLE_VARIANT_JSON,
     "tracklet_clusters": ORACLE_TRACKLETS,
     "tracklet_candidates": ORACLE_TRACKLET_CANDIDATES,
     "sky_tracklets": ORACLE_SKY_TRACKLETS,
@@ -3464,6 +3512,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multires_index",
     "range_join_windows",
     "skew_join_salted",
+    "variant_json",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
     "sky_tracklets",

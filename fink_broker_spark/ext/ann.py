@@ -190,9 +190,13 @@ def kmeans_centroids(
     from the point farthest from its centroid, so all ``nlist`` cells
     survive even on degenerate data.
     """
+    # salt the ranking hash so the draw decorrelates from any upstream
+    # xxhash64-based bucketing of the ids themselves (ids assigned by
+    # hash partitioning would otherwise bias an unsalted ranking)
     sample = (
         corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
+                                     F.lit("#ivf-sample"))))
         .limit(sample_size)
         .toPandas()  # Arrow transfer: ~10× faster than row collect here
     )
