@@ -339,3 +339,92 @@ def test_overwrite_night_refuses_unscoped(spark, tmp_path):
     df = spark.range(3)
     with pytest.raises(ValueError, match="partition columns"):
         overwrite_night(df, str(tmp_path / "x"), partition_cols=())
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas twin of running_totals: last emission
+    per key equals the batch aggregate. Requires the RocksDB state-store
+    provider (scoped to this test, restored after)."""
+    from fink_broker_spark.streaming.replay import run_stream
+    from fink_broker_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip(
+            "transformWithStateInPandas needs the google.protobuf "
+            "runtime (absent in this container); applyInPandasWithState "
+            "twin covers the semantics"
+        )
+
+    df = load_table(spark, SF0001, "events")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        flat + "/.a", mode="overwrite"
+    )
+    import shutil
+
+    i = 0
+    for sub in (".a",):
+        for f in os.listdir(os.path.join(flat, sub)):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(flat, sub, f),
+                    os.path.join(flat, f"part{i}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(os.path.join(flat, sub))
+    df.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        flat + "/.b", mode="overwrite"
+    )
+    for f in os.listdir(flat + "/.b"):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(flat, ".b", f), os.path.join(flat, f"part{i}.parquet")
+            )
+            i += 1
+    shutil.rmtree(flat + "/.b")
+    assert i >= 2
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = file_stream(spark, flat, max_files_per_trigger=1)
+        totals = running_totals_tws(
+            sdf.select(
+                F.col("event_type").cast("string").alias("event_type"), "value"
+            ),
+            keys=["event_type"],
+            value_col="value",
+        )
+        q = run_stream(totals, output_mode="update", available_now=True,
+                       query_name="running_totals_tws")
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    emitted = spark.table("running_totals_tws").toPandas()
+    last = emitted.groupby("event_type").tail(1).set_index("event_type")
+    batch = {
+        r.event_type: (r.n, r.total)
+        for r in df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(last.index) == set(batch)
+    for k, (n, total) in batch.items():
+        assert last.loc[k, "n"] == n
+        assert abs(last.loc[k, "total"] - total) < 1e-6
