@@ -1914,6 +1914,99 @@ GROUP BY 1
 """
 
 
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two nations by
+    direction and ship year. Exercises the double-dimension join (the
+    nation table joins twice under different roles) with both sides
+    broadcast, an OR-of-conjunctions pair predicate evaluated after the
+    cheap equi-joins, and a multi-column aggregate. The fact table
+    shuffles once (the orders join); every dimension edge is map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_NATION_TRADE_FLOWS = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+                (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin of the exact ``percentiles`` query:
+    ``approx_percentile`` (KLL-style mergeable sketch, map-side
+    partials, fixed memory) — the posture that replaces the exact
+    full-sort path at 100 TB (see SCALING.md "Exact percentile is the
+    oracle posture"). Approximate by design → rows-only driver check;
+    the error bound vs the exact quantiles is asserted in
+    ``tests/test_pipeline_ops.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return q.select(
+        "event_type",
+        F.col("qs").getItem(0).alias("p50"),
+        F.col("qs").getItem(1).alias("p90"),
+        F.col("qs").getItem(2).alias("p99"),
+        "n",
+    )
+
+
 def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant equi-join: events hash to 5 hot keys (20% of the
     fact table each — the hot-object pathology of any alert archive);
@@ -3363,6 +3456,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_windows": q_range_join_windows,
     "skew_join_salted": q_skew_join_salted,
     "variant_json": q_variant_json,
+    "nation_trade_flows": q_nation_trade_flows,
+    "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
     "tracklet_candidates": q_tracklet_candidates,
     "sky_tracklets": q_sky_tracklets,
@@ -3455,6 +3550,9 @@ _ORACLES: dict[str, str] = {
     "range_join_windows": ORACLE_RANGE_JOIN_WINDOWS,
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "variant_json": ORACLE_VARIANT_JSON,
+    "nation_trade_flows": ORACLE_NATION_TRADE_FLOWS,
+    # approx_quantiles: sketch estimates are engine-specific -> rows-only;
+    # error bound vs exact asserted in tests/test_pipeline_ops.py.
     "tracklet_clusters": ORACLE_TRACKLETS,
     "tracklet_candidates": ORACLE_TRACKLET_CANDIDATES,
     "sky_tracklets": ORACLE_SKY_TRACKLETS,
@@ -3513,6 +3611,8 @@ _DRIVER_PRIORITY: list[str] = [
     "range_join_windows",
     "skew_join_salted",
     "variant_json",
+    "nation_trade_flows",
+    "approx_quantiles",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
     "sky_tracklets",

@@ -34,6 +34,7 @@ def test_all_queries_have_oracle_or_reason():
         "ann_kernel_topk",
         "approx_cardinality",  # sketch estimates are engine-specific
         "embedding_pca",  # eigendecomposition is not ANSI-expressible
+        "approx_quantiles",  # sketch estimates are engine-specific
     }
 
 

@@ -132,3 +132,34 @@ def test_decontaminate_drops_only_overlapping_docs(spark):
     assert {r.doc_id for r in clean.collect()} == {2, 3}
     # schema passes through untouched
     assert clean.columns == docs.columns
+
+
+def test_approx_quantiles_error_bound(spark):
+    """approx_percentile sketch estimates must sit within the accuracy
+    bound of the exact quantiles (the 100 TB posture's contract)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF001
+
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in em.queries()["approx_quantiles"](spark, SF001).collect()
+    }
+    from fink_broker_spark.sources.parquet import load_table
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in load_table(spark, SF001, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        spread = max(abs(v) for v in exact[k]) + 1.0
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / spread < 0.05, (k, a, e)
