@@ -64,11 +64,34 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # ONE compact line: the harness keeps only a bounded tail of stdout, so
-    # the serialized object must fit inside that window to be parseable
-    # (round-2 bench line was ~2.6 kB and lost its head; compact separators
-    # + 2-decimal timings keep it under ~2 kB).
-    line = json.dumps(out, separators=(",", ":"))
+    # The harness records only the last 2000 chars of stdout (measured:
+    # BENCH_r02 tail window), and the full per-query map for ~90 queries
+    # is ~2.1 kB — so the complete object goes to a repo file (picked up
+    # by the round's commit) and stderr, while the stdout line carries
+    # the slowest-N query timings (every query above noise level) and
+    # stays comfortably inside the window.
+    full_line = json.dumps(out, separators=(",", ":"))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_LOCAL.json"), "w"
+        ) as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass
+    print(full_line, file=sys.stderr)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    )
+    line_obj = dict(out)
+    line_obj["queries"] = slowest
+    line_obj["queries_total"] = len(timings)
+    line_obj["queries_shown"] = len(slowest)
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:  # belt and braces: never outgrow the window
+        line_obj["queries"] = dict(list(slowest.items())[:25])
+        line_obj["queries_shown"] = 25
+        line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     print(f"bench line length: {len(line)} chars", file=sys.stderr)
     spark.stop()
