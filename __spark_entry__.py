@@ -2265,7 +2265,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.core.time import ensure_event_ts
     from fink_broker_spark.streaming.dedup import stream_dedup
 
     configure_session(spark)
@@ -2279,7 +2279,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         stage,
         lambda sdf: stream_dedup(
-            sdf.withColumn("ts", nanos_to_timestamp("ts")).select(
+            ensure_event_ts(sdf).select(
                 "user_id", "event_type", "ts"
             ),
             keys=["user_id", "event_type"],

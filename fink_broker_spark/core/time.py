@@ -45,6 +45,25 @@ def nanos_to_micros(col: Column | str) -> Column:
     return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
 
 
+def ensure_event_ts(df, col: str = "ts"):
+    """Normalize an event-time column to ``TimestampType`` whatever the
+    lake stored: parquet TIMESTAMP(NANOS) read as long (``nanosAsLong``),
+    TIMESTAMP(MICROS) read as ``timestamp_ntz``, or an already-correct
+    timestamp. The session pins UTC (``core/session.py``), so the
+    ntz→timestamp cast is an identity on the stored micros value.
+
+    The reference hard-codes one wire type per survey; a general engine
+    meets the lake as it finds it (schema-evolution posture, SURVEY §2.4
+    select-with-defaults).
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, nanos_to_timestamp(col))
+    if dt != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def epoch_micros(ts: Column | str) -> Column:
     """TimestampType → long microseconds since epoch (exact)."""
     c = F.col(ts) if isinstance(ts, str) else ts

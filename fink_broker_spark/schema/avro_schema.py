@@ -53,6 +53,10 @@ def _avro_type(dt: T.DataType, name: str, parent: str) -> Any:
         return _PRIMITIVES[kind]
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.TimestampNTZType):
+        # spark-avro SchemaConverters.toAvroType: TimestampNTZType →
+        # LocalTimestamps.timestampMicros
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.DecimalType):
@@ -138,6 +142,8 @@ def _spark_type(avro: Any) -> tuple[T.DataType, bool]:
     logical = avro.get("logicalType")
     if logical == "timestamp-micros":
         return T.TimestampType(), False
+    if logical == "local-timestamp-micros":
+        return T.TimestampNTZType(), False
     if logical == "date":
         return T.DateType(), False
     if logical == "decimal":

@@ -50,16 +50,36 @@ def scan_parquet(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic-lake table, normalizing types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with the engine's
-    ``nanosAsLong`` conf it arrives as a long which we keep as ``ts_ns``
-    and expose as a proper timestamp column ``ts`` (microsecond, UTC).
+    ``events.ts`` has shipped in two physical layouts: parquet
+    TIMESTAMP(NANOS) (arrives as long under the engine's ``nanosAsLong``
+    conf) and TIMESTAMP(MICROS) (arrives as ``timestamp_ntz``). Both are
+    normalized to the same logical pair: ``ts`` as a proper UTC
+    microsecond timestamp plus ``ts_ns`` as long nanoseconds-since-epoch,
+    so every downstream query sees one schema regardless of the writer.
     """
     configure_session(spark)
     df = scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", nanos_to_timestamp("ts_ns")
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", nanos_to_timestamp("ts_ns")
+            )
+        elif dt is not None:
+            # timestamp / timestamp_ntz micros: session tz is UTC so the
+            # cast is an identity on the stored value; ts_ns is exact
+            # (micros * 1000) for the nanos-facing query surface
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # same column order the nanos layout yields: event_id, ts_ns,
+            # payload..., ts — one stable schema for both writers
+            df = df.select(
+                "event_id",
+                (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("ts_ns"),
+                *[c for c in df.columns if c not in ("event_id", "ts")],
+                "ts",
+            )
     return df
 
 

@@ -20,7 +20,7 @@ from fink_broker_spark.archive.index_tables import (
     write_index_table,
 )
 from fink_broker_spark.archive.statistics import nightly_statistics
-from fink_broker_spark.core.time import nanos_to_timestamp, with_night_partitions
+from fink_broker_spark.core.time import ensure_event_ts, with_night_partitions
 from fink_broker_spark.distribute.fanout import FilterRegistry, fan_out
 from fink_broker_spark.enrich.pipeline import EnrichmentPipeline, Processor
 from fink_broker_spark.sinks.parquet import stream_to_parquet
@@ -42,7 +42,7 @@ def test_four_stage_night(spark, tmp_path):
     # -- stage 1: stream2raw — decode-equivalent + night partitioning
     sdf = file_stream(spark, stage)
     enriched = with_night_partitions(
-        sdf.withColumn("ts", nanos_to_timestamp("ts")), "ts"
+        ensure_event_ts(sdf), "ts"
     ).withColumn("publisher", F.lit("fbs"))
     q1 = stream_to_parquet(enriched, raw, str(tmp_path / "c1"), available_now=True)
     q1.awaitTermination(120)

@@ -46,10 +46,10 @@ def test_stream2raw_pipeline(spark, tmp_path):
     out = str(tmp_path / "raw")
     ckpt = str(tmp_path / "ckpt")
     sdf = file_stream(spark, stage)
-    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.core.time import ensure_event_ts
 
     enriched = with_night_partitions(
-        sdf.withColumn("ts", nanos_to_timestamp("ts")), "ts"
+        ensure_event_ts(sdf), "ts"
     ).withColumn("ingest_version", F.lit("fbs-0.1"))
     q = stream_to_parquet(enriched, out, ckpt, available_now=True)
     q.awaitTermination(120)
@@ -77,14 +77,14 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     """Watermarked stream-stream join (GCN×ZTF shape, ztf/mm_utils.py:
     154-235): purchases ⋈ errors by user within ±1h equals the batch
     range join over the same files."""
-    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.core.time import ensure_event_ts
     from fink_broker_spark.streaming.join import stream_stream_join
     from fink_broker_spark.streaming.replay import run_stream
 
     stage = _stage_events(tmp_path)
 
     def sides(df):
-        df = df.withColumn("ts", nanos_to_timestamp("ts"))
+        df = ensure_event_ts(df)
         left = df.filter(F.col("event_type") == "purchase").select(
             F.col("user_id").alias("uid"),
             F.col("event_id").alias("l_id"),
@@ -183,14 +183,14 @@ def test_query_manager_concurrent(spark, tmp_path):
 def test_windowed_aggregation_stream_equals_batch(spark, tmp_path):
     """Watermarked tumbling-window aggregate (the §2.11 extension the
     reference defers to nightly batch): stream == batch per hour window."""
-    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.core.time import ensure_event_ts
     from fink_broker_spark.streaming.replay import replay_to_table
 
     stage = _stage_events(tmp_path)
 
     def agg(df):
         return (
-            df.withColumn("ts", nanos_to_timestamp("ts"))
+            ensure_event_ts(df)
             .withWatermark("ts", "1 hour")
             .groupBy(F.window("ts", "1 hour"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -210,14 +210,14 @@ def test_windowed_aggregation_stream_equals_batch(spark, tmp_path):
 def test_session_window_stream_equals_batch(spark, tmp_path):
     """Native session_window sessionization: the watermarked stream
     drains to the same session set the batch plan computes."""
-    from fink_broker_spark.core.time import nanos_to_timestamp
+    from fink_broker_spark.core.time import ensure_event_ts
     from fink_broker_spark.streaming.replay import replay_to_table
     from fink_broker_spark.streaming.sessions import sessionize
 
     stage = _stage_events(tmp_path)
 
     def sess(df, streaming):
-        staged = df.withColumn("ts", nanos_to_timestamp("ts"))
+        staged = ensure_event_ts(df)
         if streaming:
             staged = staged.withWatermark("ts", "1 hour")
         return sessionize(staged, "user_id", "ts", "30 minutes")
