@@ -1983,6 +1983,390 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a window,
+    then the supplier(s) achieving the maximum. The reference's "view +
+    scalar subquery" idiom becomes an aggregate → 1-row max → broadcast
+    join: the fact table shuffles once on ``l_suppkey``, the max is a
+    single-row broadcast, and the supplier dimension joins map-side.
+    Revenue compares as exact DECIMAL (the double cast happens after the
+    equality), so the max-equality join is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(revenue), 2).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+               (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))), 2)
+         AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    exceeds a threshold, enriched with customer. The HAVING runs *before*
+    any wide row is materialized: the lineitem aggregate carries only
+    (orderkey, qty), survivors semi-select into orders, and customer
+    broadcasts — at 100 TB the big table shuffles one narrow aggregate,
+    never the joined row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_quantity AS DECIMAL(18,9))), 2) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING qty_dec > 300
+) JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the multi-supplier orders where that supplier was the ONLY
+    late one. The correlated EXISTS/NOT-EXISTS pair of the original
+    becomes one narrow per-order aggregate (distinct suppliers, distinct
+    late suppliers) joined back to the distinct late rows — two shuffles
+    on ``l_orderkey``, both on 2-3 column rows, instead of two
+    fact×fact correlated scans."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    late_rows = (
+        j.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_rows.join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIER = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), po AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM j GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late) lr
+JOIN po USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no recent order, grouped by
+    nation. The scalar AVG subquery is re-expressed cross-multiplied in
+    exact DECIMAL (``bal * n_pos > sum_pos``) so neither engine's
+    double-summation order can flip a boundary row; the recency check is
+    a left-anti join against the date-filtered orders scan (predicate
+    pushed to the orders parquet)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(_dec("c_acctbal")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,9))), 2) AS DOUBLE)
+         AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(18,9)) *
+        (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,9)))
+         FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over the part dimension: parts no other
+    part dominates (cheaper-or-equal AND bigger-or-equal, strict in one).
+    The naive formulation is an O(n²) self-join (the oracle keeps it —
+    DuckDB's NOT EXISTS); the engine plan aggregates per size (min price),
+    takes a running min over sizes in descending order (window over ≤50
+    aggregated rows — single-partition by construction, never over the
+    base table), and broadcast-joins the staircase back: dominated iff a
+    strictly-bigger size reaches price ≤ mine, or my own size beats my
+    price strictly. O(n) + tiny-window instead of O(n²) — the shape that
+    survives a 100× part catalog."""
+    part = load_table(spark, sf_dir, "part")
+    # min over raw doubles is order-independent exact (no summation), so
+    # the staircase compares the very same values the oracle compares
+    per_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("m_eq")
+    )
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staircase = per_size.select(
+        "p_size", "m_eq", F.min("m_eq").over(w).alias("m_gt")
+    )
+    return (
+        part.join(F.broadcast(staircase), "p_size")
+        .filter(
+            ~(
+                (
+                    F.col("m_gt").isNotNull()
+                    & (F.col("m_gt") <= F.col("p_retailprice"))
+                )
+                | (F.col("m_eq") < F.col("p_retailprice"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+ORACLE_PARETO_FRONTIER = """
+SELECT p_partkey, p_name, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) fold of a change stream: each
+    user's event_type run-length-encodes into validity intervals
+    [valid_from_us, valid_to_us), open interval = NULL. The reference
+    stores only last-state (HBase upsert semantics,
+    ``rubin/hbase_utils.py:677-691``); a training-data lake needs the
+    full history. Two window passes partitioned by user — shuffle once
+    on user_id, both windows reuse the same partitioning (one Exchange
+    in the plan)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        nanos_to_micros("ts_ns").alias("ts_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    return (
+        chg.withColumn("valid_to_us", F.lead("ts_us").over(w))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+        )
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+), chg AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS prev
+  FROM ev
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id
+            ORDER BY ts_us, event_id) AS valid_to_us
+FROM chg
+WHERE prev IS NULL OR prev <> event_type
+"""
+
+
+def q_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture fold: signed deltas (purchase +value,
+    error −value, rest 0) net out per user; only users with a non-zero
+    net survive. One map-side-combinable aggregate over the log — the
+    upsert-free way to maintain a running account from an append-only
+    stream, exact in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", _dec("value"))
+        .when(F.col("event_type") == "error", -_dec("value"))
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(delta), 2).alias("net_dec"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_add"
+            ),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_sub"),
+        )
+        .filter(F.col("net_dec") != 0)
+        .select(
+            "user_id",
+            F.col("net_dec").cast("double").alias("net_value"),
+            "n_add",
+            "n_sub",
+        )
+    )
+
+
+ORACLE_CDC_FOLD = """
+SELECT user_id, CAST(net_dec AS DOUBLE) AS net_value, n_add, n_sub
+FROM (
+  SELECT user_id,
+         ROUND(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,9))
+                        WHEN event_type = 'error'
+                        THEN -CAST(value AS DECIMAL(18,9))
+                        ELSE CAST(0 AS DECIMAL(18,9)) END), 2) AS net_dec,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_add,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_sub
+  FROM events GROUP BY user_id
+) WHERE net_dec <> 0
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two join dimensions of the
+    fact table, bucketed to show the layout the archive writer would
+    range-partition on (``plans/zorder.py``). The interleave is pure
+    shift/mask arithmetic — whole-stage codegen, identical in the SQL
+    oracle (generated from the same masks, so the twins cannot drift).
+    At 100 TB this key feeds ``repartitionByRange`` so per-file min/max
+    stats prune on BOTH dimensions."""
+    from fink_broker_spark.plans.zorder import zorder_key_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_key_expr("l_partkey", "l_suppkey")
+    return (
+        li.select(z.alias("zkey"))
+        .groupBy(F.shiftrightunsigned(F.col("zkey"), 22).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    from fink_broker_spark.plans.zorder import zorder_sql
+
+    z = zorder_sql("l_partkey", "l_suppkey")
+    return f"""
+SELECT CAST({z} // 4194304 AS BIGINT) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN({z}) AS z_min,
+       MAX({z}) AS z_max
+FROM lineitem
+GROUP BY 1
+"""
+
+
+ORACLE_ZORDER_LAYOUT = _oracle_zorder_layout()
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch twin of the exact ``percentiles`` query:
     ``approx_percentile`` (KLL-style mergeable sketch, map-side
@@ -3457,6 +3841,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_join_salted": q_skew_join_salted,
     "variant_json": q_variant_json,
     "nation_trade_flows": q_nation_trade_flows,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_orders": q_large_orders,
+    "sole_late_supplier": q_sole_late_supplier,
+    "idle_customers": q_idle_customers,
+    "pareto_frontier": q_pareto_frontier,
+    "scd2_history": q_scd2_history,
+    "cdc_fold": q_cdc_fold,
+    "zorder_layout": q_zorder_layout,
     "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
     "tracklet_candidates": q_tracklet_candidates,
@@ -3551,6 +3943,14 @@ _ORACLES: dict[str, str] = {
     "skew_join_salted": ORACLE_SKEW_JOIN_SALTED,
     "variant_json": ORACLE_VARIANT_JSON,
     "nation_trade_flows": ORACLE_NATION_TRADE_FLOWS,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "sole_late_supplier": ORACLE_SOLE_LATE_SUPPLIER,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "pareto_frontier": ORACLE_PARETO_FRONTIER,
+    "scd2_history": ORACLE_SCD2_HISTORY,
+    "cdc_fold": ORACLE_CDC_FOLD,
+    "zorder_layout": ORACLE_ZORDER_LAYOUT,
     # approx_quantiles: sketch estimates are engine-specific -> rows-only;
     # error bound vs exact asserted in tests/test_pipeline_ops.py.
     "tracklet_clusters": ORACLE_TRACKLETS,
@@ -3613,6 +4013,14 @@ _DRIVER_PRIORITY: list[str] = [
     "variant_json",
     "nation_trade_flows",
     "approx_quantiles",
+    "top_supplier_revenue",
+    "large_orders",
+    "sole_late_supplier",
+    "idle_customers",
+    "pareto_frontier",
+    "scd2_history",
+    "cdc_fold",
+    "zorder_layout",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
     "sky_tracklets",

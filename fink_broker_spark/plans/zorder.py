@@ -1,0 +1,100 @@
+"""Z-order (Morton) interleaved sort keys as pure Column expressions.
+
+The reference clusters its serving tables one-dimensionally: every HBase
+index table sorts on a single composite row key built by string
+concatenation (``bin/ztf/archive_index.py:47-296``), so a query that
+constrains the *second* dimension (e.g. time for a pixel-keyed table)
+still scans the whole key range. A Morton key interleaves the bits of two
+dimensions so that rows close in BOTH dimensions land in the same file /
+row-group — the standard multi-dimensional layout technique for columnar
+lakes (Z-ordering), expressed here with JVM-side shift/mask arithmetic
+(whole-stage codegen, no UDF).
+
+Scale posture: compute the key scan-side, then
+``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` before the
+parquet write. Min/max column statistics per file then prune on *both*
+dimensions for range predicates, which one-dimensional sorting cannot do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Magic-number bit-spreading masks for 16→32-bit interleave (the public
+#: "Interleave bits by Binary Magic Numbers" technique). Applied on longs
+#: so no stage overflows.
+_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def spread_bits_expr(col: Column | str, bits: int = 16) -> Column:
+    """Spread the low ``bits`` bits of an integer column so consecutive
+    source bits occupy even positions (0, 2, 4, …) of the result."""
+    if bits > 16:
+        raise ValueError("spread_bits_expr supports at most 16 bits")
+    c = F.col(col) if isinstance(col, str) else col
+    x = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
+    for shift, mask in _SPREAD_STEPS:
+        x = (
+            x.bitwiseOR(F.shiftleft(x, shift))
+            .bitwiseAND(F.lit(mask).cast("long"))
+        )
+    return x
+
+
+def zorder_key_expr(
+    xcol: Column | str, ycol: Column | str, bits: int = 16
+) -> Column:
+    """Morton key of two integer columns: x bits at even positions, y bits
+    at odd positions. Monotone in neither input alone, but locality-
+    preserving in both jointly — the property range-partitioned writes
+    need."""
+    return spread_bits_expr(xcol, bits).bitwiseOR(
+        F.shiftleft(spread_bits_expr(ycol, bits), 1)
+    )
+
+
+def zorder_sql(xexpr: str, yexpr: str, bits: int = 16) -> str:
+    """The identical arithmetic as ANSI SQL (DuckDB-executable) — the
+    oracle twin of :func:`zorder_key_expr`, built from the same masks so
+    the two can never drift."""
+    if bits > 16:
+        raise ValueError("zorder_sql supports at most 16 bits")
+
+    def spread(e: str) -> str:
+        x = f"(CAST({e} AS BIGINT) & {(1 << bits) - 1})"
+        for shift, mask in _SPREAD_STEPS:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    return f"({spread(xexpr)} | ({spread(yexpr)} << 1))"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    num_partitions: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton key of two columns.
+
+    ``repartitionByRange`` samples the key distribution (one extra pass,
+    same mechanism the reference's sorted HBase loads rely on implicitly)
+    and produces non-overlapping key ranges per file, so per-file min/max
+    stats prune on both source dimensions.
+    """
+    keyed = df.withColumn("__zkey", zorder_key_expr(xcol, ycol, bits))
+    (
+        keyed.repartitionByRange(num_partitions, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

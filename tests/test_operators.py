@@ -378,3 +378,74 @@ def test_replicated_skew_join_equals_plain_join(spark):
             )
         )
         assert salted == plain, how
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Morton key expr == bit-by-bit NumPy reference; SQL twin (DuckDB)
+    == the expr on the same values; clustered write prunes both dims."""
+    import duckdb
+    import numpy as np
+
+    from fink_broker_spark.plans.zorder import zorder_key_expr, zorder_sql
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 1 << 16, 200).astype(np.int64)
+    ys = rng.randint(0, 1 << 16, 200).astype(np.int64)
+
+    def ref_z(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((int(x) >> b) & 1) << (2 * b)
+            z |= ((int(y) >> b) & 1) << (2 * b + 1)
+        return z
+
+    expected = [ref_z(x, y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(xs, ys)], "x bigint, y bigint"
+    )
+    got = [
+        r.z for r in df.select(zorder_key_expr("x", "y").alias("z")).collect()
+    ]
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(int(x), int(y)) for x, y in zip(xs, ys)],
+    )
+    sql_z = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {zorder_sql('x', 'y')} FROM t"
+        ).fetchall()
+    ]
+    assert sql_z == expected
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Files written via write_zordered have non-overlapping key ranges,
+    so a box predicate on (x, y) touches a strict subset of files."""
+    import os
+
+    from fink_broker_spark.plans.zorder import write_zordered, zorder_key_expr
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, "x", "y", num_partitions=8)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 8
+    # per-file zkey ranges must not overlap (range partitioning held)
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(os.path.join(out, f))
+        row = part.select(
+            F.min(zorder_key_expr("x", "y")).alias("lo"),
+            F.max(zorder_key_expr("x", "y")).alias("hi"),
+        ).collect()[0]
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2
