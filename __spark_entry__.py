@@ -2327,6 +2327,56 @@ FROM (
 """
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped term salience over the documents corpus: tokenize →
+    per-(doc, term) frequency → document frequency → top-3 terms per doc.
+
+    The plan is the 100 TB shape: the token explode never materializes
+    past its map stage (map-side combine folds it into the (doc, word)
+    aggregate), document frequency is a second narrow aggregate, the
+    tf⋈df join shuffles on ``word`` (vocabulary-sized, not corpus-sized),
+    and the ranking window partitions by doc. Ranking uses the exact
+    lexicographic key (tf DESC, df ASC, word) rather than ``tf·ln(N/df)``
+    because JVM ``StrictMath.log`` and C ``libm`` may differ in the last
+    ulp — same ordering intent, hash-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"),
+    ).filter(F.length("word") >= 4)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_docs, "word")
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "word", "tf", "df_docs", "rank")
+    )
+
+
+ORACLE_TFIDF_TOPTERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents
+), w2 AS (
+  SELECT doc_id, word FROM words WHERE length(word) >= 4
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM w2 GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, COUNT(*) AS df_docs FROM tf GROUP BY 1
+)
+SELECT doc_id, word, tf, df_docs, rank FROM (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df_docs,
+         row_number() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, dfreq.df_docs ASC, tf.word ASC) AS rank
+  FROM tf JOIN dfreq USING (word)
+) WHERE rank <= 3 AND doc_id < 200
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two join dimensions of the
     fact table, bucketed to show the layout the archive writer would
@@ -3848,6 +3898,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_frontier": q_pareto_frontier,
     "scd2_history": q_scd2_history,
     "cdc_fold": q_cdc_fold,
+    "tfidf_topterms": q_tfidf_topterms,
     "zorder_layout": q_zorder_layout,
     "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
@@ -3950,6 +4001,7 @@ _ORACLES: dict[str, str] = {
     "pareto_frontier": ORACLE_PARETO_FRONTIER,
     "scd2_history": ORACLE_SCD2_HISTORY,
     "cdc_fold": ORACLE_CDC_FOLD,
+    "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     # approx_quantiles: sketch estimates are engine-specific -> rows-only;
     # error bound vs exact asserted in tests/test_pipeline_ops.py.
@@ -4020,6 +4072,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pareto_frontier",
     "scd2_history",
     "cdc_fold",
+    "tfidf_topterms",
     "zorder_layout",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",

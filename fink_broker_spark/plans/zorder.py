@@ -75,6 +75,42 @@ def zorder_sql(xexpr: str, yexpr: str, bits: int = 16) -> str:
     return f"({spread(xexpr)} | ({spread(yexpr)} << 1))"
 
 
+def normalized_zorder_expr(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 16
+) -> Column:
+    """Morton key with each dimension min-max scaled to the full
+    ``bits`` width first.
+
+    Raw interleaving only balances pruning when both dimensions span
+    comparable bit widths: a 7-bit dimension interleaved against an
+    11-bit one contributes nothing to the key's high bits, so files
+    cluster on the wide dimension alone (measured: 0/16 files prunable
+    on the narrow dimension without normalization, 12/16 with — see
+    SCALING.md "Z-order layout"). The min/max pair is one bounded
+    1-row aggregate — a model fit, not data motion, same posture as the
+    IVF centroid sample (``ext/ann.py``).
+    """
+    row = df.agg(
+        F.min(xcol).alias("xlo"),
+        F.max(xcol).alias("xhi"),
+        F.min(ycol).alias("ylo"),
+        F.max(ycol).alias("yhi"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scale(col: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return (
+            (F.col(col).cast("long") - F.lit(int(lo)))
+            * F.lit(top)
+            / F.lit(span)
+        ).cast("long")
+
+    return zorder_key_expr(
+        scale(xcol, row.xlo, row.xhi), scale(ycol, row.ylo, row.yhi), bits
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -83,14 +119,17 @@ def write_zordered(
     num_partitions: int,
     bits: int = 16,
 ) -> None:
-    """Write ``df`` as parquet clustered on the Morton key of two columns.
+    """Write ``df`` as parquet clustered on the normalized Morton key of
+    two columns.
 
     ``repartitionByRange`` samples the key distribution (one extra pass,
     same mechanism the reference's sorted HBase loads rely on implicitly)
     and produces non-overlapping key ranges per file, so per-file min/max
     stats prune on both source dimensions.
     """
-    keyed = df.withColumn("__zkey", zorder_key_expr(xcol, ycol, bits))
+    keyed = df.withColumn(
+        "__zkey", normalized_zorder_expr(df, xcol, ycol, bits)
+    )
     (
         keyed.repartitionByRange(num_partitions, "__zkey")
         .sortWithinPartitions("__zkey")

@@ -9,7 +9,10 @@ Re-expresses the reference's lake writers:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from fink_broker_spark.plans.partitioning import estimate_coalesce_partitions
 
@@ -95,3 +98,31 @@ def overwrite_night(
         mode="overwrite",
         dynamic_overwrite=True,
     )
+
+
+def idempotent_foreach_batch(
+    path: str, partition_cols: tuple[str, ...] = ()
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once ``foreachBatch`` parquet writer.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a crash the last unacknowledged micro-batch is
+    REPLAYED with the same ``batch_id``. The reference's external-store
+    callbacks lean on store-side upserts for this (HBase puts,
+    ``common/hbase_utils.py:363-482``); a parquet lake has no upsert, so
+    idempotence comes from layout: every batch writes its own
+    ``batch_id=N`` partition with DYNAMIC partition overwrite — a replayed
+    batch overwrites exactly its own directory and nothing else. Works on
+    any Hadoop filesystem (no driver-local renames).
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", *partition_cols)
+            .parquet(path)
+        )
+
+    return write

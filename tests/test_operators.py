@@ -449,3 +449,32 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     ranges.sort()
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 <= l2
+
+
+def test_dynamic_partition_pruning_on_night_join(spark, tmp_path):
+    """Joining a night-partitioned fact to a filtered dimension must prune
+    fact partitions at RUNTIME (dynamic partition pruning): the dim filter
+    isn't known at plan time, yet only the matching year=/ directories may
+    be scanned. This is the mechanism that makes 'rebuild one night from a
+    100 TB lake' touch one night of files."""
+    from fink_broker_spark.core.time import with_night_partitions
+    from fink_broker_spark.sources.parquet import load_table
+
+    from tests.conftest import SF0001 as _sf
+    ev = with_night_partitions(load_table(spark, _sf, "events"), "ts")
+    lake = str(tmp_path / "lake")
+    ev.write.partitionBy("year").parquet(lake)
+
+    fact = spark.read.parquet(lake)
+    years = [r.year for r in fact.select("year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, f"night_{y}") for y in years], "year int, label string"
+    ).filter(F.col("label") == f"night_{min(years)}")
+
+    joined = fact.join(dim, "year").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = joined.collect()
+    assert len(rows) == 1
+    expected = fact.filter(F.col("year") == min(years)).count()
+    assert rows[0]["count"] == expected

@@ -10,7 +10,7 @@ from fink_broker_spark.core.time import with_night_partitions
 from fink_broker_spark.plans.partitioning import estimate_coalesce_partitions
 from fink_broker_spark.sinks.parquet import compact_night, stream_to_parquet
 from fink_broker_spark.sources.parquet import file_stream, load_table, wait_for_path
-from fink_broker_spark.streaming.replay import replay_to_table
+from fink_broker_spark.streaming.replay import replay_to_table, run_stream
 from tests.conftest import SF0001
 
 
@@ -184,7 +184,7 @@ def test_windowed_aggregation_stream_equals_batch(spark, tmp_path):
     """Watermarked tumbling-window aggregate (the §2.11 extension the
     reference defers to nightly batch): stream == batch per hour window."""
     from fink_broker_spark.core.time import ensure_event_ts
-    from fink_broker_spark.streaming.replay import replay_to_table
+    from fink_broker_spark.streaming.replay import replay_to_table, run_stream
 
     stage = _stage_events(tmp_path)
 
@@ -211,7 +211,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     """Native session_window sessionization: the watermarked stream
     drains to the same session set the batch plan computes."""
     from fink_broker_spark.core.time import ensure_event_ts
-    from fink_broker_spark.streaming.replay import replay_to_table
+    from fink_broker_spark.streaming.replay import replay_to_table, run_stream
     from fink_broker_spark.streaming.sessions import sessionize
 
     stage = _stage_events(tmp_path)
@@ -428,3 +428,37 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     for k, (n, total) in batch.items():
         assert last.loc[k, "n"] == n
         assert abs(last.loc[k, "total"] - total) < 1e-6
+
+
+def test_foreach_batch_idempotent_on_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id — Structured Streaming's
+    at-least-once contract for foreachBatch) must not duplicate rows:
+    the batch_id-partitioned dynamic overwrite makes the retry land on
+    exactly its own partition."""
+    from fink_broker_spark.sinks.parquet import idempotent_foreach_batch
+
+    stage = _stage_events(tmp_path)
+    out = str(tmp_path / "once")
+    writer = idempotent_foreach_batch(out)
+
+    q = run_stream(
+        file_stream(spark, stage),
+        output_mode="append",
+        available_now=True,
+        fmt=None,
+        foreach_batch=writer,
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n = first.count()
+    assert n == 1000
+    batch_ids = [r.batch_id for r in first.select("batch_id").distinct().collect()]
+
+    # simulate the crash-replay: re-deliver one batch with the same id
+    replay_df = spark.read.parquet(stage)
+    writer(replay_df, int(batch_ids[0]))
+    again = spark.read.parquet(out)
+    assert again.count() == n  # no duplication
+    assert sorted(
+        r.batch_id for r in again.select("batch_id").distinct().collect()
+    ) == sorted(batch_ids)
