@@ -1692,11 +1692,16 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cone (radius ~ the nside=8 scale) matches on the coarse component,
     a tight cone (radius ~ the nside=64 scale) on the fine component —
     component extraction is codegen ``split``+``cast`` on the stored
-    key, never a re-pixelization of the indexed side. Probes broadcast
-    (tiny), candidates refine with the exact haversine predicate, and
-    per-probe counts aggregate after the filter. Counts only, so the
-    oracle hash never touches a trig double."""
-    from fink_broker_spark.functions.spatial import healpix_ring_expr
+    key, never a re-pixelization of the indexed side. Pixels use the
+    NESTED numbering (``healpix_nest_expr``) because its hierarchical
+    prefix property derives the coarse level from the fine one with a
+    shift (``pix@8 = pix@64 >> 6``): the 600k-row index side evaluates
+    ONE trig CASE tree instead of one per resolution level — the same
+    reason multi-order sky maps standardize on nested ids. Probes
+    broadcast (tiny), candidates refine with the exact haversine
+    predicate, and per-probe counts aggregate after the filter. Counts
+    only, so the oracle hash never touches a trig double."""
+    from fink_broker_spark.functions.spatial import healpix_nest_expr
 
     ev = load_table(spark, sf_dir, "events")
     # serving index: payload + the one stored multires key
@@ -1705,14 +1710,16 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
         ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
     )
-    idx = idx.select(
+    idx = idx.withColumn(
+        "hp64", healpix_nest_expr("ra", "dec", 64)
+    ).select(
         "event_id",
         "ra",
         "dec",
         F.concat_ws(
             "_",
-            healpix_ring_expr("ra", "dec", 8).cast("string"),
-            healpix_ring_expr("ra", "dec", 64).cast("string"),
+            F.shiftright("hp64", 6).cast("string"),
+            F.col("hp64").cast("string"),
         ).alias("hpx"),
     )
     probes = (
@@ -1724,12 +1731,14 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((((F.col("s_suppkey") * 61) % 1200) / 10.0) - 60.0).alias("p_dec"),
         )
     )
-    probes = probes.select(
+    probes = probes.withColumn(
+        "p64", healpix_nest_expr("p_ra", "p_dec", 64)
+    ).select(
         "s_suppkey",
         "p_ra",
         "p_dec",
-        healpix_ring_expr("p_ra", "p_dec", 8).alias("p8"),
-        healpix_ring_expr("p_ra", "p_dec", 64).alias("p64"),
+        F.shiftright("p64", 6).alias("p8"),
+        "p64",
     )
     from fink_broker_spark.functions.spatial import angular_sep_deg_expr
 
@@ -1798,7 +1807,7 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_multires_index() -> str:
-    from fink_broker_spark.functions.spatial import healpix_ring_sql
+    from fink_broker_spark.functions.spatial import healpix_nest_sql
 
     i_ra = "(((event_id * 193) % 3600) / 10.0)"
     i_dec = "((((user_id * 37) % 1200) / 10.0) - 60.0)"
@@ -1814,17 +1823,21 @@ def _oracle_multires_index() -> str:
         "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2)))))"
     )
     return f"""
-WITH idx AS (
+WITH idx0 AS (
   SELECT event_id, {i_ra} AS ra, {i_dec} AS dec,
-         concat_ws('_',
-           CAST({healpix_ring_sql(i_ra, i_dec, 8)} AS VARCHAR),
-           CAST({healpix_ring_sql(i_ra, i_dec, 64)} AS VARCHAR)) AS hpx
+         {healpix_nest_sql(i_ra, i_dec, 64)} AS hp64
   FROM events
-), probes AS (
+), idx AS (
+  SELECT event_id, ra, dec,
+         concat_ws('_', CAST((hp64 >> 6) AS VARCHAR),
+                        CAST(hp64 AS VARCHAR)) AS hpx
+  FROM idx0
+), probes0 AS (
   SELECT s_suppkey, {p_ra} AS p_ra, {p_dec} AS p_dec,
-         {healpix_ring_sql(p_ra, p_dec, 8)} AS p8,
-         {healpix_ring_sql(p_ra, p_dec, 64)} AS p64
+         {healpix_nest_sql(p_ra, p_dec, 64)} AS p64
   FROM supplier WHERE s_suppkey % 3 = 0
+), probes AS (
+  SELECT s_suppkey, p_ra, p_dec, (p64 >> 6) AS p8, p64 FROM probes0
 ), wide AS (
   SELECT p.s_suppkey, count(*) AS n_wide
   FROM idx i JOIN probes p

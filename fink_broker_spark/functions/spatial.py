@@ -278,6 +278,126 @@ def healpix_ring_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
     )
 
 
+def healpix_nest_expr(
+    ra: Column | str, dec: Column | str, nside: int
+) -> Column:
+    """HEALPix NESTED ang2pix as a pure Column expression (no UDF).
+
+    Term-for-term twin of :func:`ang2pix_nest_np` (same float ops, same
+    floors, same clamps) so the codegen path, the numpy path, and the
+    SQL transcription (:func:`healpix_nest_sql`) agree exactly. The
+    nested numbering's hierarchical prefix property —
+    ``pix_at(nside/2) == pix >> 2`` — is what makes it the right
+    numbering for multi-resolution index keys: one fine pixelization
+    yields every coarser level with a shift, instead of one full
+    trig CASE tree per level (the RING numbering has no such
+    derivation). ``nside`` must be a power of two.
+    """
+    if nside & (nside - 1):
+        raise ValueError("nested scheme requires power-of-two nside")
+    from fink_broker_spark.plans.zorder import spread_bits_expr
+
+    r = F.col(ra) if isinstance(ra, str) else ra
+    d = F.col(dec) if isinstance(dec, str) else dec
+    z = F.sin(F.radians(d))
+    tt = F.pmod(r / F.lit(90.0), F.lit(4.0))
+    za = F.abs(z)
+
+    # equatorial belt: same jp/jm floors as the RING formula
+    temp1 = F.lit(float(nside)) * (F.lit(0.5) + tt)
+    temp2 = F.lit(float(nside)) * z * F.lit(0.75)
+    jp = F.floor(temp1 - temp2).cast("long")
+    jm = F.floor(temp1 + temp2).cast("long")
+    # jp/jm are small non-negative ints: double division is exact and
+    # the long cast truncates == floors
+    ifp = F.floor(jp / F.lit(nside)).cast("long")
+    ifm = F.floor(jm / F.lit(nside)).cast("long")
+    face_e = (
+        F.when(ifp == ifm, ifp.bitwiseAND(F.lit(3)) + F.lit(4))
+        .when(ifp < ifm, ifp.bitwiseAND(F.lit(3)))
+        .otherwise(ifm.bitwiseAND(F.lit(3)) + F.lit(8))
+    )
+    ix_e = jm.bitwiseAND(F.lit(nside - 1))
+    iy_e = F.lit(nside) - jp.bitwiseAND(F.lit(nside - 1)) - F.lit(1)
+
+    # polar caps
+    ntt = F.least(F.lit(3), F.floor(tt).cast("long"))
+    tp = tt - ntt.cast("double")
+    tmp = F.lit(float(nside)) * F.sqrt(F.lit(3.0) * (F.lit(1.0) - za))
+    jp_p = F.least(F.floor(tp * tmp).cast("long"), F.lit(nside - 1))
+    jm_p = F.least(
+        F.floor((F.lit(1.0) - tp) * tmp).cast("long"), F.lit(nside - 1)
+    )
+    north = z > 0
+    face_p = F.when(north, ntt).otherwise(ntt + F.lit(8))
+    ix_p = F.when(north, F.lit(nside) - jm_p - F.lit(1)).otherwise(jp_p)
+    iy_p = F.when(north, F.lit(nside) - jp_p - F.lit(1)).otherwise(jm_p)
+
+    equa = za <= F.lit(2.0 / 3.0)
+    face = F.when(equa, face_e).otherwise(face_p)
+    ix = F.when(equa, ix_e).otherwise(ix_p)
+    iy = F.when(equa, iy_e).otherwise(iy_p)
+    return (
+        face.cast("long") * F.lit(nside * nside)
+        + spread_bits_expr(ix).bitwiseOR(
+            F.shiftleft(spread_bits_expr(iy), 1)
+        )
+    ).cast("long")
+
+
+def healpix_nest_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
+    """DuckDB/ANSI transcription of :func:`healpix_nest_expr` — generated
+    from the same structure (and the same interleave masks, via
+    ``plans.zorder.zorder_sql``'s spread steps) so the twins cannot
+    drift. Every double→int conversion goes through ``floor`` before the
+    cast because DuckDB ``CAST(double AS BIGINT)`` rounds-to-nearest
+    while Spark truncates."""
+    from fink_broker_spark.plans.zorder import _SPREAD_STEPS
+
+    def spread(e: str) -> str:
+        x = f"({e} & {(1 << 16) - 1})"
+        for shift, mask in _SPREAD_STEPS:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    z = f"sin(radians({dec_sql}))"
+    x = f"(({ra_sql}) / 90.0)"
+    tt = (
+        f"(CASE WHEN ({x} % 4.0) < 0 THEN ({x} % 4.0) + 4.0"
+        f" ELSE {x} % 4.0 END)"
+    )
+    temp1 = f"({nside} * (0.5 + {tt}))"
+    temp2 = f"({nside} * {z} * 0.75)"
+    jp = f"CAST(floor({temp1} - {temp2}) AS BIGINT)"
+    jm = f"CAST(floor({temp1} + {temp2}) AS BIGINT)"
+    ifp = f"CAST(floor({jp} / {float(nside)}) AS BIGINT)"
+    ifm = f"CAST(floor({jm} / {float(nside)}) AS BIGINT)"
+    face_e = (
+        f"(CASE WHEN {ifp} = {ifm} THEN ({ifp} & 3) + 4"
+        f" WHEN {ifp} < {ifm} THEN {ifp} & 3"
+        f" ELSE ({ifm} & 3) + 8 END)"
+    )
+    ix_e = f"({jm} & {nside - 1})"
+    iy_e = f"({nside} - ({jp} & {nside - 1}) - 1)"
+    ntt = f"LEAST(3, CAST(floor({tt}) AS BIGINT))"
+    tp = f"({tt} - CAST({ntt} AS DOUBLE))"
+    tmp = f"({nside} * sqrt(3.0 * (1.0 - abs({z}))))"
+    jp_p = f"LEAST(CAST(floor({tp} * {tmp}) AS BIGINT), {nside - 1})"
+    jm_p = f"LEAST(CAST(floor((1.0 - {tp}) * {tmp}) AS BIGINT), {nside - 1})"
+    north = f"({z} > 0)"
+    face_p = f"(CASE WHEN {north} THEN {ntt} ELSE {ntt} + 8 END)"
+    ix_p = f"(CASE WHEN {north} THEN {nside} - {jm_p} - 1 ELSE {jp_p} END)"
+    iy_p = f"(CASE WHEN {north} THEN {nside} - {jp_p} - 1 ELSE {jm_p} END)"
+    equa = f"(abs({z}) <= 2.0/3.0)"
+    face = f"(CASE WHEN {equa} THEN {face_e} ELSE {face_p} END)"
+    ix = f"(CASE WHEN {equa} THEN {ix_e} ELSE {ix_p} END)"
+    iy = f"(CASE WHEN {equa} THEN {iy_e} ELSE {iy_p} END)"
+    return (
+        f"CAST({face} * {nside * nside}"
+        f" + ({spread(ix)} | ({spread(iy)} << 1)) AS BIGINT)"
+    )
+
+
 def grid_pixel_expr(
     ra: Column | str, dec: Column | str, cell_deg: float = 1.0
 ) -> Column:

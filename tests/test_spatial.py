@@ -283,3 +283,57 @@ def test_healpix_crossmatch_equals_brute_force(spark):
     }
     assert brute, "test fixture should produce at least one match"
     assert got == brute
+
+
+def test_nest_expr_matches_numpy_and_sql(spark):
+    """healpix_nest_expr == ang2pix_nest_np bit-for-bit on random and
+    lattice points; the generated SQL twin (DuckDB) == the expr; the
+    hierarchical prefix pix@64 >> 6 == pix@8 holds on the expr."""
+    import duckdb
+
+    from fink_broker_spark.functions.spatial import (
+        ang2pix_nest_np,
+        healpix_nest_expr,
+        healpix_nest_sql,
+    )
+
+    rng = np.random.RandomState(11)
+    ra = np.concatenate(
+        [rng.uniform(0, 360, 400), (np.arange(0, 3600, 7) / 10.0)]
+    )
+    dec = np.concatenate(
+        [
+            np.degrees(np.arcsin(rng.uniform(-1, 1, 400))),
+            (np.arange(0, 515, 1) % 1200) / 10.0 - 60.0,
+        ]
+    )
+    df = spark.createDataFrame(
+        [(float(r), float(d)) for r, d in zip(ra, dec)],
+        "ra double, dec double",
+    )
+    for nside in (8, 64):
+        expected = ang2pix_nest_np(ra, dec, nside).tolist()
+        got = [
+            r.p
+            for r in df.select(
+                healpix_nest_expr("ra", "dec", nside).alias("p")
+            ).collect()
+        ]
+        assert got == expected, f"expr != numpy at nside={nside}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts (ra DOUBLE, dec DOUBLE)")
+        con.executemany(
+            "INSERT INTO pts VALUES (?, ?)",
+            [(float(r), float(d)) for r, d in zip(ra, dec)],
+        )
+        sql_pix = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {healpix_nest_sql('ra', 'dec', nside)} FROM pts"
+            ).fetchall()
+        ]
+        assert sql_pix == expected, f"sql != numpy at nside={nside}"
+
+    fine = np.asarray(ang2pix_nest_np(ra, dec, 64))
+    coarse = np.asarray(ang2pix_nest_np(ra, dec, 8))
+    assert (fine >> 6 == coarse).all()
