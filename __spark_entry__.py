@@ -2390,6 +2390,93 @@ SELECT doc_id, word, tf, df_docs, rank FROM (
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200 chars, 50 overlap) — the
+    standard context-window prep for training/retrieval corpora. The
+    window starts come from ``sequence`` + ``explode`` (pure codegen;
+    output rows ∝ total corpus chars / stride, shuffle-free until the
+    optional downstream dedup), each chunk carries a portable md5
+    fingerprint so cross-engine identity is checkable without shipping
+    the text twice. At 100 TB chunking is a map-only stage — the plan
+    here is exactly that: scan → generate → project, no exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    stride, size = 150, 200
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text"), F.lit(1)),
+                    F.lit(stride),
+                )
+            ).alias("start"),
+        )
+        .withColumn("chunk", F.expr(f"substr(text, start, {size})"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.length("chunk").alias("chunk_chars"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+SELECT doc_id,
+       CAST((s - 1) // 150 AS INT) AS chunk_idx,
+       length(substr(text, s, 200)) AS chunk_chars,
+       md5(substr(text, s, 200)) AS chunk_md5
+FROM documents,
+     UNNEST(generate_series(1, greatest(length(text), 1), 150)) AS t(s)
+"""
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: tokenize once, build bigrams
+    IN-ARRAY with higher-order functions (``slice`` + indexed
+    ``transform`` — no posexplode self-join, so the only shuffle is the
+    final count aggregate, map-side combinable), explode, count, keep
+    n ≥ 5. The HOF formulation keeps token arrays inside one codegen
+    stage; the self-join alternative would shuffle the exploded token
+    table twice. Threshold filter instead of global top-k so the result
+    set is total-order-free (hash-exact without tie-breaking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda x: F.length(x) >= 2,
+    )
+    d = docs.select(F.col("doc_id"), toks.alias("t"))
+    bigrams = F.transform(
+        F.slice(
+            F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+        ),
+        lambda x, i: F.concat_ws(" ", x, F.element_at("t", i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+ORACLE_BIGRAM_COUNTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 2) AS t
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1 HAVING n >= 5
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two join dimensions of the
     fact table, bucketed to show the layout the archive writer would
@@ -3912,6 +3999,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "cdc_fold": q_cdc_fold,
     "tfidf_topterms": q_tfidf_topterms,
+    "doc_chunks": q_doc_chunks,
+    "bigram_counts": q_bigram_counts,
     "zorder_layout": q_zorder_layout,
     "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
@@ -4015,6 +4104,8 @@ _ORACLES: dict[str, str] = {
     "scd2_history": ORACLE_SCD2_HISTORY,
     "cdc_fold": ORACLE_CDC_FOLD,
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "bigram_counts": ORACLE_BIGRAM_COUNTS,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     # approx_quantiles: sketch estimates are engine-specific -> rows-only;
     # error bound vs exact asserted in tests/test_pipeline_ops.py.
@@ -4086,6 +4177,8 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_history",
     "cdc_fold",
     "tfidf_topterms",
+    "doc_chunks",
+    "bigram_counts",
     "zorder_layout",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
