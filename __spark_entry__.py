@@ -2390,6 +2390,67 @@ SELECT doc_id, word, tf, df_docs, rank FROM (
 """
 
 
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-k deterministic 'reservoir': the k rows with the
+    smallest md5(event_id) per event_type. Hash-ordering makes the draw
+    (a) uniform-ish, (b) stable across engines and cluster sizes — the
+    property an audit-reproducible training-data sample needs — and (c)
+    expressible as one partitioned window, no global sort. md5 (not
+    xxhash64) because both engines implement identical RFC 1321 hex
+    digests, so the oracle is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "user_id", "rk")
+    )
+
+
+ORACLE_RESERVOIR_SAMPLE = """
+SELECT event_type, event_id, user_id, rk FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+) WHERE rk <= 3
+"""
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram per event_type: NTILE
+    deciles over (value, event_id) — the tie-break column makes the
+    bucket assignment a total order, so both engines bucket identically.
+    One window partitioned by type + one aggregate; the scale caveat is
+    the per-partition sort inside the window, which is the textbook
+    trade for exact equi-depth (the sketch twin is ``approx_quantiles``)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+ORACLE_EQUIDEPTH_HISTOGRAM = """
+SELECT event_type, decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+             ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY event_type, decile
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (200 chars, 50 overlap) — the
     standard context-window prep for training/retrieval corpora. The
@@ -4001,6 +4062,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "doc_chunks": q_doc_chunks,
     "bigram_counts": q_bigram_counts,
+    "reservoir_sample": q_reservoir_sample,
+    "equidepth_histogram": q_equidepth_histogram,
     "zorder_layout": q_zorder_layout,
     "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
@@ -4106,6 +4169,8 @@ _ORACLES: dict[str, str] = {
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "bigram_counts": ORACLE_BIGRAM_COUNTS,
+    "reservoir_sample": ORACLE_RESERVOIR_SAMPLE,
+    "equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     # approx_quantiles: sketch estimates are engine-specific -> rows-only;
     # error bound vs exact asserted in tests/test_pipeline_ops.py.
@@ -4179,6 +4244,8 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_topterms",
     "doc_chunks",
     "bigram_counts",
+    "reservoir_sample",
+    "equidepth_histogram",
     "zorder_layout",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",
@@ -4212,8 +4279,8 @@ _DRIVER_PRIORITY: list[str] = [
     "window_suite",
     "percentiles",
     "filter_fanout",
-    "history_arrays",
-    "dedup_groups",
+    # history_arrays / dedup_groups (r01-green) dropped from the 50-row
+    # sample window in favor of the round-3 never-checked queries
 ]
 
 

@@ -462,3 +462,30 @@ def test_foreach_batch_idempotent_on_replay(spark, tmp_path):
     assert sorted(
         r.batch_id for r in again.select("batch_id").distinct().collect()
     ) == sorted(batch_ids)
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a broadcast
+    static dimension (the reference's per-batch catalog crossmatch shape,
+    fink_broker/ztf/science.py:84-197, minus the UDF) equals the batch
+    join. Stateless — no watermark needed; the dim re-broadcasts per
+    micro-batch."""
+    stage = _stage_events(tmp_path)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("error", "ops"), ("click", "growth")],
+        "event_type string, team string",
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "event_type", "left")
+            .groupBy(F.coalesce("team", F.lit("unassigned")).alias("team"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    streamed = replay_to_table(spark, stage, enrich, output_mode="complete")
+    batch = enrich(spark.read.parquet(stage))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() >= 2
