@@ -478,3 +478,34 @@ def test_dynamic_partition_pruning_on_night_join(spark, tmp_path):
     assert len(rows) == 1
     expected = fact.filter(F.col("year") == min(years)).count()
     assert rows[0]["count"] == expected
+
+
+def test_new_query_plan_shapes(spark):
+    """Pin the shuffle budget the round-3 query docstrings claim:
+    chunking is map-only, the single-aggregate folds and windowed
+    queries shuffle exactly once, tf-idf stays at three exchanges
+    (agg + two window repartitions — no duplicated aggregate subtree)."""
+    import __spark_entry__ as em
+    from tests.conftest import SF001
+
+    budgets = {
+        "doc_chunks": 0,
+        "scd2_history": 1,
+        "cdc_fold": 1,
+        "reservoir_sample": 1,
+        "bigram_counts": 1,
+        "tfidf_topterms": 3,
+    }
+    queries = em.queries()
+    for name, budget in budgets.items():
+        plan = (
+            queries[name](spark, SF001)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = sum(
+            "Exchange" in line and "Broadcast" not in line
+            for line in plan.splitlines()
+        )
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
