@@ -3386,6 +3386,26 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ building block: product-quantized ADC shortlist + exact
+    cosine re-rank (``ext/ann.py:pq_topk``). The memory-bound scale
+    path — codes are ~32× smaller than the float vectors, the scored
+    scan never touches the embeddings, and only |queries|·refine
+    vectors are read exactly. Rows-only driver check (codebook fit is
+    engine-specific); recall ≥ 0.6 and the refine=n ≡ brute-force
+    equality are asserted in tests/test_ext.py."""
+    from fink_broker_spark.ext.ann import pq_codebooks, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=8, ncodes=16, sample_size=1024)
+    out = pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), books, k=5, refine=50
+    )
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rnk")
+    )
+
+
 def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE-frame sliding aggregate: each event sees its
     user's trailing-1-hour event count and decimal-exact value sum —
@@ -4087,6 +4107,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_stack": q_unpivot_stack,
     "schema_defaults": q_schema_defaults,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "pq_ann_topk": q_pq_ann_topk,
     "range_frame_window": q_range_frame_window,
     "window_suite": q_window_suite,
     "percentiles": q_percentiles,
@@ -4250,6 +4271,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bigram_counts",
     "reservoir_sample",
     "equidepth_histogram",
+    "pq_ann_topk",
     "zorder_layout",
     # -- never checked in r01 or r02 --
     "tracklet_candidates",

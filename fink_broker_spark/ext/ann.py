@@ -19,6 +19,7 @@ Two strategies:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -397,3 +398,199 @@ def lsh_topk(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cosine"), F.asc(id_col)], k
     ).select(query_id_col, id_col, "cosine", "rank")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and fit ``ncodes`` k-means centroids per subspace on ONE
+    bounded deterministic sample (drawn exactly like
+    :func:`kmeans_centroids`, reused for every subspace).
+
+    This is a driver-side model fit — sample_size × dim floats — the
+    same cost class as the IVF centroid fit; the corpus itself never
+    moves.
+    """
+    sample = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
+                                     F.lit("#pq-sample"))))
+        .limit(sample_size)
+        .toPandas()
+    )
+    if sample.empty:
+        raise ValueError("pq_codebooks: empty corpus")
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        centers = [xs[rng.integers(len(xs))]]
+        for _ in range(1, min(ncodes, len(xs))):
+            d2 = np.min(
+                [((xs - c) ** 2).sum(axis=1) for c in centers], axis=0
+            )
+            total = d2.sum()
+            centers.append(
+                xs[rng.choice(len(xs), p=d2 / total)]
+                if total > 0
+                else xs[rng.integers(len(xs))]
+            )
+        cent = np.array(centers)
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(len(cent)):
+                members = xs[assign == ci]
+                cent[ci] = (
+                    members.mean(axis=0)
+                    if len(members)
+                    else xs[d2.min(axis=1).argmax()]
+                )
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``array<int>`` PQ code (per-subspace nearest-centroid
+    index) — an Arrow-batched pandas UDF with the codebooks closed over
+    as a broadcast-sized constant. At 100 TB the stored code is
+    ``m`` bytes-ish per vector versus ``4·dim`` for the floats: the
+    compression that lets a billion-vector index fit an executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(x), len(books)), dtype=np.int32)
+        for j, cent in enumerate(books):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # ||a-c||² = ||a||² - 2a·c + ||c||²; argmin over codes
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * xs @ cent.T
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _encode(vec_col))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: corpus rows are scored by summed
+    lookup-table distances of their PQ codes against each query's
+    per-subspace distance table, then the best ``refine`` candidates
+    per query re-rank by EXACT cosine.
+
+    100 TB shape: queries and their m×ncodes lookup tables broadcast
+    (tiny); each corpus partition scores its codes with pure numpy
+    gather-sums inside ``mapInPandas`` — no shuffle until the per-query
+    candidate heap (``refine`` rows per query per partition at most);
+    the exact re-rank touches only |queries|·refine vectors. The code
+    column is the only thing scanned besides the id — at 8 bytes per
+    vector the scan is ~32× lighter than the float embeddings.
+    """
+    from fink_broker_spark.functions.vector import cosine_expr as _cos
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    qpd = queries.select(id_col, vec_col).toPandas()
+    qids = qpd[id_col].to_numpy()
+    qx = np.array([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]])
+    # per-query, per-subspace, per-code squared-distance lookup tables
+    luts = np.stack(
+        [
+            (qx[:, j * sub : (j + 1) * sub][:, None, :] - cent[None, :, :])
+            .__pow__(2)
+            .sum(axis=2)
+            for j, cent in enumerate(books)
+        ],
+        axis=1,
+    )  # shape: (Q, m, ncodes)
+
+    coded = pq_encode(corpus, codebooks, vec_col=vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(list(pdf["pq_code"]), dtype=np.int64)
+            if not len(codes):
+                continue
+            # gather-sum: approx_d[q, n] = Σ_j lut[q, j, codes[n, j]]
+            out_frames = []
+            for qi in range(len(qids)):
+                d = luts[qi][np.arange(len(books))[None, :], codes].sum(
+                    axis=1
+                )
+                take = min(refine, len(d))
+                idx = np.argpartition(d, take - 1)[:take]
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "cand_id": pdf["__cid"].to_numpy()[idx],
+                            "approx_d": d[idx],
+                        }
+                    )
+                )
+            yield pd.concat(out_frames)
+
+    cands = coded.select(
+        F.col(id_col).alias("__cid"), "pq_code"
+    ).mapInPandas(
+        score, "query_id long, cand_id long, approx_d double"
+    )
+    # keep the best `refine` per query globally, then exact re-rank
+    shortlist = top_k_per_group(
+        cands.filter(F.col("query_id") != F.col("cand_id")),
+        ["query_id"],
+        [F.asc("approx_d"), F.asc("cand_id")],
+        refine,
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cvec")
+    )
+    exact = (
+        shortlist.join(cvec, "cand_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias(id_col),
+            _cos("__cvec", "__qvec").alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        exact, ["query_id"], [F.desc("cosine"), F.asc(id_col)], k
+    ).select("query_id", id_col, "cosine", "rank")

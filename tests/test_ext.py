@@ -237,3 +237,37 @@ def test_pca_rejects_out_of_range_k(spark):
         fit_pca_model(df, k=5)
     with pytest.raises(ValueError, match="out of range"):
         fit_pca_model(df, k=0)
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """IVF-PQ building block: ADC shortlist + exact re-rank must recover
+    most of the exact top-k. With refine >= corpus the result must EQUAL
+    brute force exactly (the approx stage then only orders the
+    shortlist, and the re-rank is exact)."""
+    from fink_broker_spark.ext.ann import pq_codebooks, pq_topk
+
+    emb = load_table(spark, SF0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks(emb, m=8, ncodes=16, sample_size=500)
+    exact = brute_force_topk(emb, queries, k=5)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    approx = pq_topk(emb, queries, books, k=5, refine=50)
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.6, f"ADC recall {recall:.2f} < 0.6"
+
+    n = emb.count()
+    full = pq_topk(emb, queries, books, k=5, refine=n)
+    full_set = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert full_set == exact_set
+
+
+def test_pq_encode_shape_and_range(spark):
+    from fink_broker_spark.ext.ann import pq_codebooks, pq_encode
+
+    emb = load_table(spark, SF0001, "embeddings")
+    books = pq_codebooks(emb, m=8, ncodes=16, sample_size=300)
+    row = pq_encode(emb, books).select("pq_code").first()
+    assert len(row.pq_code) == 8
+    assert all(0 <= c < 16 for c in row.pq_code)

@@ -31,6 +31,7 @@ def test_all_queries_have_oracle_or_reason():
         "simhash_neardup",
         "stream_dedup_watermark",
         "ivf_ann_topk",
+        "pq_ann_topk",  # codebook fit is engine-specific
         "ann_kernel_topk",
         "approx_cardinality",  # sketch estimates are engine-specific
         "embedding_pca",  # eigendecomposition is not ANSI-expressible
