@@ -56,3 +56,30 @@ class QueryManager:
             if q.isActive:
                 q.stop()
         return counts
+
+
+def with_observed_metrics(df, name: str, *metric_cols):
+    """Attach named observable metrics to a (batch or streaming) plan.
+
+    The reference monitors per-batch input counts by scraping
+    ``lastProgress`` (the dashboard path behind ``bin/fink:215-228``);
+    ``Dataset.observe`` is the engine-native version — aggregates
+    computed INSIDE the running plan (no second scan, no extra action)
+    and surfaced per micro-batch in ``StreamingQueryProgress
+    .observedMetrics`` or, for batch, via QueryExecutionListener. Use
+    counting/sum/min/max expressions only (must be aggregates)."""
+    return df.observe(name, *metric_cols)
+
+
+def pop_observed_metrics(query, name: str) -> list[dict]:
+    """Collect the observed-metrics rows named ``name`` from every
+    recorded micro-batch progress of ``query`` (oldest first)."""
+    out: list[dict] = []
+    for p in query.recentProgress:
+        om = p.get("observedMetrics") if isinstance(p, dict) else None
+        if om is None and hasattr(p, "observedMetrics"):
+            om = p.observedMetrics
+        if om and name in om:
+            row = om[name]
+            out.append(row.asDict() if hasattr(row, "asDict") else dict(row))
+    return out

@@ -489,3 +489,32 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         map(tuple, batch.collect())
     )
     assert streamed.count() >= 2
+
+
+def test_observed_metrics_per_microbatch(spark, tmp_path):
+    """Dataset.observe surfaces in-plan aggregates per micro-batch — the
+    no-extra-scan monitoring path. The observed row count across batches
+    must equal the staged input exactly."""
+    from fink_broker_spark.streaming.manager import (
+        pop_observed_metrics,
+        with_observed_metrics,
+    )
+
+    stage = _stage_events(tmp_path)
+    sdf = with_observed_metrics(
+        file_stream(spark, stage),
+        "ingest",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+    q = run_stream(
+        sdf.select("event_id"),
+        output_mode="append",
+        available_now=True,
+        fmt="memory",
+        query_name="obs_test",
+    )
+    q.awaitTermination(120)
+    metrics = pop_observed_metrics(q, "ingest")
+    assert metrics, "no observed metrics recorded"
+    assert sum(m["n_rows"] for m in metrics) == 1000
