@@ -176,6 +176,21 @@ def cmd_archive(args):
     compacted = os.path.join(args.archive_prefix, f"night={args.night}")
     df = scan_parquet(spark, night_dir)
     nparts = compact_night(df, compacted, mode="overwrite")
+    if getattr(args, "zorder", None):
+        # rewrite the compacted night clustered on the Morton key of two
+        # columns (plans/zorder.py): per-file min/max stats then prune
+        # two-dimensional scans (pixel × time being the astronomy case);
+        # staged + swapped so a crash leaves the plain compaction serving
+        from fink_broker_spark.plans.zorder import write_zordered
+
+        xcol, ycol = (c.strip() for c in args.zorder.split(",", 1))
+        zbuild = compacted + "__zordering"
+        hfs.delete(spark, zbuild)
+        write_zordered(
+            scan_parquet(spark, compacted), zbuild, xcol, ycol, nparts
+        )
+        hfs.delete(spark, compacted)
+        hfs.rename(spark, zbuild, compacted)
     out = scan_parquet(spark, compacted)
     stats = nightly_statistics(out).collect()[0].asDict()
     stats["compaction_partitions"] = nparts
@@ -252,6 +267,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-chunk_files", type=int, default=10,
                    help="files per index-build step (reference: 10 ZTF / "
                         "100 Rubin)")
+    p.add_argument("-zorder", default=None, metavar="XCOL,YCOL",
+                   help="rewrite the compacted night range-clustered on "
+                        "the Morton key of two columns (two-dimensional "
+                        "file pruning)")
     _common(p)
     p.add_argument("-science_prefix", required=True)
     p.add_argument("-archive_prefix", required=True)

