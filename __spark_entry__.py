@@ -2151,6 +2151,54 @@ GROUP BY s_name
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand whose quantity is below 20% of that part's average. The
+    correlated scalar subquery becomes a per-part (count, sum) aggregate
+    joined back; the fractional-average predicate cross-multiplies to
+    exact DECIMAL integer arithmetic (``5·qty·cnt < sum``, since
+    0.2 = 1/5) so no engine's division rounding can flip a boundary
+    row. The brand filter pushes to the part scan and shrinks the join's
+    build side to one brand before any wide row exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).alias("sq"),
+    )
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(
+            _dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sq")
+        )
+    )
+    return qualifying.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(_dec("l_extendedprice")) / F.lit(7), 2)
+        .cast("double")
+        .alias("avg_yearly"),
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey AS pk, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(18,9))) AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9))) / 7, 2)
+            AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
+JOIN pa ON l.l_partkey = pa.pk
+WHERE CAST(l.l_quantity AS DECIMAL(18,9)) * cnt * 5 < sq
+"""
+
+
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): customers with
     above-average positive balance and no recent order, grouped by
@@ -4079,6 +4127,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "large_orders": q_large_orders,
     "sole_late_supplier": q_sole_late_supplier,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "idle_customers": q_idle_customers,
     "pareto_frontier": q_pareto_frontier,
     "scd2_history": q_scd2_history,
@@ -4187,6 +4236,7 @@ _ORACLES: dict[str, str] = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
     "large_orders": ORACLE_LARGE_ORDERS,
     "sole_late_supplier": ORACLE_SOLE_LATE_SUPPLIER,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
     "pareto_frontier": ORACLE_PARETO_FRONTIER,
     "scd2_history": ORACLE_SCD2_HISTORY,
@@ -4304,9 +4354,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_ann_topk",
     "window_suite",
     "percentiles",
-    "filter_fanout",
-    # history_arrays / dedup_groups (r01-green) dropped from the 50-row
-    # sample window in favor of the round-3 never-checked queries
+    "small_quantity_revenue",
+    # filter_fanout / history_arrays / dedup_groups (r01-green) dropped
+    # from the 50-row sample window in favor of round-3 never-checked
 ]
 
 
