@@ -518,3 +518,54 @@ def test_observed_metrics_per_microbatch(spark, tmp_path):
     metrics = pop_observed_metrics(q, "ingest")
     assert metrics, "no observed metrics recorded"
     assert sum(m["n_rows"] for m in metrics) == 1000
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Kill a streaming query after its first micro-batch; a new query on
+    the SAME checkpoint must resume from the recorded offset — every
+    input row lands in the sink exactly once across the two runs (the
+    reference's nightly stop/start cycle, bin/fink:31-160)."""
+    from fink_broker_spark.sinks.parquet import idempotent_foreach_batch
+
+    # two source files so the stream has two micro-batches to split
+    ev = load_table(spark, SF0001, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    stage = str(tmp_path / "src")
+    ev.repartition(2).write.parquet(stage)
+    total = ev.count()
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    writer = idempotent_foreach_batch(out)
+
+    q1 = run_stream(
+        file_stream(spark, stage, max_files_per_trigger=1),
+        checkpoint_dir=ckpt,
+        output_mode="append",
+        fmt=None,
+        foreach_batch=writer,
+    )
+    # wait for the first committed batch, then kill mid-stream
+    deadline = __import__("time").monotonic() + 60
+    while __import__("time").monotonic() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        __import__("time").sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(30)
+    first = spark.read.parquet(out).count()
+    assert 0 < first
+
+    q2 = run_stream(
+        file_stream(spark, stage, max_files_per_trigger=1),
+        checkpoint_dir=ckpt,
+        output_mode="append",
+        fmt=None,
+        foreach_batch=writer,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == total  # no loss, no duplication
+    assert final.select("event_id").distinct().count() == total
