@@ -3534,6 +3534,40 @@ SELECT * FROM (
 """
 
 
+def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window family (percent_rank, cume_dist,
+    nth_value over an explicit running frame) — the remaining §2.7
+    ranking functions ``window_suite`` doesn't carry. Both fractions
+    are exact rationals of (rank, n) so the doubles agree bit-for-bit;
+    the unique event_id tie-break pins every position."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 2).over(wf).alias("second_low"),
+    )
+
+
+ORACLE_DISTRIBUTION_RANKS = """
+SELECT event_type, event_id, value,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(value, 2) OVER (PARTITION BY event_type
+           ORDER BY value, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_low
+FROM events
+WHERE event_id < 2000
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (``percentile`` is
     JVM-exact and matches ``quantile_cont``; the scale path swaps in
@@ -4159,6 +4193,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_topk": q_pq_ann_topk,
     "range_frame_window": q_range_frame_window,
     "window_suite": q_window_suite,
+    "distribution_ranks": q_distribution_ranks,
     "percentiles": q_percentiles,
     "filter_fanout": q_filter_fanout,
     "json_extract": q_json_extract,
@@ -4237,6 +4272,7 @@ _ORACLES: dict[str, str] = {
     "large_orders": ORACLE_LARGE_ORDERS,
     "sole_late_supplier": ORACLE_SOLE_LATE_SUPPLIER,
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "distribution_ranks": ORACLE_DISTRIBUTION_RANKS,
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
     "pareto_frontier": ORACLE_PARETO_FRONTIER,
     "scd2_history": ORACLE_SCD2_HISTORY,
@@ -4353,8 +4389,8 @@ _DRIVER_PRIORITY: list[str] = [
     "schema_defaults",
     "ivf_ann_topk",
     "window_suite",
-    "percentiles",
     "small_quantity_revenue",
+    "distribution_ranks",
     # filter_fanout / history_arrays / dedup_groups (r01-green) dropped
     # from the 50-row sample window in favor of round-3 never-checked
 ]
