@@ -569,3 +569,81 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == total  # no loss, no duplication
     assert final.select("event_id").distinct().count() == total
+
+
+def test_stream_stream_left_outer_join_emits_null_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    range join, and unmatched left rows whose join window closed before
+    the final watermark are emitted exactly once with a NULL right side
+    (the state-eviction semantics that bound outer-join state)."""
+    from fink_broker_spark.core.time import ensure_event_ts
+    from fink_broker_spark.streaming.join import stream_stream_join
+    from fink_broker_spark.streaming.replay import run_stream
+
+    stage = _stage_events(tmp_path)
+
+    def sides(df):
+        df = ensure_event_ts(df)
+        left = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        right = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return left, right
+
+    sl, sr = sides(file_stream(spark, stage))
+    joined = stream_stream_join(
+        sl, sr, on=["uid"], left_time="l_ts", right_time="r_ts",
+        tolerance="1 hour", watermark="2 hours", how="leftOuter",
+    ).select("l_id", "r_id")
+    q = run_stream(joined, available_now=True, query_name="ssj_outer")
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    streamed = sorted(
+        map(tuple, spark.table("ssj_outer").collect())
+    )
+    assert len(streamed) == len(set(streamed))  # exactly-once emission
+
+    bl, br = sides(spark.read.parquet(stage))
+    matched = set(
+        map(
+            tuple,
+            bl.join(
+                br,
+                (bl.uid == br.uid)
+                & (br.r_ts >= bl.l_ts - F.expr("INTERVAL 1 hour"))
+                & (br.r_ts <= bl.l_ts + F.expr("INTERVAL 1 hour")),
+            )
+            .select("l_id", "r_id")
+            .collect(),
+        )
+    )
+    got_matched = {t for t in streamed if t[1] is not None}
+    got_null = {t[0] for t in streamed if t[1] is None}
+    assert got_matched == matched
+    # null-side rows are exactly the unmatched lefts whose window closed
+    # before the final watermark (max event time - delay)
+    import datetime
+
+    # the authoritative cutoff is the query's own final watermark (the
+    # derived max_ts - delay overshoots: watermark advancement lags one
+    # trigger behind the data that moved it)
+    wm_str = q.lastProgress["eventTime"]["watermark"]
+    wm = datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+    wm = wm.replace(tzinfo=None)
+    matched_lids = {t[0] for t in matched}
+    eligible = {
+        r.l_id
+        for r in bl.collect()
+        if r.l_id not in matched_lids
+        and r.l_ts + datetime.timedelta(hours=1) < wm
+    }
+    assert eligible <= got_null
+    assert got_null.isdisjoint(matched_lids)
+    assert got_null, "expected some watermark-closed unmatched lefts"
