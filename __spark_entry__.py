@@ -1452,6 +1452,71 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` with a DYNAMIC per-event gap (errors
+    time out in 10 minutes, everything else in 45) — the Spark-only
+    capability the fixed-gap twins can't express: each event extends
+    its session by its own gap, so a session's end is the running max
+    of ``t + gap(event)``. The oracle mirrors that exactly with a
+    1-preceding running-max islands construction (break when the event
+    starts after every previous event's extension)."""
+    gap_col = F.when(
+        F.col("event_type") == "error", F.lit("10 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", nanos_to_micros("ts_ns"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    sess = (
+        ev.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+            "first_event",
+        )
+    )
+    return sess
+
+
+ORACLE_SESSION_DYNAMIC_GAP = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'error' THEN 600000000
+              ELSE 2700000000 END AS g
+  FROM events
+), d AS (
+  SELECT user_id, event_id, t, g,
+         MAX(t + g) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior_end
+  FROM e
+), s AS (
+  SELECT user_id, event_id, t, g,
+         SUM(CASE WHEN prior_end IS NULL OR t > prior_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t + g) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_session_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sessionization, computed imperatively per user group with
     ``applyInPandas`` (§2.12 grouped-map surface) — must match the
@@ -4148,6 +4213,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_lag": q_session_lag,
     "session_applyinpandas": q_session_applyinpandas,
     "session_native": q_session_native,
+    "session_dynamic_gap": q_session_dynamic_gap,
     "nightly_stats": q_nightly_stats,
     "enrich_pipeline": q_enrich_pipeline,
     "classification_cascade": q_classification_cascade,
@@ -4258,6 +4324,7 @@ _ORACLES: dict[str, str] = {
     # the imperative grouped-map variant must match the same oracle
     "session_applyinpandas": ORACLE_SESSIONS,
     "session_native": ORACLE_SESSION_NATIVE,
+    "session_dynamic_gap": ORACLE_SESSION_DYNAMIC_GAP,
     "nightly_stats": ORACLE_NIGHTLY_STATS,
     "enrich_pipeline": ORACLE_ENRICH_PIPELINE,
     "classification_cascade": ORACLE_CASCADE,
@@ -4388,9 +4455,9 @@ _DRIVER_PRIORITY: list[str] = [
     "cube_stats",
     "schema_defaults",
     "ivf_ann_topk",
-    "window_suite",
     "small_quantity_revenue",
     "distribution_ranks",
+    "session_dynamic_gap",
     # filter_fanout / history_arrays / dedup_groups (r01-green) dropped
     # from the 50-row sample window in favor of round-3 never-checked
 ]
