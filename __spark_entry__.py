@@ -2611,6 +2611,41 @@ FROM documents,
 """
 
 
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking computed by a Spark 4 Python UDTF in a LATERAL
+    join — the §2.12 table-function surface (one input row → N output
+    rows with imperative logic), sharing ``doc_chunks``'s oracle so the
+    twins cannot drift. Python's hashlib md5 over UTF-8 bytes equals
+    both engines' ``md5``; slicing is by code points, matching
+    ``substr`` character semantics. The declarative sequence+explode
+    form remains the recommended plan (codegen, no Python workers);
+    this pins the escape hatch's correctness for logic that genuinely
+    needs imperative row expansion."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            text = text or ""
+            for start in range(0, max(len(text), 1), 150):
+                chunk = text[start : start + 200]
+                yield (
+                    start // 150,
+                    len(chunk),
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_chars, c.chunk_md5 "
+        "FROM __docs_for_udtf d, LATERAL chunk_udtf(d.text) c"
+    )
+
+
 def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram language-model counts: tokenize once, build bigrams
     IN-ARRAY with higher-order functions (``slice`` + indexed
@@ -4234,6 +4269,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_fold": q_cdc_fold,
     "tfidf_topterms": q_tfidf_topterms,
     "doc_chunks": q_doc_chunks,
+    "doc_chunks_udtf": q_doc_chunks_udtf,
     "bigram_counts": q_bigram_counts,
     "reservoir_sample": q_reservoir_sample,
     "equidepth_histogram": q_equidepth_histogram,
@@ -4346,6 +4382,8 @@ _ORACLES: dict[str, str] = {
     "cdc_fold": ORACLE_CDC_FOLD,
     "tfidf_topterms": ORACLE_TFIDF_TOPTERMS,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    # the UDTF twin must hash-match the same oracle as the declarative form
+    "doc_chunks_udtf": ORACLE_DOC_CHUNKS,
     "bigram_counts": ORACLE_BIGRAM_COUNTS,
     "reservoir_sample": ORACLE_RESERVOIR_SAMPLE,
     "equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
@@ -4452,7 +4490,7 @@ _DRIVER_PRIORITY: list[str] = [
     "serialize_roundtrip",
     "asof_join",
     "cone_crossmatch",
-    "cube_stats",
+    "doc_chunks_udtf",
     "schema_defaults",
     "ivf_ann_topk",
     "small_quantity_revenue",
