@@ -2507,6 +2507,92 @@ SELECT doc_id, word, tf, df_docs, rank FROM (
 """
 
 
+def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's stored partial
+    aggregates merge with today's delta WITHOUT rescanning history —
+    count and decimal sum are mergeable partials (the property every
+    nightly-statistics table should be stored in; the reference
+    recomputes its stats tables from scratch each night,
+    ``bin/ztf/archive_statistics.py``). The query splits events on an
+    id midpoint, aggregates each half independently, merges, and the
+    oracle is the direct full aggregate — proving merge(partials) ≡
+    aggregate(all), the algebra that makes 100 TB stats O(one night)
+    per night."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = 5000
+    half = lambda pred: (  # noqa: E731 — two independent partial aggs
+        ev.filter(pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).alias("sv"),
+        )
+    )
+    partials = half(F.col("event_id") < mid).unionByName(
+        half(F.col("event_id") >= mid)
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL_STATS = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: each probe string resolves to its
+    closest supplier name by Levenshtein distance (both engines
+    implement the identical DP, so the integer distances hash-match).
+    The probe side broadcasts (tiny × corpus nested-loop — the honest
+    plan for sub-linear-unfriendly edit distance); the argmin carries a
+    zero-padded ``dist|name`` composite through a plain MIN (one
+    map-side-combinable aggregate, no sort, and unlike min_by the
+    composite form exists identically in both engines). The
+    data-cleaning op every entity-resolution pipeline needs before
+    exact joins apply."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    probes = spark.createDataFrame(
+        [("Supplier#13",), ("Suplier#42",), ("SUPPLIER#7",), ("Supp#0001",)],
+        "probe string",
+    )
+    scored = supp.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        F.format_string(
+            "%08d|%s", F.levenshtein("probe", "s_name"), F.col("s_name")
+        ).alias("k"),
+    )
+    best = scored.groupBy("probe").agg(F.min("k").alias("k"))
+    return best.select(
+        "probe",
+        F.substring("k", 1, 8).cast("int").alias("best_dist"),
+        F.expr("substr(k, 10)").alias("best_name"),
+    )
+
+
+ORACLE_FUZZY_NAME_MATCH = """
+WITH probes(probe) AS (
+  VALUES ('Supplier#13'), ('Suplier#42'), ('SUPPLIER#7'), ('Supp#0001')
+), best AS (
+  SELECT probe,
+         MIN(printf('%08d|%s', levenshtein(probe, s_name), s_name)) AS k
+  FROM supplier CROSS JOIN probes
+  GROUP BY probe
+)
+SELECT probe, CAST(substr(k, 1, 8) AS INT) AS best_dist,
+       substr(k, 10) AS best_name
+FROM best
+"""
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact-k deterministic 'reservoir': the k rows with the
     smallest md5(event_id) per event_type. Hash-ordering makes the draw
@@ -4273,6 +4359,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_counts": q_bigram_counts,
     "reservoir_sample": q_reservoir_sample,
     "equidepth_histogram": q_equidepth_histogram,
+    "incremental_stats": q_incremental_stats,
+    "fuzzy_name_match": q_fuzzy_name_match,
     "zorder_layout": q_zorder_layout,
     "approx_quantiles": q_approx_quantiles,
     "tracklet_clusters": q_tracklet_clusters,
@@ -4387,6 +4475,8 @@ _ORACLES: dict[str, str] = {
     "bigram_counts": ORACLE_BIGRAM_COUNTS,
     "reservoir_sample": ORACLE_RESERVOIR_SAMPLE,
     "equidepth_histogram": ORACLE_EQUIDEPTH_HISTOGRAM,
+    "incremental_stats": ORACLE_INCREMENTAL_STATS,
+    "fuzzy_name_match": ORACLE_FUZZY_NAME_MATCH,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     # approx_quantiles: sketch estimates are engine-specific -> rows-only;
     # error bound vs exact asserted in tests/test_pipeline_ops.py.
@@ -4488,8 +4578,8 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_features",
     "stream_dedup_watermark",
     "serialize_roundtrip",
-    "asof_join",
-    "cone_crossmatch",
+    "incremental_stats",
+    "fuzzy_name_match",
     "doc_chunks_udtf",
     "schema_defaults",
     "ivf_ann_topk",

@@ -647,3 +647,41 @@ def test_stream_stream_left_outer_join_emits_null_rows(spark, tmp_path):
     assert eligible <= got_null
     assert got_null.isdisjoint(matched_lids)
     assert got_null, "expected some watermark-closed unmatched lefts"
+
+
+def test_session_dynamic_gap_stream_equals_batch(spark, tmp_path):
+    """Dynamic per-event-gap session_window: the watermarked stream
+    drains to the same session set the batch plan computes (error
+    events time out in 10 minutes, the rest in 45)."""
+    from fink_broker_spark.streaming.replay import replay_to_table
+
+    stage = _stage_events(tmp_path)
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+
+    def sess(df, streaming):
+        from fink_broker_spark.core.time import ensure_event_ts
+
+        staged = ensure_event_ts(df)
+        if streaming:
+            staged = staged.withWatermark("ts", "1 hour")
+        return (
+            staged.groupBy("user_id", F.session_window(F.col("ts"), gap))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("ws"),
+                F.col("session_window.end").alias("we"),
+                "n",
+            )
+        )
+
+    streamed = replay_to_table(
+        spark, stage, lambda df: sess(df, True), output_mode="complete"
+    )
+    batch = sess(spark.read.parquet(stage), False)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert streamed.count() > 0
