@@ -1,0 +1,63 @@
+"""Spark 4 Python DataSource: the custom alert-replay format."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fink_broker_spark.sources.alert_source import (
+    _EVENT_TYPES,
+    _mix,
+    register,
+)
+
+
+def _read(spark, **opts):
+    register(spark)
+    r = spark.read.format("alert_replay")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_alert_source_partition_parallel_and_deterministic(spark):
+    df = _read(spark, rows=500, partitions=5, seed=7)
+    assert df.count() == 500
+    # generation really fans out: one task slice per requested partition
+    assert df.select(F.spark_partition_id()).distinct().count() == 5
+    # bit-identical across reads (the property oracle checks rely on)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, _read(spark, rows=500, partitions=5, seed=7).collect()))
+    assert a == b
+    # a different seed produces different content, same shape
+    c = sorted(map(tuple, _read(spark, rows=500, partitions=5, seed=8).collect()))
+    assert c != a and len(c) == 500
+
+
+def test_alert_source_content_matches_reference_mix(spark):
+    """Executor-side generation == the same splitmix64 recipe run on the
+    driver: the format is a contract, not a black box."""
+    rows = 50
+    df = _read(spark, rows=rows, partitions=3, seed=42).orderBy("event_id")
+    got = [(r.event_id, r.user_id, r.event_type, r.value) for r in df.collect()]
+    expected = []
+    for i in range(rows):
+        h = _mix(i ^ (42 << 32))
+        expected.append(
+            (
+                i,
+                h % 1000,
+                _EVENT_TYPES[(h >> 10) % len(_EVENT_TYPES)],
+                ((h >> 16) % 1_000_000) / 1000.0,
+            )
+        )
+    assert got == expected
+
+
+def test_alert_source_composes_with_engine_operators(spark):
+    """The format is a first-class scan: grouped aggregates and filters
+    compose like any other source."""
+    df = _read(spark, rows=2000, partitions=8)
+    agg = df.filter(F.col("value") >= 0).groupBy("event_type").count()
+    rows = {r.event_type: r["count"] for r in agg.collect()}
+    assert set(rows) <= set(_EVENT_TYPES)
+    assert sum(rows.values()) == 2000
