@@ -18,7 +18,12 @@ needs from any source.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -80,8 +85,40 @@ class AlertReplayReader(DataSourceReader):
             )
 
 
+class AlertReplayStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch replay: offsets are plain row indices, each trigger
+    serves up to ``rows_per_batch`` rows, exhausting at ``rows`` — the
+    bounded-drain analog of the reference's ``maxOffsetsPerTrigger``
+    backpressure on its Kafka consumer. Offsets are a dict (checkpoint-
+    JSON-serializable) so restart-from-checkpoint resumes mid-replay."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 250))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _gen(self, start: int, end: int) -> list:
+        # materialized: Spark's prefetch cache copy.copy()s the returned
+        # iterator, which works for list iterators but not generators
+        part = _Slice(start, end, self.seed)
+        return list(AlertReplayReader({"seed": str(self.seed)}).read(part))
+
+    def read(self, start):
+        lo = int(start["idx"])
+        hi = min(lo + self.per_batch, self.rows)
+        return iter(self._gen(lo, hi)), {"idx": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._gen(int(start["idx"]), int(end["idx"])))
+
+
 class AlertReplaySource(DataSource):
-    """``spark.read.format("alert_replay").option("rows", N).load()``."""
+    """``spark.read.format("alert_replay").option("rows", N).load()``
+    and ``spark.readStream.format("alert_replay")...`` (micro-batch
+    replay with per-trigger backpressure)."""
 
     @classmethod
     def name(cls):
@@ -101,6 +138,9 @@ class AlertReplaySource(DataSource):
 
     def reader(self, schema):
         return AlertReplayReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return AlertReplayStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -61,3 +61,39 @@ def test_alert_source_composes_with_engine_operators(spark):
     rows = {r.event_type: r["count"] for r in agg.collect()}
     assert set(rows) <= set(_EVENT_TYPES)
     assert sum(rows.values()) == 2000
+
+
+def test_alert_source_streaming_microbatch_replay(spark):
+    """The streaming face of the format: micro-batch replay with
+    per-trigger backpressure drains the identical rows the batch scan
+    produces, across multiple triggers."""
+    import time
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("alert_replay")
+        .option("rows", 600)
+        .option("rows_per_batch", 200)
+        .option("seed", 3)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("alert_stream")
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if spark.table("alert_stream").count() >= 600:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    streamed = sorted(map(tuple, spark.table("alert_stream").collect()))
+    batch = sorted(
+        map(tuple, _read(spark, rows=600, partitions=4, seed=3).collect())
+    )
+    assert streamed == batch
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
