@@ -43,3 +43,17 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema) > 0
+
+
+def test_driver_priority_names_resolve():
+    """A typo in _DRIVER_PRIORITY silently drops a query from the
+    driver's 50-row sample window (the ordering filters unknown names);
+    every entry must be a real query and unique."""
+    priority = entrymod._DRIVER_PRIORITY
+    queries = set(entrymod.queries())
+    unknown = [n for n in priority if n not in queries]
+    assert not unknown, f"priority names not in queries(): {unknown}"
+    assert len(priority) == len(set(priority))
+    assert len(priority) <= 50  # the driver's per-round sample size
+    # priority names must actually come FIRST in iteration order
+    assert list(entrymod.queries())[: len(priority)] == priority
