@@ -47,6 +47,38 @@ def spread_bits_expr(col: Column | str, bits: int = 16) -> Column:
     return x
 
 
+def compact_bits_expr(col: Column | str, bits: int = 16) -> Column:
+    """Inverse of :func:`spread_bits_expr`: collect the even-position
+    bits back into a dense integer (the decode path when a stored
+    Morton key must be split back into its dimensions, e.g. reading a
+    serving table's key range back as per-dimension bounds)."""
+    if bits > 16:
+        raise ValueError("compact_bits_expr supports at most 16 bits")
+    c = F.col(col) if isinstance(col, str) else col
+    x = c.cast("long").bitwiseAND(F.lit(0x55555555).cast("long"))
+    for shift, mask in reversed(_SPREAD_STEPS):
+        # undo each spreading step: fold the bit pairs back together
+        prev_mask = {8: 0x0000FFFF, 4: 0x00FF00FF, 2: 0x0F0F0F0F,
+                     1: 0x33333333}[shift]
+        x = (
+            x.bitwiseOR(F.shiftrightunsigned(x, shift))
+            .bitwiseAND(F.lit(prev_mask).cast("long"))
+        )
+    return x
+
+
+def zorder_decode_exprs(
+    zcol: Column | str, bits: int = 16
+) -> tuple[Column, Column]:
+    """(x, y) back from a Morton key — x from even bit positions, y
+    from odd."""
+    z = F.col(zcol) if isinstance(zcol, str) else zcol
+    return (
+        compact_bits_expr(z, bits),
+        compact_bits_expr(F.shiftrightunsigned(z.cast("long"), 1), bits),
+    )
+
+
 def zorder_key_expr(
     xcol: Column | str, ycol: Column | str, bits: int = 16
 ) -> Column:

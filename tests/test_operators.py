@@ -509,3 +509,26 @@ def test_new_query_plan_shapes(spark):
             for line in plan.splitlines()
         )
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_zorder_decode_roundtrips(spark):
+    """Property: decode(encode(x, y)) == (x, y) for random 16-bit pairs —
+    the serving-key read-back path."""
+    import numpy as np
+
+    from fink_broker_spark.plans.zorder import (
+        zorder_decode_exprs,
+        zorder_key_expr,
+    )
+
+    rng = np.random.RandomState(23)
+    pairs = [
+        (int(x), int(y))
+        for x, y in zip(
+            rng.randint(0, 1 << 16, 300), rng.randint(0, 1 << 16, 300)
+        )
+    ] + [(0, 0), (65535, 65535), (65535, 0), (0, 65535)]
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    dx, dy = zorder_decode_exprs(zorder_key_expr("x", "y"))
+    rows = df.select("x", "y", dx.alias("rx"), dy.alias("ry")).collect()
+    assert all(r.x == r.rx and r.y == r.ry for r in rows)
