@@ -197,3 +197,100 @@ def repetition_metrics(
         F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
         F.max("__cnt").cast("bigint").alias("top_token_count"),
     )
+
+
+def temperature_shares(
+    df: DataFrame, source_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: per-source sampling shares
+    ``count^alpha / Σ count^alpha`` (the multilingual/multi-source
+    up-weighting rule from the mT5/XLM-R line of work — alpha < 1 damps
+    dominant sources, boosts the tail).
+
+    Output: ``source, n_docs, weight, share, quota`` where ``quota`` is
+    the per-epoch document draw at the original corpus size.
+
+    Determinism note: the share denominator is a sum of doubles, and
+    float addition is order-sensitive; a plain ``SUM() OVER ()`` leaves
+    the addition order to the engine.  Sources are few (a mixture table,
+    not data), so the denominator is folded LEFT-TO-RIGHT over the
+    source-sorted weight list — ``aggregate(sort_array(collect_list(...)))``
+    here, ``list_reduce(list(... ORDER BY ...))`` in the oracle — making
+    the full IEEE operation tree identical on any engine.  Scale: one
+    group-aggregate over the corpus, then all arithmetic happens on the
+    ≤ #sources-row mixture table."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # alpha = 0.5 goes through sqrt, which IEEE 754 requires to be
+    # correctly rounded (bit-identical on every engine); pow(x, 0.5)
+    # carries no such guarantee and can differ by an ulp across libms
+    if float(alpha) == 0.5:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    weighted = counts.select(source_col, "n_docs", w.alias("weight"))
+    folded = weighted.select(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(source_col), F.col("weight")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["weight"],
+        ).alias("denom")
+    )
+    # corpus size = Σ n_docs: integer addition is exact and
+    # order-independent, so a plain windowless SUM is safe (and avoids a
+    # second scan of the corpus)
+    totals = weighted.groupBy().agg(F.sum("n_docs").alias("total"))
+    return (
+        weighted.crossJoin(F.broadcast(folded))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_docs",
+            "weight",
+            (F.col("weight") / F.col("denom")).alias("share"),
+            F.floor(
+                F.col("weight")
+                / F.col("denom")
+                * F.col("total").cast("double")
+            ).cast("bigint").alias("quota"),
+        )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch permutes the
+    corpus reproducibly without a global sort.
+
+    Each row hashes to ``(shard, order_key)`` via a Knuth multiplicative
+    mix of (id, epoch) — plain 64-bit-safe integer arithmetic, so the
+    permutation replays identically on any engine and any cluster
+    layout (no rand(), no partition-id dependence).  The position is a
+    ``row_number`` WITHIN the shard: a window partitioned by shard is a
+    distributed sort of #rows/n_shards-sized groups, unlike a global
+    ``ORDER BY`` whose single ordered window would serialize 100 TB
+    through one task.  Readers stream shards in shard order for a
+    deterministic global order, or round-robin shards for the usual
+    sharded-loader semantics."""
+    k = F.col(id_col).cast("bigint")
+    mixed = (
+        F.pmod(k, F.lit(1_000_003)) * F.lit(2_654_435_761)
+        + F.lit(int(epoch)) * F.lit(97_003)
+    )
+    h = F.pmod(mixed, F.lit(2_147_483_647))
+    shard = F.pmod(h, F.lit(int(n_shards)))
+    win = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            h.alias("order_key"),
+        )
+        .withColumn("position", F.row_number().over(win))
+        .select(id_col, "shard", "position")
+    )

@@ -87,3 +87,107 @@ def hll_merged_estimate(
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("estimate")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (deterministic, ANSI-expressible)
+# --------------------------------------------------------------------------
+#
+# HLL answers "how many distinct"; the count-min sketch answers "how often
+# does THIS key occur" in fixed memory — the heavy-hitters / frequent-items
+# primitive a corpus pipeline uses to spot dominating URLs, boilerplate
+# fingerprints, or hot users without shuffling every distinct key.  The
+# sketch here is a (depth × width) counter grid held as ROWS
+# ``(r, pos, counter)``: building it is one group-aggregate (map-side
+# partials combine, shuffle volume ≤ depth·width rows per partition —
+# constant, not ∝ keys), merging two sketches is union + sum (associative,
+# so nightly sketches roll up to monthly ones), and estimation is a
+# broadcast join of the probe keys against depth·width rows.
+#
+# The row hashes are Knuth multiplicative mixes on a bounded residue of
+# the key — NOT xxhash/murmur — precisely so the construction is plain
+# 64-bit-safe integer arithmetic any ANSI engine reproduces bit-for-bit:
+# the DuckDB oracle builds the *same* sketch and the estimates compare
+# exactly.  (residue < 1e6+3 and primes < 2^31 keep every product below
+# 2^62: no overflow under Spark's ANSI mode.)
+
+_CMS_MOD = 1_000_003
+_CMS_PRIMES = (2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263)
+_CMS_SEEDS = (0, 40_503, 88_057, 126_611)
+
+
+def cms_position(key, row: int, width: int):
+    """Column: the row-``row`` counter index for an integral key."""
+    k = (F.col(key) if isinstance(key, str) else key).cast("bigint")
+    residue = F.pmod(k, F.lit(_CMS_MOD))
+    mixed = residue * F.lit(_CMS_PRIMES[row]) + F.lit(_CMS_SEEDS[row])
+    return F.pmod(mixed, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 512
+) -> DataFrame:
+    """Build the sketch: rows ``(r, pos, counter)``.
+
+    One scan, one aggregate; each input row contributes ``depth``
+    (r, pos) increments via an inline-array explode (row expansion is
+    depth×, but partial aggregation collapses it map-side to ≤
+    depth·width rows per partition before the shuffle)."""
+    assert depth <= len(_CMS_PRIMES), "depth exceeds available hash rows"
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                cms_position(key_col, r, width).alias("pos"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(positions).alias("rp"))
+        .groupBy(F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of identical (depth, width): union + sum."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "pos")
+        .agg(F.sum("counter").alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each probe key: min over rows of its counters.
+
+    The sketch is ≤ depth·width rows — broadcast it; probes stream
+    through a hash join and a per-key min aggregate.  Estimates are
+    biased UP only (collisions add), so ``est >= true`` always."""
+    probe_pos = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_position(key_col, r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rp"),
+    ).select(key_col, F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    return (
+        probe_pos.join(F.broadcast(sketch), on=["r", "pos"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_count"))
+    )

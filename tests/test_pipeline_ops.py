@@ -163,3 +163,80 @@ def test_approx_quantiles_error_bound(spark):
         spread = max(abs(v) for v in exact[k]) + 1.0
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / spread < 0.05, (k, a, e)
+
+
+def test_temperature_shares_sum_to_one_and_damp_dominance(spark):
+    from fink_broker_spark.ext.pipeline import temperature_shares
+
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("mid",)] * 90 + [("small",)] * 10,
+        "source string",
+    )
+    rows = {r.source: r for r in
+            temperature_shares(df, "source", alpha=0.5).collect()}
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-12
+    # raw share of 'big' is 0.9; sqrt-damping must pull it down and
+    # lift the tail
+    assert rows["big"].share < 0.9
+    assert rows["small"].share > 0.01
+    # quotas are floor(share * corpus) — never exceed the corpus
+    assert sum(r.quota for r in rows.values()) <= 1000
+
+
+def test_temperature_alpha_zero_is_uniform(spark):
+    from fink_broker_spark.ext.pipeline import temperature_shares
+
+    df = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 30, "source string"
+    )
+    rows = temperature_shares(df, "source", alpha=0.0).collect()
+    for r in rows:
+        assert abs(r.share - 0.5) < 1e-12
+
+
+def test_epoch_shuffle_is_a_sharded_permutation(spark):
+    from fink_broker_spark.ext.pipeline import epoch_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(df, "doc_id", epoch=1, n_shards=8)
+    rows = out.collect()
+    # permutation: every doc exactly once
+    assert sorted(r.doc_id for r in rows) == list(range(500))
+    # positions within a shard are 1..n contiguous
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # deterministic: same epoch -> identical order
+    again = epoch_shuffle(df, "doc_id", epoch=1, n_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.position) for r in again} == {
+        (r.doc_id, r.shard, r.position) for r in rows
+    }
+
+
+def test_epoch_shuffle_varies_by_epoch(spark):
+    from fink_broker_spark.ext.pipeline import epoch_shuffle
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    e1 = {(r.doc_id, r.shard, r.position)
+          for r in epoch_shuffle(df, "doc_id", 1, 8).collect()}
+    e2 = {(r.doc_id, r.shard, r.position)
+          for r in epoch_shuffle(df, "doc_id", 2, 8).collect()}
+    assert e1 != e2
+
+
+def test_epoch_shuffle_window_is_sharded_not_global(spark):
+    """The row_number window must partition on shard — a global ORDER BY
+    would serialize the corpus through a single task at 100 TB."""
+    from fink_broker_spark.ext.pipeline import epoch_shuffle
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = (
+        epoch_shuffle(df, "doc_id", 1, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan

@@ -67,3 +67,69 @@ def test_partials_are_fixed_size(spark):
     b_len = len(hll_partials(big, ["g"], "k").collect()[0].hll_sketch)
     assert b_len <= 2 ** 14 * 2  # bounded by register budget, not input
     assert s_len <= b_len
+
+
+# --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+def test_cms_overestimates_and_is_tight_when_sparse(spark):
+    """est >= true always; with keys ≪ width the min over rows is exact."""
+    from fink_broker_spark.functions.sketches import cms_build, cms_estimate
+
+    df = spark.range(3000).select((F.col("id") % 60).alias("k"))
+    sketch = cms_build(df, "k", depth=3, width=512)
+    probes = df.select("k").distinct()
+    est = {r.k: r.cms_count for r in
+           cms_estimate(sketch, probes, "k", depth=3, width=512).collect()}
+    exact = {r.k: r.cnt for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c
+    # 60 keys in 512 slots x 3 rows: at least the vast majority exact
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 55
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    """Sketches are mergeable: build(A) ⊕ build(B) == build(A ∪ B) —
+    the property that lets nightly sketches roll up to monthly ones
+    without rescanning."""
+    from fink_broker_spark.functions.sketches import cms_build, cms_merge
+
+    a = spark.range(0, 1000).select((F.col("id") % 37).alias("k"))
+    b = spark.range(1000, 2500).select((F.col("id") % 53).alias("k"))
+    merged = {
+        (r.r, r.pos): r.counter
+        for r in cms_merge(
+            cms_build(a, "k"), cms_build(b, "k")
+        ).collect()
+    }
+    direct = {
+        (r.r, r.pos): r.counter
+        for r in cms_build(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    """The sketch never exceeds depth*width rows regardless of input
+    cardinality — the whole point of the fixed-memory summary."""
+    from fink_broker_spark.functions.sketches import cms_build
+
+    df = spark.range(20000).select(F.col("id").alias("k"))  # all distinct
+    assert cms_build(df, "k", depth=3, width=128).count() <= 3 * 128
+
+
+def test_cms_null_keys_ignored(spark):
+    from fink_broker_spark.functions.sketches import cms_build
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k bigint")
+    total = (
+        cms_build(df, "k", depth=2, width=16)
+        .filter(F.col("r") == 0)
+        .agg(F.sum("counter").alias("s"))
+        .collect()[0].s
+    )
+    assert total == 2  # the NULL row contributes nothing
