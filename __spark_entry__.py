@@ -1766,7 +1766,7 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (tiny), candidates refine with the exact haversine
     predicate, and per-probe counts aggregate after the filter. Counts
     only, so the oracle hash never touches a trig double."""
-    from fink_broker_spark.functions.spatial import healpix_nest_expr
+    from fink_broker_spark.functions.spatial import with_healpix_nest
 
     ev = load_table(spark, sf_dir, "events")
     # serving index: payload + the one stored multires key
@@ -1775,9 +1775,9 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
         ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
     )
-    idx = idx.withColumn(
-        "hp64", healpix_nest_expr("ra", "dec", 64)
-    ).select(
+    # staged pixelization: linear plan size (the inline Column form
+    # replicates the trig CASE tree ~2^5 times through the interleave)
+    idx = with_healpix_nest(idx, "ra", "dec", 64, out="hp64").select(
         "event_id",
         "ra",
         "dec",
@@ -1796,8 +1796,8 @@ def q_multires_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((((F.col("s_suppkey") * 61) % 1200) / 10.0) - 60.0).alias("p_dec"),
         )
     )
-    probes = probes.withColumn(
-        "p64", healpix_nest_expr("p_ra", "p_dec", 64)
+    probes = with_healpix_nest(
+        probes, "p_ra", "p_dec", 64, out="p64"
     ).select(
         "s_suppkey",
         "p_ra",

@@ -301,6 +301,19 @@ def healpix_nest_expr(
     d = F.col(dec) if isinstance(dec, str) else dec
     z = F.sin(F.radians(d))
     tt = F.pmod(r / F.lit(90.0), F.lit(4.0))
+    face, ix, iy = _nest_face_ix_iy(z, tt, nside)
+    return (
+        face.cast("long") * F.lit(nside * nside)
+        + spread_bits_expr(ix).bitwiseOR(
+            F.shiftleft(spread_bits_expr(iy), 1)
+        )
+    ).cast("long")
+
+
+def _nest_face_ix_iy(z: Column, tt: Column, nside: int):
+    """(face, ix, iy) for the NESTED scheme from the z = sin(dec) and
+    tt = ra/90 mod 4 columns — shared by the inline Column builder and
+    the staged (projection-materialized) builder so they cannot drift."""
     za = F.abs(z)
 
     # equatorial belt: same jp/jm floors as the RING formula
@@ -337,12 +350,73 @@ def healpix_nest_expr(
     face = F.when(equa, face_e).otherwise(face_p)
     ix = F.when(equa, ix_e).otherwise(ix_p)
     iy = F.when(equa, iy_e).otherwise(iy_p)
-    return (
-        face.cast("long") * F.lit(nside * nside)
-        + spread_bits_expr(ix).bitwiseOR(
-            F.shiftleft(spread_bits_expr(iy), 1)
+    return face, ix, iy
+
+
+def with_healpix_nest(
+    df: DataFrame,
+    ra: Column | str,
+    dec: Column | str,
+    nside: int,
+    out: str = "hpx_nest",
+) -> DataFrame:
+    """Staged twin of :func:`healpix_nest_expr`: same pixel ids, linear
+    plan size.
+
+    The single-Column form nests the full trig CASE tree inside every
+    bit-interleave step; each of the 5 spread steps references its input
+    twice, so the analyzed expression holds ~2⁵ copies of the trig tree
+    per axis — seconds of Catalyst analysis per query and generated
+    methods pushing the JIT limits. Here every intermediate (z, tt,
+    ix, iy, each interleave step) is materialized as a PROJECTION
+    column: ``CollapseProject`` keeps projections whose aliases are
+    referenced more than once and are non-cheap, so the optimized plan
+    stays linear in the step count while whole-stage codegen still fuses
+    all projections into one stage — same executor work, tiny plan.
+    Intermediates are dropped before returning."""
+    if nside & (nside - 1):
+        raise ValueError("nested scheme requires power-of-two nside")
+    from fink_broker_spark.plans.zorder import _SPREAD_STEPS
+
+    r = F.col(ra) if isinstance(ra, str) else ra
+    d = F.col(dec) if isinstance(dec, str) else dec
+    p = f"__hn{nside}_"
+    df = df.withColumns(
+        {
+            p + "z": F.sin(F.radians(d)),
+            p + "tt": F.pmod(r / F.lit(90.0), F.lit(4.0)),
+        }
+    )
+    face, ix, iy = _nest_face_ix_iy(
+        F.col(p + "z"), F.col(p + "tt"), nside
+    )
+    df = df.withColumns(
+        {
+            p + "face": face.cast("long"),
+            p + "sx": ix.cast("long").bitwiseAND(F.lit((1 << 16) - 1)),
+            p + "sy": iy.cast("long").bitwiseAND(F.lit((1 << 16) - 1)),
+        }
+    )
+    for shift, mask in _SPREAD_STEPS:
+        sx, sy = F.col(p + "sx"), F.col(p + "sy")
+        df = df.withColumns(
+            {
+                p + "sx": sx.bitwiseOR(F.shiftleft(sx, shift))
+                .bitwiseAND(F.lit(mask).cast("long")),
+                p + "sy": sy.bitwiseOR(F.shiftleft(sy, shift))
+                .bitwiseAND(F.lit(mask).cast("long")),
+            }
         )
-    ).cast("long")
+    df = df.withColumn(
+        out,
+        (
+            F.col(p + "face") * F.lit(nside * nside)
+            + F.col(p + "sx").bitwiseOR(
+                F.shiftleft(F.col(p + "sy"), 1)
+            )
+        ).cast("long"),
+    )
+    return df.drop(*[c for c in df.columns if c.startswith(p)])
 
 
 def healpix_nest_sql(ra_sql: str, dec_sql: str, nside: int) -> str:

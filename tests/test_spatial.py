@@ -337,3 +337,50 @@ def test_nest_expr_matches_numpy_and_sql(spark):
     fine = np.asarray(ang2pix_nest_np(ra, dec, 64))
     coarse = np.asarray(ang2pix_nest_np(ra, dec, 8))
     assert (fine >> 6 == coarse).all()
+
+
+def test_staged_nest_equals_inline_and_numpy(spark):
+    """with_healpix_nest (projection-staged) must produce bit-identical
+    pixels to the inline Column expression and the numpy reference —
+    the staging is a plan-size optimization, never a semantic change."""
+    import numpy as np
+    import pandas as pd
+
+    from fink_broker_spark.functions.spatial import (
+        ang2pix_nest_np,
+        healpix_nest_expr,
+        with_healpix_nest,
+    )
+
+    ra = np.linspace(0.0, 359.99, 1500)
+    dec = np.linspace(-89.9, 89.9, 1500)
+    df = spark.createDataFrame(pd.DataFrame({"ra": ra, "dec": dec}))
+    inline = [
+        r.p
+        for r in df.select(
+            healpix_nest_expr("ra", "dec", 64).alias("p")
+        ).collect()
+    ]
+    staged = [
+        r.hpx_nest
+        for r in with_healpix_nest(df, "ra", "dec", 64)
+        .select("hpx_nest")
+        .collect()
+    ]
+    assert inline == staged == list(ang2pix_nest_np(ra, dec, 64))
+
+
+def test_staged_nest_drops_intermediates_and_keeps_plan_linear(spark):
+    import pandas as pd
+
+    from fink_broker_spark.functions.spatial import with_healpix_nest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ra": [10.0, 20.0], "dec": [-5.0, 5.0]})
+    )
+    out = with_healpix_nest(df, "ra", "dec", 256, out="px")
+    assert set(out.columns) == {"ra", "dec", "px"}
+    # the analyzed plan must stay well below the inline form's ~2^5
+    # expression blowup (inline tops 100k chars at nside 256)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20000
