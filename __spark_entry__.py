@@ -2079,11 +2079,17 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(revenue), 2).alias("rev_dec")
     )
-    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    # global max as an empty-partition window over the PER-SUPPLIER
+    # aggregate: the scalar-subquery form recomputed the aggregate
+    # subtree and scanned lineitem twice. The single-partition window
+    # is bounded by supplier cardinality (a 2-column row per supplier),
+    # not fact rows — the right trade at any realistic scale.
+    mx = F.max("rev_dec").over(Window.partitionBy())
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.rev_dec == mx.mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        rev.withColumn("mx", mx)
+        .filter(F.col("rev_dec") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -2229,13 +2235,17 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#2"
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec("l_quantity")).alias("sq"),
-    )
+    # per-part (count, sum) as an unbounded window over the
+    # brand-filtered join: the aggregate-join form scanned lineitem
+    # TWICE (and aggregated over every part before the brand join
+    # pruned); the window sees one brand's lineitems once, partitioned
+    # on the part key. A part's window holds exactly its lineitems, so
+    # the stats are identical to the whole-table aggregate.
+    w = Window.partitionBy("l_partkey")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == per_part.pk)
+        branded.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("sq", F.sum(_dec("l_quantity")).over(w))
         .filter(
             _dec("l_quantity") * F.col("cnt") * F.lit(5) < F.col("sq")
         )
@@ -4364,15 +4374,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eur), ps.sk == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name")
     )
-    mins = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # the correlated MIN decorrelates into an unbounded window over the
+    # candidate relation instead of an aggregate self-join — one pass
+    # over the distinct-pair relation, no recomputed subtree, ties kept
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("p_partkey"))
     return (
-        cand.join(
-            mins,
-            (cand.p_partkey == mins.mpk)
-            & (cand.s_acctbal == mins.min_bal),
-        )
+        cand.withColumn("min_bal", min_bal)
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name")
     )
 
@@ -4632,13 +4640,13 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
     )
-    totals = per_part.groupBy(F.col("n_name").alias("tn")).agg(
-        F.sum("value").alias("total")
-    )
+    # national total as an unbounded window over the aggregate output:
+    # a self-join (groupBy + join back) would RECOMPUTE the whole
+    # subtree and scan lineitem twice; the window re-shuffles only the
+    # small (nation, part) aggregate. DECIMAL sum = order-independent.
+    total = F.sum("value").over(Window.partitionBy("n_name"))
     return (
-        per_part.join(
-            F.broadcast(totals), per_part.n_name == F.col("tn")
-        )
+        per_part.withColumn("total", total)
         .filter(F.col("value") * F.lit(50) > F.col("total"))
         .select(
             "n_name",
@@ -4866,11 +4874,12 @@ def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(_dec("l_quantity")).alias("q"))
     )
-    totals = pairs.groupBy(F.col("pk").alias("tpk")).agg(
-        F.sum("q").alias("tq")
-    )
+    # per-part total as a window over the (supplier, part) aggregate —
+    # the aggregate-join form would recompute pairs and scan the 1997
+    # lineitems twice; the window shuffles only the aggregated pairs
+    tq = F.sum("q").over(Window.partitionBy("pk"))
     qual = (
-        pairs.join(totals, pairs.pk == totals.tpk)
+        pairs.withColumn("tq", tq)
         .filter(F.col("q") * F.lit(5) > F.col("tq"))
         .select("sk")
         .distinct()
@@ -4918,15 +4927,40 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is verified as a computation, not just a bound."""
     from fink_broker_spark.functions.sketches import cms_build, cms_estimate
 
+    from fink_broker_spark.functions.sketches import cms_position
+
     ev = load_table(spark, sf_dir, "events")
     sketch = cms_build(ev, "user_id", depth=3, width=512)
-    probes = ev.select("user_id").distinct()
-    est = cms_estimate(sketch, probes, "user_id", depth=3, width=512)
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("exact_count")
     )
+    # single-use chain: the exact aggregate IS the probe relation, and
+    # exact_count rides through the position-explode so no second
+    # reference to the aggregate (Spark recomputes shared subtrees —
+    # a separate probes branch meant a third scan of events)
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                cms_position("user_id", r, 512).alias("pos"),
+            )
+            for r in range(3)
+        ]
+    )
+    probe_pos = exact.select(
+        "user_id", "exact_count", F.explode(positions).alias("rp")
+    ).select(
+        "user_id",
+        "exact_count",
+        F.col("rp.r").alias("r"),
+        F.col("rp.pos").alias("pos"),
+    )
     return (
-        est.join(exact, "user_id")
+        probe_pos.join(F.broadcast(sketch), on=["r", "pos"], how="left")
+        .groupBy("user_id", "exact_count")
+        .agg(
+            F.min(F.coalesce("counter", F.lit(0))).alias("cms_count")
+        )
         .filter(F.col("cms_count") >= 70)
         .select("user_id", "cms_count", "exact_count")
     )
