@@ -228,18 +228,17 @@ def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations over the same grouping — Catalyst reuses the shuffle
     via the self-join on the tiny per-type stats (broadcast)."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
-    dev = ev.join(F.broadcast(stats), "event_type").select(
-        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad"),
-        F.first("med").alias("med"),
-    )
-    flagged = dev.select("event_type", "value").join(
-        F.broadcast(mad), "event_type"
+    # both percentiles as unbounded windows over the SAME partitioning:
+    # the aggregate-join form referenced the deviation relation twice
+    # and (subtrees recompute) scanned events four times; here events
+    # scans once and shuffles once — the two Window operators share the
+    # event_type exchange, the final aggregate is partial-ready
+    w = Window.partitionBy("event_type")
+    dev = ev.withColumn(
+        "med", F.expr("percentile(value, 0.5)").over(w)
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    flagged = dev.withColumn(
+        "mad", F.expr("percentile(adev, 0.5)").over(w)
     )
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2179,23 +2178,28 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late"
+    # per-order distinct-supplier counts as windowed collect_set sizes
+    # (bounded by suppliers-per-order, a handful): the aggregate+join
+    # form referenced the fact join twice, scanning lineitem AND orders
+    # twice each. One scan, one orderkey shuffle, then the distinct.
+    w = Window.partitionBy("l_orderkey")
+    counted = j.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
         ),
-    )
-    late_rows = (
-        j.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_rows.join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
+        counted.filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -227,34 +227,42 @@ def temperature_shares(
         w = F.sqrt(F.col("n_docs").cast("double"))
     else:
         w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
-    weighted = counts.select(source_col, "n_docs", w.alias("weight"))
-    folded = weighted.select(
-        F.aggregate(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(source_col), F.col("weight")))
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["weight"],
-        ).alias("denom")
+    weighted = counts.select(
+        F.col(source_col).alias("__src"), F.col("n_docs"), w.alias("weight")
     )
-    # corpus size = Σ n_docs: integer addition is exact and
-    # order-independent, so a plain windowless SUM is safe (and avoids a
-    # second scan of the corpus)
-    totals = weighted.groupBy().agg(F.sum("n_docs").alias("total"))
-    return (
-        weighted.crossJoin(F.broadcast(folded))
-        .crossJoin(F.broadcast(totals))
-        .select(
-            source_col,
-            "n_docs",
-            "weight",
-            (F.col("weight") / F.col("denom")).alias("share"),
-            F.floor(
-                F.col("weight")
-                / F.col("denom")
-                * F.col("total").cast("double")
-            ).cast("bigint").alias("quota"),
-        )
+    # single-use chain (Spark recomputes shared subtrees, so separate
+    # denominator/total branches would re-aggregate the corpus): pack
+    # the mixture table into one sorted array row, fold denominator and
+    # total over it, then explode back to per-source rows. The corpus
+    # aggregates exactly once; everything after is a ≤ #sources array.
+    packed = weighted.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__src", "n_docs", "weight"))
+        ).alias("mix")
+    )
+    row = packed.select(
+        "mix",
+        F.aggregate(
+            F.col("mix"), F.lit(0.0), lambda acc, s: acc + s["weight"]
+        ).alias("denom"),
+        F.aggregate(
+            F.col("mix"),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + s["n_docs"],
+        ).alias("total"),
+    )
+    return row.select(
+        F.explode("mix").alias("s"), "denom", "total"
+    ).select(
+        F.col("s.__src").alias(source_col),
+        F.col("s.n_docs").alias("n_docs"),
+        F.col("s.weight").alias("weight"),
+        (F.col("s.weight") / F.col("denom")).alias("share"),
+        F.floor(
+            F.col("s.weight")
+            / F.col("denom")
+            * F.col("total").cast("double")
+        ).cast("bigint").alias("quota"),
     )
 
 
