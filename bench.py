@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
@@ -40,6 +42,17 @@ def main() -> None:
     # query doesn't absorb session startup
     spark.range(100000).repartition(4).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # fork the Arrow python-worker daemon pool once (pandas-UDF queries
+    # otherwise pay ~1-2 s of per-core worker startup on first use)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10000).repartition(int(cpus)).select(
+        _warm("id")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -17,6 +17,7 @@ turns a cone-search crossmatch into an equi-join on pixel id
 from __future__ import annotations
 
 import warnings
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -368,55 +369,136 @@ def with_healpix_nest(
     twice, so the analyzed expression holds ~2⁵ copies of the trig tree
     per axis — seconds of Catalyst analysis per query and generated
     methods pushing the JIT limits. Here every intermediate (z, tt,
-    ix, iy, each interleave step) is materialized as a PROJECTION
-    column: ``CollapseProject`` keeps projections whose aliases are
-    referenced more than once and are non-cheap, so the optimized plan
-    stays linear in the step count while whole-stage codegen still fuses
-    all projections into one stage — same executor work, tiny plan.
-    Intermediates are dropped before returning."""
+    ix, iy, each interleave step) is a LATERAL COLUMN ALIAS inside ONE
+    ``select`` (Spark ≥3.4 resolves references to aliases defined
+    earlier in the same projection): the analyzer expands them into
+    nested Projects, ``CollapseProject`` keeps the non-cheap
+    multi-referenced ones, so the optimized plan stays linear in the
+    step count while whole-stage codegen still fuses everything into
+    one stage. One select also means ONE eager Dataset analysis pass —
+    the previous ``withColumns``-per-step chain re-analyzed a growing
+    plan seven times per pixelization (~0.8 s of driver time per call
+    at this tree size). Intermediates are dropped before returning."""
     if nside & (nside - 1):
         raise ValueError("nested scheme requires power-of-two nside")
-    from fink_broker_spark.plans.zorder import _SPREAD_STEPS
-
     r = F.col(ra) if isinstance(ra, str) else ra
     d = F.col(dec) if isinstance(dec, str) else dec
     p = f"__hn{nside}_"
-    df = df.withColumns(
-        {
-            p + "z": F.sin(F.radians(d)),
-            p + "tt": F.pmod(r / F.lit(90.0), F.lit(4.0)),
-        }
-    )
-    face, ix, iy = _nest_face_ix_iy(
-        F.col(p + "z"), F.col(p + "tt"), nside
-    )
-    df = df.withColumns(
-        {
-            p + "face": face.cast("long"),
-            p + "sx": ix.cast("long").bitwiseAND(F.lit((1 << 16) - 1)),
-            p + "sy": iy.cast("long").bitwiseAND(F.lit((1 << 16) - 1)),
-        }
-    )
-    for shift, mask in _SPREAD_STEPS:
-        sx, sy = F.col(p + "sx"), F.col(p + "sy")
-        df = df.withColumns(
-            {
-                p + "sx": sx.bitwiseOR(F.shiftleft(sx, shift))
-                .bitwiseAND(F.lit(mask).cast("long")),
-                p + "sy": sy.bitwiseOR(F.shiftleft(sy, shift))
-                .bitwiseAND(F.lit(mask).cast("long")),
-            }
+    cols = [
+        F.sin(F.radians(d)).alias(p + "z"),
+        F.pmod(r / F.lit(90.0), F.lit(4.0)).alias(p + "tt"),
+        *_nest_staged_cols(nside),
+    ]
+    staged = df.select("*", *cols)
+    out_df = staged.withColumnRenamed(p + "pix", out)
+    return out_df.drop(*[c for c in out_df.columns if c.startswith(p)])
+
+
+@lru_cache(maxsize=None)
+def _nest_staged_cols(nside: int) -> tuple[Column, ...]:
+    """The nside-only part of the staged NESTED projection: every column
+    references the fixed ``__hn{nside}_z`` / ``_tt`` entry aliases, so
+    the (expensive — ~0.5 s of py4j round-trips for the trig CASE tree)
+    Column construction is built once per nside and reused. Columns are
+    plain expression wrappers, safe to share across DataFrames of one
+    JVM; the cache key carries no session state.
+
+    Unlike the inline :func:`_nest_face_ix_iy` tree (where jp/jm/tmp
+    appear as *duplicated subtrees* inside each of face/ix/iy and only
+    codegen-level common-subexpression elimination deduplicates them),
+    every intermediate here is its own lateral alias — the analyzed plan
+    holds each subexpression exactly once, which keeps analysis time and
+    generated-code size linear in the formula length. The tri-agreement
+    tests (tests/test_spatial.py) pin this staging bit-for-bit to the
+    inline expr, the numpy twin, and the SQL transcription."""
+    from fink_broker_spark.plans.zorder import _SPREAD_STEPS
+
+    p = f"__hn{nside}_"
+    z, tt = F.col(p + "z"), F.col(p + "tt")
+    za, jp, jm = F.col(p + "za"), F.col(p + "jp"), F.col(p + "jm")
+    ifp, ifm = F.col(p + "ifp"), F.col(p + "ifm")
+    ntt, tp, tmp = F.col(p + "ntt"), F.col(p + "tp"), F.col(p + "tmp")
+    jpp, jmp = F.col(p + "jpp"), F.col(p + "jmp")
+    north, equa = F.col(p + "north"), F.col(p + "equa")
+    # stage every intermediate of _nest_face_ix_iy as a lateral alias;
+    # the formulas are the term-for-term twins of that function (and of
+    # ang2pix_nest_np), just named instead of nested
+    cols = [
+        F.abs(z).alias(p + "za"),
+        (z > 0).alias(p + "north"),
+        # equatorial-belt floors
+        F.floor(
+            F.lit(float(nside)) * (F.lit(0.5) + tt)
+            - F.lit(float(nside)) * z * F.lit(0.75)
+        ).cast("long").alias(p + "jp"),
+        F.floor(
+            F.lit(float(nside)) * (F.lit(0.5) + tt)
+            + F.lit(float(nside)) * z * F.lit(0.75)
+        ).cast("long").alias(p + "jm"),
+        F.floor(jp / F.lit(nside)).cast("long").alias(p + "ifp"),
+        F.floor(jm / F.lit(nside)).cast("long").alias(p + "ifm"),
+        # polar-cap pieces
+        F.least(F.lit(3), F.floor(tt).cast("long")).alias(p + "ntt"),
+        (tt - ntt.cast("double")).alias(p + "tp"),
+        (
+            F.lit(float(nside))
+            * F.sqrt(F.lit(3.0) * (F.lit(1.0) - za))
+        ).alias(p + "tmp"),
+        F.least(
+            F.floor(tp * tmp).cast("long"), F.lit(nside - 1)
+        ).alias(p + "jpp"),
+        F.least(
+            F.floor((F.lit(1.0) - tp) * tmp).cast("long"),
+            F.lit(nside - 1),
+        ).alias(p + "jmp"),
+        (za <= F.lit(2.0 / 3.0)).alias(p + "equa"),
+        # face / ix / iy select between belt and cap forms
+        F.when(
+            equa,
+            F.when(ifp == ifm, ifp.bitwiseAND(F.lit(3)) + F.lit(4))
+            .when(ifp < ifm, ifp.bitwiseAND(F.lit(3)))
+            .otherwise(ifm.bitwiseAND(F.lit(3)) + F.lit(8)),
         )
-    df = df.withColumn(
-        out,
+        .otherwise(F.when(north, ntt).otherwise(ntt + F.lit(8)))
+        .cast("long")
+        .alias(p + "face"),
+        F.when(equa, jm.bitwiseAND(F.lit(nside - 1)))
+        .otherwise(
+            F.when(north, F.lit(nside) - jmp - F.lit(1)).otherwise(jpp)
+        )
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 16) - 1))
+        .alias(p + "sx0"),
+        F.when(
+            equa, F.lit(nside) - jp.bitwiseAND(F.lit(nside - 1)) - F.lit(1)
+        )
+        .otherwise(
+            F.when(north, F.lit(nside) - jpp - F.lit(1)).otherwise(jmp)
+        )
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 16) - 1))
+        .alias(p + "sy0"),
+    ]
+    for i, (shift, mask) in enumerate(_SPREAD_STEPS, start=1):
+        for ax in ("sx", "sy"):
+            prev = F.col(f"{p}{ax}{i - 1}")
+            cols.append(
+                prev.bitwiseOR(F.shiftleft(prev, shift))
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias(f"{p}{ax}{i}")
+            )
+    last = len(_SPREAD_STEPS)
+    cols.append(
         (
             F.col(p + "face") * F.lit(nside * nside)
-            + F.col(p + "sx").bitwiseOR(
-                F.shiftleft(F.col(p + "sy"), 1)
+            + F.col(f"{p}sx{last}").bitwiseOR(
+                F.shiftleft(F.col(f"{p}sy{last}"), 1)
             )
-        ).cast("long"),
+        )
+        .cast("long")
+        .alias(p + "pix")
     )
-    return df.drop(*[c for c in df.columns if c.startswith(p)])
+    return tuple(cols)
 
 
 def healpix_nest_sql(ra_sql: str, dec_sql: str, nside: int) -> str:
