@@ -5060,6 +5060,280 @@ FROM s
 """
 
 
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filter ahead of a semi join
+    (``functions/sketches.py:bloom_build``): the dim side (BUILDING
+    customers) builds a 128 Kbit filter as a distributed ``bit_or``
+    word aggregate — one bounded shuffle, never any driver state — and
+    the fact side (orders) tests its key against the broadcast bitset
+    with pure codegen bit ops BEFORE the exact semi join. No false
+    negatives, so chasing with the exact join gives a result identical
+    to the plain semi join — which is exactly what the oracle checks.
+
+    100 TB story: this is Spark's own runtime-filter shape
+    (``BloomFilterAggregate``, not SQL-registered) as an explicit
+    operator — the fact-side shuffle carries only might-match rows
+    (~selectivity + 0.6% fp at 10 bits/key), instead of the whole
+    table."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bf = bloom_build(cust, "c_custkey", num_bits=1 << 17, k=5)
+    pre = bloom_might_contain(
+        orders.withColumn("c_custkey", F.col("o_custkey")),
+        bf,
+        "c_custkey",
+        num_bits=1 << 17,
+        k=5,
+    ).drop("c_custkey")
+    exact = pre.join(F.broadcast(cust), pre.o_custkey == cust.c_custkey, "left_semi")
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_BLOOM_PREFILTER_JOIN = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality scoring: fit the
+    corpus unigram distribution (one token shuffle with map-side
+    partial counts), score each document by its mean token
+    log-probability, and return the 50 most atypical documents — the
+    ones a perplexity filter would drop first.
+
+    Shape at 100 TB: the model fit and the scoring share ONE tokenize +
+    explode pass (the counts aggregate and the per-doc join both read
+    the same staged ``tok`` relation); the vocabulary aggregate is
+    bounded by distinct-token count, and the final top-50 is a
+    TakeOrdered, never a global sort. FP discipline: each token's
+    log-prob rounds to ``decimal(18,9)`` BEFORE the per-doc sum, so the
+    aggregation is exact and order-independent on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fink_broker_spark.functions.text import tokens_expr
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tok_count")
+    )
+    # corpus total as a 1-row broadcast, same DAG — no driver action
+    total = counts.groupBy().agg(F.sum("tok_count").alias("n_total"))
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.col("tok_count").cast("double")
+                    / F.col("n_total").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("logp").cast("decimal(28,9)").alias("sum_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_logp") / F.col("n_tokens"))
+            .cast("decimal(18,6)")
+            .alias("mean_logp"),
+        )
+    )
+    return scored.orderBy("mean_logp", "doc_id").limit(50)
+
+
+ORACLE_UNIGRAM_LM_SCORES = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+  WHERE length(trim(lower(text))) > 0
+),
+counts AS (
+  SELECT token, count(*) AS tok_count FROM tok GROUP BY token
+),
+total AS (SELECT count(*) AS n FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(round(ln(CAST(c.tok_count AS DOUBLE) / total.n), 9)
+                       AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS sum_logp,
+         count(*) AS n_tokens
+  FROM tok t JOIN counts c USING (token), total
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_logp / n_tokens AS DECIMAL(18,6)) AS mean_logp
+FROM scored
+ORDER BY mean_logp, doc_id
+LIMIT 50
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup: cut every document into
+    consecutive 10-token lines, hash each line, keep only the globally
+    FIRST occurrence (min ``(doc_id, line_idx)`` per hash), and report
+    per-document kept/dropped line counts — the passage-granularity
+    dedup that document-level fingerprints miss.
+
+    Scale: one explode (lines ∝ tokens), one shuffle on the line hash
+    for the first-occurrence window, one aggregate back to documents.
+    The window per hash is bounded by that line's duplicate count;
+    skewed boilerplate lines are exactly the rows AQE's skew handling
+    splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fink_broker_spark.functions.text import tokens_expr
+
+    staged = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    lines = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / 10).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * 10 + 1, 10)
+                ),
+            )
+        ).alias("line_idx", "line"),
+    ).filter(F.length("line") > 0)
+    w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
+    marked = lines.select(
+        "doc_id",
+        "line_idx",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_lines"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("dropped_lines"),
+    )
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH staged AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(toks[i*10+1 : i*10+10], ' ') AS line
+  FROM staged,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(floor((len(toks)-1)/10) AS INT))) AS i)
+  WHERE length(array_to_string(toks[i*10+1 : i*10+10], ' ')) > 0
+),
+marked AS (
+  SELECT doc_id, line_idx,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped_lines
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: group exact duplicates by content
+    fingerprint and keep the highest-quality copy (quality score from
+    ``functions/text.py``; doc_id breaks ties deterministically) — the
+    policy step after dedup detection: WHICH copy survives.
+
+    One hash shuffle on the fingerprint; ``max_by`` over a struct
+    (score, -doc_id) picks the argmax inside the aggregate — no window,
+    no second scan. The score is the same deterministic per-row double
+    both engines compute from mirrored op trees (the
+    ``text_quality`` parity discipline), so comparisons and ``max``
+    agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fink_broker_spark.functions.text import (
+        fingerprint_expr,
+        quality_score_expr,
+    )
+
+    staged = docs.select(
+        "doc_id",
+        fingerprint_expr("text").alias("fp"),
+        quality_score_expr("text").alias("q"),
+    )
+    return staged.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.max_by(
+            "doc_id", F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("keep_id"),
+        F.max("q").alias("best_quality"),
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|a|an|and|or|of|to|in|is|it|on|for)\b')) AS stop_hits
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, fp,
+         0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         + 0.3 * (1.0 - punct_ratio)
+         + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+                     * 5.0) AS q
+  FROM t
+),
+ranked AS (
+  SELECT fp, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+  FROM staged
+)
+SELECT s.fp, count(*) AS copies,
+       max(CASE WHEN r.rn = 1 THEN r.doc_id END) AS keep_id,
+       max(s.q) AS best_quality
+FROM staged s
+JOIN ranked r ON s.fp = r.fp AND s.doc_id = r.doc_id
+GROUP BY s.fp
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5187,6 +5461,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "corpus_temperature": q_corpus_temperature,
     "epoch_shuffle_order": q_epoch_shuffle_order,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
+    "unigram_lm_scores": q_unigram_lm_scores,
+    "line_dedup": q_line_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5319,6 +5597,10 @@ _ORACLES: dict[str, str] = {
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "corpus_temperature": ORACLE_CORPUS_TEMPERATURE,
     "epoch_shuffle_order": ORACLE_EPOCH_SHUFFLE_ORDER,
+    "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER_JOIN,
+    "unigram_lm_scores": ORACLE_UNIGRAM_LM_SCORES,
+    "line_dedup": ORACLE_LINE_DEDUP,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
 }
 
 

@@ -191,3 +191,91 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("counter", F.lit(0))).alias("cms_count"))
     )
+
+
+def _bloom_positions(key, num_bits: int, k: int) -> list:
+    """The ``k`` bit positions of ``key`` — independent hashes via
+    seed-salted xxhash64, the same family the salting and CMS paths
+    use (reference relies on Spark's murmur; public-API twin)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return [
+        F.pmod(F.xxhash64(c, F.lit(i)), F.lit(num_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, num_bits: int = 1 << 17, k: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build as a ONE-ROW DataFrame holding the
+    bitset as ``array<long>`` (``num_bits/64`` words) — no driver-side
+    state at any point.
+
+    Spark's own runtime-filter machinery has ``BloomFilterAggregate``
+    but does not register it as a SQL-callable function; this is the
+    declarative re-expression: each build row explodes into its ``k``
+    ``(word, bit)`` pairs, a ``bit_or`` aggregate per word builds the
+    bitmap (partial aggregation map-side: ``bit_or`` is associative, so
+    the shuffle carries at most ``num_bits/64`` rows per partition —
+    bounded regardless of build-side row count), and a final 1-row
+    assembly densifies missing words to 0 via ``map_from_entries`` +
+    ``transform(sequence(...))``. The result is broadcast-join-able:
+    probing never moves the filter to the driver.
+
+    At 100 TB: the classic semi-join runtime filter — build on the
+    dim-side key, probe the fact side *before* its shuffle, so the
+    shuffle only carries rows that might match (plus the fp rate,
+    ~0.6% at 10 bits/key, k=5).
+    """
+    nwords = (num_bits + 63) // 64
+    pos = F.explode(
+        F.array(*_bloom_positions(key_col, num_bits, k))
+    ).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("__m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
+            lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("long")),
+        ).alias("bloom"),
+        F.lit(num_bits).alias("num_bits"),
+        F.lit(k).alias("k"),
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose ``key_col`` might be in ``bloom``
+    (no false negatives; false positives at the filter's fp rate — chase
+    with the exact join).
+
+    The 1-row filter broadcasts through a cross join; each probe row
+    tests its ``k`` bits with ``element_at`` + shift — pure codegen, no
+    UDF, no shuffle of the probe side."""
+    b = probe.crossJoin(F.broadcast(bloom))
+    pos_sqls = [
+        f"pmod(xxhash64({key_col}, {i}), {num_bits})" for i in range(k)
+    ]
+    keep = " AND ".join(
+        f"(shiftrightunsigned(bloom[CAST({p} / 64 AS INT)],"
+        f" CAST(pmod({p}, 64) AS INT)) & CAST(1 AS BIGINT)) = 1"
+        for p in pos_sqls
+    )
+    return b.filter(F.expr(keep)).drop("bloom", "num_bits", "k")

@@ -133,3 +133,62 @@ def test_cms_null_keys_ignored(spark):
         .collect()[0].s
     )
     assert total == 2  # the NULL row contributes nothing
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    build = spark.range(0, 1000).select((F.col("id") * 3).alias("key"))
+    bf = bloom_build(build, "key", num_bits=1 << 14, k=5)
+    probe = spark.range(0, 6000).select(F.col("id").alias("key"))
+    kept = bloom_might_contain(probe, bf, "key", num_bits=1 << 14, k=5)
+    # every true member survives (Bloom filters have no false negatives)
+    assert build.join(kept, "key", "left_anti").count() == 0
+    # ~16 bits/key, k=5 -> fp well under 1%; allow 2% slack on 5000
+    # non-members
+    n_kept = kept.count()
+    assert 1000 <= n_kept <= 1000 + int(5000 * 0.02)
+
+
+def test_bloom_prefilter_join_equals_plain_semi_join(spark):
+    """BF pre-filter + exact semi join == plain semi join, bit for bit
+    (the oracle contract of q_bloom_prefilter_join)."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("key"))
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") % 13).alias("grp")
+    )
+    bf = bloom_build(dim, "key", num_bits=1 << 15, k=5)
+    pre = bloom_might_contain(fact, bf, "key", num_bits=1 << 15, k=5)
+    via_bf = sorted(
+        (r.key, r.grp)
+        for r in pre.join(dim, "key", "left_semi").collect()
+    )
+    plain = sorted(
+        (r.key, r.grp)
+        for r in fact.join(dim, "key", "left_semi").collect()
+    )
+    assert via_bf == plain
+
+
+def test_bloom_filter_is_distributed_one_row(spark):
+    """The built filter is a single row holding the dense word array —
+    broadcastable, never driver-collected during the build."""
+    from fink_broker_spark.functions.sketches import bloom_build
+
+    bf = bloom_build(
+        spark.range(100).select(F.col("id").alias("key")),
+        "key",
+        num_bits=1 << 10,
+        k=3,
+    )
+    rows = bf.collect()
+    assert len(rows) == 1
+    assert len(rows[0]["bloom"]) == (1 << 10) // 64
