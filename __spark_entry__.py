@@ -5074,7 +5074,16 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``BloomFilterAggregate``, not SQL-registered) as an explicit
     operator — the fact-side shuffle carries only might-match rows
     (~selectivity + 0.6% fp at 10 bits/key), instead of the whole
-    table."""
+    table. One Catalyst honesty note: the default optimizer pushes
+    LeftSemi joins below the probe filter
+    (``PushLeftSemiLeftAntiThroughJoin``), which is harmless when the
+    dim side broadcasts (as here, and the rule-driven order is then
+    fine) but defeats the prefilter when the exact join must shuffle —
+    the deployment posture for that regime is excluding that one rule,
+    pinned with a plan-shape test
+    (``tests/test_sketches.py::test_bloom_prefilter_runs_before_
+    shuffle_when_pushdown_excluded``: probe inside the cross join,
+    before the fact Exchange, semi join above)."""
     from fink_broker_spark.functions.sketches import (
         bloom_build,
         bloom_might_contain,

@@ -271,3 +271,25 @@ def test_pq_encode_shape_and_range(spark):
     row = pq_encode(emb, books).select("pq_code").first()
     assert len(row.pq_code) == 8
     assert all(0 <= c < 16 for c in row.pq_code)
+
+
+def test_arrow_and_pandas_feature_extraction_agree(spark):
+    """mapInArrow twin produces byte-identical features to the
+    mapInPandas path (same stub decoder, different Python boundary)."""
+    from fink_broker_spark.ext.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        pack_media,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.col("id").cast("string")),
+            "utf-8",
+        ).alias("payload"),
+    )
+    media = pack_media(df, "media_id", F.col("payload"), "image")
+    a = sorted(tuple(r) for r in extract_features(media).collect())
+    b = sorted(tuple(r) for r in extract_features_arrow(media).collect())
+    assert a == b

@@ -192,3 +192,46 @@ def test_bloom_filter_is_distributed_one_row(spark):
     rows = bf.collect()
     assert len(rows) == 1
     assert len(rows[0]["bloom"]) == (1 << 10) // 64
+
+
+def test_bloom_prefilter_runs_before_shuffle_when_pushdown_excluded(spark):
+    """The 100 TB posture: with PushLeftSemiLeftAntiThroughJoin
+    excluded (one conf), the BF probe executes inside the broadcast
+    cross join — map-side, BEFORE the fact-side Exchange — and the
+    exact semi join runs on the pre-filtered stream. Default Catalyst
+    pushes the semi join below the probe instead (correct, but the
+    filter then saves nothing); this pins the documented workaround."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer."
+        "PushLeftSemiLeftAntiThroughJoin",
+    )
+    try:
+        dim = spark.range(0, 500).select((F.col("id") * 7).alias("key"))
+        fact = spark.range(0, 5000).select(
+            F.col("id").alias("key"), (F.col("id") % 13).alias("grp")
+        )
+        bf = bloom_build(dim, "key", num_bits=1 << 15, k=5)
+        pre = bloom_might_contain(fact, bf, "key", num_bits=1 << 15, k=5)
+        joined = pre.join(
+            dim.hint("merge"), pre.key == dim.key, "left_semi"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        semi_at = plan.index("LeftSemi")
+        probe_at = plan.index("shiftrightunsigned")
+        # tree prints top-down: the semi join must sit ABOVE the probe
+        assert semi_at < probe_at, plan[:2000]
+        # and the result is still exactly the plain semi join
+        expect = sorted(
+            (r.key, r.grp)
+            for r in fact.join(dim, "key", "left_semi").collect()
+        )
+        got = sorted((r.key, r.grp) for r in joined.collect())
+        assert got == expect
+    finally:
+        spark.conf.unset("spark.sql.optimizer.excludedRules")
