@@ -5343,6 +5343,102 @@ GROUP BY s.fp
 """
 
 
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF as a first-class aggregate expression —
+    the fourth UDF quadrant (SURVEY.md §2.12) next to scalar pandas
+    UDFs, grouped-map ``applyInPandas``, and Python UDTFs.
+
+    The custom aggregates (quantity-weighted mean price, group time
+    span) sit in the SAME ``agg(...)`` as built-ins, and the weighted
+    mean also ships a declarative SUM-algebra twin column so the
+    equivalence is auditable inside one oracled result. Determinism:
+    both UDAFs do exact integer arithmetic internally and defer one
+    IEEE division to the end (``functions/udaf.py``), so the hash
+    matches the ANSI oracle bit-for-bit under any row order.
+
+    Scale note (documented in the module): GROUPED_AGG has no map-side
+    partial — the full column slice shuffles. Keep it for custom math
+    on moderate-cardinality groups; the declarative twin is the shape
+    to prefer when SUM-algebra can express the semantics.
+    """
+    from fink_broker_spark.functions.udaf import (
+        span_days,
+        weighted_mean_price,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.rint(F.col("l_quantity")).cast("long")
+    keys = ["l_returnflag", "l_linestatus"]
+    # API constraint worth pinning: GROUPED_AGG pandas UDFs cannot share
+    # an agg(...) with non-pandas aggregates (INVALID_PANDAS_UDF_PLACEMENT)
+    # — so the UDAF plan and the declarative twin aggregate separately
+    # and broadcast-join on the 6-row group key.
+    custom = li.groupBy(*keys).agg(
+        weighted_mean_price("l_extendedprice", "l_quantity").alias(
+            "wavg_price"
+        ),
+        span_days("l_shipdate").alias("ship_span_days"),
+    )
+    decl = li.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(cents * qty).cast("double")
+            / (F.sum(qty) * 100).cast("double")
+        ).alias("wavg_price_decl"),
+    )
+    return custom.join(F.broadcast(decl), on=keys).select(
+        *keys, "n", "wavg_price", "ship_span_days", "wavg_price_decl"
+    )
+
+
+ORACLE_GROUPED_AGG_UDAF = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(epoch(l_shipdate) AS BIGINT) AS ep
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(SUM(cents * qty) AS DOUBLE)
+         / CAST(SUM(qty) * 100 AS DOUBLE) AS wavg_price,
+       (MAX(ep) - MIN(ep)) // 86400 AS ship_span_days,
+       CAST(SUM(cents * qty) AS DOUBLE)
+         / CAST(SUM(qty) * 100 AS DOUBLE) AS wavg_price_decl
+FROM t
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (``ext/semdedup.py``): k-means
+    cells assigned by a scan-side centroid expression, greedy
+    cosine-leader keep/drop inside each cell via one ``applyInPandas``
+    shuffle. Result: per-cluster dedup accounting plus the global
+    keep total (stable output shape for the rows-only driver check;
+    exact per-id equivalence against an independent brute-force of the
+    keep rule is asserted in ``tests/test_ext.py``).
+
+    Rows-only by design: the k-means model fit (sampled Lloyd) is not
+    ANSI-expressible, so no DuckDB oracle exists for the cluster
+    labels. This mirrors ``ivf_ann_topk``'s whitelisting.
+    """
+    from fink_broker_spark.ext.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.95, nlist=8, seed=42)
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5474,6 +5570,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_scores": q_unigram_lm_scores,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
+    "grouped_agg_udaf": q_grouped_agg_udaf,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5610,6 +5708,9 @@ _ORACLES: dict[str, str] = {
     "unigram_lm_scores": ORACLE_UNIGRAM_LM_SCORES,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
+    # semantic_dedup: k-means model fit not ANSI-expressible → rows-only;
+    # exact keep-rule equivalence asserted in tests/test_ext.py.
 }
 
 
@@ -5670,10 +5771,10 @@ _DRIVER_PRIORITY: list[str] = [
     # -- checked in r01 only: the one unverified FIX --
     "json_extract",
     # -- new in round 4 (no driver row yet, by construction) --
+    "grouped_agg_udaf",
+    "semantic_dedup",
     "min_cost_supplier",
     "market_share",
-    "product_profit",
-    "returned_items",
     "important_parts",
     "supplier_part_counts",
     "disjunctive_revenue",
@@ -5681,8 +5782,9 @@ _DRIVER_PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "corpus_temperature",
     "epoch_shuffle_order",
-    # revenue_forecast / late_shipment_priority / promo_revenue (round-4
-    # twins of already-driver-green shapes) and the r01-green leftovers
+    # revenue_forecast / late_shipment_priority / promo_revenue /
+    # product_profit / returned_items (round-4 twins of already-
+    # driver-green join-agg shapes) and the r01-green leftovers
     # (multimodal_features, serialize_roundtrip, ...) sit outside the
     # 50-row window; all remain covered by tests/test_oracle_parity.py
 ]

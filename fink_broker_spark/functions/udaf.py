@@ -1,0 +1,60 @@
+"""Grouped-aggregate pandas UDFs — the UDAF quadrant of the UDF surface.
+
+SURVEY.md §2.12 covers scalar pandas UDFs, grouped-map
+(``applyInPandas``), and Python UDTFs; this module adds the fourth
+Spark UDF shape: ``GROUPED_AGG`` pandas UDFs, which act as first-class
+aggregate *expressions* — usable inside ``groupBy().agg(...)``
+alongside built-ins AND over an unbounded ``Window`` — with Arrow
+batch transfer. (The reference's custom aggregations are all
+grouped-map style, e.g. ``fink_broker/science.py``'s per-object
+pandas blocks; the GROUPED_AGG form is the idiomatic Spark expression
+when the result is one scalar per group.)
+
+Scale note: unlike built-in aggregates, GROUPED_AGG UDFs have **no
+map-side partial** — every group's full column slice crosses the
+shuffle. Use them for genuinely-custom math on moderate-cardinality
+groups; anything expressible as SUM/COUNT algebra should stay
+declarative (the oracled query twins both forms to make the
+equivalence auditable).
+
+Determinism contract: float summation order inside a group depends on
+Arrow batch order, so these UDAFs do **exact integer arithmetic**
+(cents × integer quantity) and defer the single IEEE division to the
+end — bit-stable under any row order and equal to the ANSI oracle
+expression (one float division is exactly specified by IEEE 754).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
+    """Quantity-weighted mean price, exact-integer inside.
+
+    ``price`` carries 2-decimal currency values; ``np.rint`` recovers
+    the exact cent integer (float error is ~1e-10 off any .5 tie, and
+    rint's half-even matches the oracle's cast rounding for the
+    integer-valued quantities).
+    """
+    cents = np.rint(price.to_numpy(dtype="float64") * 100.0).astype("int64")
+    q = np.rint(qty.to_numpy(dtype="float64")).astype("int64")
+    den = int(q.sum()) * 100
+    if den == 0:
+        return float("nan")
+    return float(int((cents * q).sum())) / float(den)
+
+
+@pandas_udf("long")
+def span_days(ts: pd.Series) -> int:
+    """Group time span in whole days (max − min), exact int64 math."""
+    v = ts.dropna()
+    if v.empty:
+        return 0
+    # normalize the Arrow-side unit (ns vs us varies by version) before
+    # viewing as int64
+    ns = v.to_numpy().astype("datetime64[ns]").astype("int64")
+    return int((ns.max() - ns.min()) // 86_400_000_000_000)

@@ -293,3 +293,93 @@ def test_arrow_and_pandas_feature_extraction_agree(spark):
     a = sorted(tuple(r) for r in extract_features(media).collect())
     b = sorted(tuple(r) for r in extract_features_arrow(media).collect())
     assert a == b
+
+
+def test_semantic_dedup_matches_bruteforce_leader(spark):
+    """Exact equivalence: the distributed SemDeDup pass reproduces an
+    independent driver-side brute-force of the same greedy leader rule
+    (sort by id, keep iff max cosine to kept-set < threshold), given
+    the same centroid model."""
+    import numpy as np
+
+    from fink_broker_spark.ext.ann import kmeans_centroids
+    from fink_broker_spark.ext.semdedup import semantic_dedup
+
+    emb = load_table(spark, SF0001, "embeddings")
+    cents = kmeans_centroids(emb, 4, seed=7)
+    got = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in semantic_dedup(emb, threshold=0.9, centroids=cents).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    c = np.array(cents)
+    by_cluster: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        cell = int(((c - v) ** 2).sum(axis=1).argmin())
+        by_cluster.setdefault(cell, []).append((r.vec_id, v))
+    expected: dict[int, tuple[int, bool]] = {}
+    for cell, members in by_cluster.items():
+        kept: list[np.ndarray] = []
+        for vid, v in sorted(members, key=lambda t: t[0]):
+            n = np.linalg.norm(v) or 1.0
+            vn = v / n
+            ok = all(float(k @ vn) < 0.9 for k in kept)
+            if ok:
+                kept.append(vn)
+            expected[vid] = (cell, ok)
+    assert got == expected
+    # structural invariants: kept items pairwise < thr within a cluster
+    for cell, members in by_cluster.items():
+        keptv = [
+            v / (np.linalg.norm(v) or 1.0)
+            for vid, v in members
+            if got[vid][1]
+        ]
+        for i in range(len(keptv)):
+            for j in range(i + 1, len(keptv)):
+                assert float(keptv[i] @ keptv[j]) < 0.9
+
+
+def test_semantic_dedup_chunked_bounds_group_size(spark):
+    """chunks>1 splits clusters deterministically; every id keeps a
+    decision, kept set is a superset (chunking only *misses* cross-chunk
+    duplicates, never drops extra)."""
+    from fink_broker_spark.ext.ann import kmeans_centroids
+    from fink_broker_spark.ext.semdedup import semantic_dedup
+
+    emb = load_table(spark, SF0001, "embeddings")
+    cents = kmeans_centroids(emb, 4, seed=7)
+    whole = semantic_dedup(emb, threshold=0.9, centroids=cents)
+    chunked = semantic_dedup(emb, threshold=0.9, centroids=cents, chunks=3)
+    w = {r.vec_id: r.keep for r in whole.collect()}
+    ch = {r.vec_id: r.keep for r in chunked.collect()}
+    assert set(w) == set(ch)
+    kept_whole = {k for k, v in w.items() if v}
+    kept_chunk = {k for k, v in ch.items() if v}
+    assert kept_whole <= kept_chunk
+
+
+def test_grouped_agg_udaf_in_window(spark):
+    """The GROUPED_AGG UDAF also works as a window aggregate (unbounded
+    frame) — same value replicated to every row of the partition, equal
+    to the groupBy form."""
+    from pyspark.sql import Window
+
+    from fink_broker_spark.functions.udaf import weighted_mean_price
+
+    li = load_table(spark, SF0001, "lineitem").limit(500)
+    w = Window.partitionBy("l_returnflag")
+    windowed = li.select(
+        "l_returnflag",
+        weighted_mean_price("l_extendedprice", "l_quantity")
+        .over(w)
+        .alias("wavg"),
+    ).distinct()
+    grouped = li.groupBy("l_returnflag").agg(
+        weighted_mean_price("l_extendedprice", "l_quantity").alias("wavg")
+    )
+    got = {r.l_returnflag: r.wavg for r in windowed.collect()}
+    exp = {r.l_returnflag: r.wavg for r in grouped.collect()}
+    assert got == exp  # exact-integer UDAF → bitwise equality holds

@@ -36,6 +36,7 @@ def test_all_queries_have_oracle_or_reason():
         "approx_cardinality",  # sketch estimates are engine-specific
         "embedding_pca",  # eigendecomposition is not ANSI-expressible
         "approx_quantiles",  # sketch estimates are engine-specific
+        "semantic_dedup",  # k-means model fit is not ANSI-expressible
     }
 
 
