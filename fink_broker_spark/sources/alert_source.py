@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -115,6 +117,108 @@ class AlertReplayStreamReader(SimpleDataSourceStreamReader):
         return iter(self._gen(int(start["idx"]), int(end["idx"])))
 
 
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: which file this task produced (picklable)."""
+
+    def __init__(self, filename: str, count: int):
+        self.filename = filename
+        self.count = count
+
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+class AlertArchiveWriter(DataSourceWriter):
+    """Manifest-committed JSON-lines archive writer — the write half of
+    the custom format, exactly-once via the classic manifest protocol:
+
+    - each task writes ``part-r<partition>-t<taskAttempt>.jsonl`` (the
+      attempt id makes speculative/retried attempts collide-free);
+    - ``commit`` (driver, only if ALL tasks succeeded) atomically
+      publishes ``_MANIFEST.json`` naming exactly the committed files —
+      readers that go through the manifest never observe files from
+      failed/speculative attempts (orphans are invisible, not deleted);
+    - ``abort`` best-effort deletes the named files and never writes a
+      manifest, so a failed job leaves the previous archive state
+      readable.
+
+    This mirrors the reference's chunked-ingest contract (partial night
+    directories must never be picked up by downstream,
+    ``bin/ztf/stream2raw.py`` wait-for-complete-night) expressed as a
+    Spark 4 Python DataSource writer. Timestamps serialize as ISO-8601;
+    the manifest carries per-file row counts so downstream sizing
+    (stats-driven compaction, ``sinks/parquet.py``) reads one small
+    JSON instead of listing+footers.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("alert_replay writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = f"part-r{ctx.partitionId():05d}-t{ctx.taskAttemptId()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                for k, v in d.items():
+                    if hasattr(v, "isoformat"):
+                        d[k] = v.isoformat()
+                fh.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        committed = sorted(
+            (m.filename, m.count) for m in messages if m is not None
+        )
+        doc = {
+            "files": [{"file": f, "rows": n} for f, n in committed],
+            "total_rows": sum(n for _, n in committed),
+        }
+        tmp = os.path.join(self.path, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        # atomic publish: readers see the old manifest or the new one,
+        # never a torn write
+        os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
+
+    def abort(self, messages):
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.filename))
+
+
+def read_archive(spark, path: str):
+    """Read back ONLY manifest-committed files (exactly-once view)."""
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        doc = json.load(fh)
+    files = [os.path.join(path, f["file"]) for f in doc["files"]]
+    schema = AlertReplaySource({}).schema()
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class AlertReplaySource(DataSource):
     """``spark.read.format("alert_replay").option("rows", N).load()``
     and ``spark.readStream.format("alert_replay")...`` (micro-batch
@@ -141,6 +245,9 @@ class AlertReplaySource(DataSource):
 
     def simpleStreamReader(self, schema):
         return AlertReplayStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return AlertArchiveWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -97,3 +97,69 @@ def test_alert_source_streaming_microbatch_replay(spark):
     )
     assert streamed == batch
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+
+def test_alert_writer_manifest_roundtrip(spark, tmp_path):
+    """Write half of the custom format: per-task files + driver-side
+    atomic manifest; reading through the manifest returns exactly the
+    written rows and ignores orphan (uncommitted-attempt) files."""
+    import json
+    import os
+
+    from fink_broker_spark.sources.alert_source import (
+        MANIFEST_NAME,
+        read_archive,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("alert_replay")
+        .option("rows", 200)
+        .option("partitions", 4)
+        .load()
+    )
+    out = str(tmp_path / "archive")
+    df.write.format("alert_replay").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        doc = json.load(fh)
+    assert doc["total_rows"] == 200
+    assert len(doc["files"]) == 4
+    assert sum(f["rows"] for f in doc["files"]) == 200
+
+    # plant an orphan: a speculative/failed attempt's file — the
+    # manifest-scoped reader must not see it
+    with open(os.path.join(out, "part-r99999-t999.jsonl"), "w") as fh:
+        fh.write('{"event_id": 999999}\n')
+
+    back = read_archive(spark, out)
+    assert back.count() == 200
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_alert_writer_abort_removes_files(spark, tmp_path):
+    """abort() deletes the named task files and leaves no manifest, so
+    a failed job is invisible to manifest readers."""
+    import os
+
+    from fink_broker_spark.sources.alert_source import (
+        MANIFEST_NAME,
+        AlertArchiveWriter,
+        _FileCommit,
+    )
+
+    out = str(tmp_path / "aborted")
+    os.makedirs(out)
+    for fname in ("part-r00000-t1.jsonl", "part-r00001-t2.jsonl"):
+        with open(os.path.join(out, fname), "w") as fh:
+            fh.write("{}\n")
+    w = AlertArchiveWriter({"path": out}, overwrite=False)
+    w.abort(
+        [_FileCommit("part-r00000-t1.jsonl", 1), None,
+         _FileCommit("part-r00001-t2.jsonl", 1)]
+    )
+    assert os.listdir(out) == []
+    assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
