@@ -53,6 +53,35 @@ def main() -> None:
     spark.range(10000).repartition(int(cpus)).select(
         _warm("id")
     ).write.format("noop").mode("overwrite").save()
+    # warm the heavy expression machinery on a 32-row in-memory frame:
+    # the first HEALPix-sized expression tree pays seconds of Janino
+    # compile + Catalyst rule JIT that otherwise lands on whichever
+    # query runs first (measured: multires_index 14.2 s cold vs 2.0 s
+    # warm at sf0.1) — benchmark data is NOT touched here
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fink_broker_spark.functions.spatial import with_healpix_nest
+
+    tiny = spark.range(32).select(
+        F.col("id"),
+        (F.col("id") * 11.25 % 360.0).alias("ra"),
+        (F.col("id") * 3.7 % 120.0 - 60.0).alias("dec"),
+    )
+    dim = spark.range(8).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    (
+        with_healpix_nest(tiny, "ra", "dec", 64, out="hp")
+        .join(F.broadcast(dim), F.col("id") % 8 == F.col("k"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("k").orderBy("hp")),
+        )
+        .groupBy("k")
+        .agg(F.sum("hp").alias("s"), F.max("rnk").alias("m"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -128,6 +129,45 @@ class _FileCommit(WriterCommitMessage):
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def _write_jsonl_task(path: str, iterator) -> _FileCommit:
+    """Shared per-task body for both writer halves: one
+    attempt-id-unique JSONL file per task, rows ISO-8601-normalized."""
+    import json
+    import os
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    fname = f"part-r{ctx.partitionId():05d}-t{ctx.taskAttemptId()}.jsonl"
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    with open(os.path.join(path, fname), "w") as fh:
+        for row in iterator:
+            d = row.asDict()
+            for k, v in d.items():
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat()
+            fh.write(json.dumps(d, sort_keys=True) + "\n")
+            n += 1
+    return _FileCommit(fname, n)
+
+
+def _publish_manifest(path: str, manifest_name: str, messages) -> None:
+    """Atomic driver-side manifest publish (old-or-new, never torn)."""
+    import json
+    import os
+
+    committed = sorted((m.filename, m.count) for m in messages if m is not None)
+    doc = {
+        "files": [{"file": f, "rows": n} for f, n in committed],
+        "total_rows": sum(n for _, n in committed),
+    }
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, manifest_name))
+
+
 class AlertArchiveWriter(DataSourceWriter):
     """Manifest-committed JSON-lines archive writer — the write half of
     the custom format, exactly-once via the classic manifest protocol:
@@ -158,42 +198,10 @@ class AlertArchiveWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import json
-        import os
-
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        fname = f"part-r{ctx.partitionId():05d}-t{ctx.taskAttemptId()}.jsonl"
-        os.makedirs(self.path, exist_ok=True)
-        n = 0
-        with open(os.path.join(self.path, fname), "w") as fh:
-            for row in iterator:
-                d = row.asDict()
-                for k, v in d.items():
-                    if hasattr(v, "isoformat"):
-                        d[k] = v.isoformat()
-                fh.write(json.dumps(d, sort_keys=True) + "\n")
-                n += 1
-        return _FileCommit(fname, n)
+        return _write_jsonl_task(self.path, iterator)
 
     def commit(self, messages):
-        import json
-        import os
-
-        committed = sorted(
-            (m.filename, m.count) for m in messages if m is not None
-        )
-        doc = {
-            "files": [{"file": f, "rows": n} for f, n in committed],
-            "total_rows": sum(n for _, n in committed),
-        }
-        tmp = os.path.join(self.path, MANIFEST_NAME + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh, sort_keys=True)
-        # atomic publish: readers see the old manifest or the new one,
-        # never a torn write
-        os.replace(tmp, os.path.join(self.path, MANIFEST_NAME))
+        _publish_manifest(self.path, MANIFEST_NAME, messages)
 
     def abort(self, messages):
         import contextlib
@@ -203,6 +211,65 @@ class AlertArchiveWriter(DataSourceWriter):
             if m is not None:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(self.path, m.filename))
+
+
+class AlertArchiveStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the archive writer: one manifest PER
+    MICROBATCH (``_MANIFEST-batch-<id>.json``).
+
+    Exactly-once across restarts comes from idempotent re-commit: when
+    a batch replays after a checkpoint-recovered restart, ``commit``
+    for the same ``batchId`` atomically *replaces* that batch's
+    manifest with the replay's file list — the first attempt's files
+    become invisible orphans, and manifest-scoped readers
+    (:func:`read_stream_archive`) never double-count. This is the same
+    idempotent-sink contract as the ``foreachBatch`` parquet sink
+    (``sinks/parquet.py``: batch_id dynamic-partition overwrite),
+    expressed through the Python DataSource API so
+    ``df.writeStream.format("alert_replay")`` works end to end.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("alert_replay stream writer requires a path")
+
+    def write(self, iterator):
+        return _write_jsonl_task(self.path, iterator)
+
+    def commit(self, messages, batchId):
+        _publish_manifest(
+            self.path, f"_MANIFEST-batch-{batchId:05d}.json", messages
+        )
+
+    def abort(self, messages, batchId):
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.path, m.filename))
+
+
+def read_stream_archive(spark, path: str):
+    """Union of all committed microbatch manifests (exactly-once view:
+    one manifest per batch id, orphans from failed/replayed attempts
+    excluded)."""
+    import glob
+    import json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-batch-*.json"))):
+        with open(mf) as fh:
+            files.extend(
+                os.path.join(path, f["file"]) for f in json.load(fh)["files"]
+            )
+    schema = AlertReplaySource({}).schema()
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 def read_archive(spark, path: str):
@@ -248,6 +315,9 @@ class AlertReplaySource(DataSource):
 
     def writer(self, schema, overwrite):
         return AlertArchiveWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return AlertArchiveStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
