@@ -5439,6 +5439,227 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (association-rule support
+    counting): part pairs that ship together in the same order, with a
+    minimum-support cut and a deterministic top-50.
+
+    Plan: distinct (order, part) — dedupes multi-line orders — then ONE
+    shuffle on ``l_orderkey`` co-partitions the self-join; pair fan-out
+    is Σ|basket|² (bounded: mean basket ≈ 4), partial aggregation
+    collapses pairs map-side, and the support filter prunes before the
+    final TakeOrderedAndProject. 100 TB posture: a pathological giant
+    basket (hot order) inflates quadratically — cap baskets with a
+    per-order ``row_number() <= B`` guard before pairing, the same
+    skew posture as ``max_df`` in jaccard_neardup (SCALING.md).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+ORACLE_BASKET_PAIRS = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+       count(*) AS support
+FROM b a JOIN b c
+  ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key time-series resampling to a daily grid with forward
+    fill — the light-curve regularization every astronomy feature
+    extractor wants (the reference consumes irregular per-object
+    epochs, e.g. ``fink_broker/science.py`` magnitude histories) and
+    the gap-filling step of any training-data timeline.
+
+    Three declarative stages, no UDF: (1) collapse to one value per
+    (user, day) — last observation wins, ties broken by event_id via
+    one row_number window; (2) build each user's calendar with
+    ``sequence(min_day, max_day)`` + explode — the grid is generated
+    where the data lives, never on the driver; (3) forward-fill with
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    window. Shuffles: one per window partition key (user) and the
+    grid join — all on the same key, so AQE coalesces. Gap rows keep
+    ``is_gap = true`` for downstream masking.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id",
+                  "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("day_value"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    fillw = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(fillw).alias("value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+ORACLE_RESAMPLE_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS day_value
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id < 20
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id)
+)
+SELECT g.user_id, g.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       d.day_value IS NULL AS is_gap
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend + correlation from exact-integer moment
+    sums — the aggregate-regression family (slope/intercept/corr) in
+    the decimal-exact oracle discipline.
+
+    ``x`` is the whole-day epoch index (exact long), ``y`` the event
+    value integerized to milli-units (3 decimals → exact int64). The
+    five moment sums are exact integers, products cross through
+    DECIMAL(38,0)/HUGEINT (no float accumulation order anywhere); the
+    final
+    slope/intercept/corr are fixed IEEE expression trees over
+    exact-valued doubles, so Spark and DuckDB agree bit-for-bit.
+    Native ``F.regr_slope``/``regr_intercept``/``corr`` are asserted
+    ≈-equal in ``tests/test_operators.py`` (they accumulate in float —
+    correct, but not hash-stable across engines; this decomposition is
+    how to make regression aggregates oracle-checkable).
+
+    Scale: one partial-aggregating shuffle on the group key; the
+    moment sums are 5 numbers per group — the same mergeable-partials
+    shape as ``incremental_stats``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    # milli-unit integerization: value carries 3 decimals, so ym is an
+    # exact int64 and every moment sum is exact integer arithmetic;
+    # products go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so
+    # nothing overflows or rounds before the final double conversion
+    ym = F.rint(F.col("value") * 1000).cast("long")
+    g = (
+        ev.select(F.col("event_type"), x.alias("x"), ym.alias("ym"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("ym").alias("sym"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("ym") * F.col("ym")).alias("syym"),
+            F.sum(F.col("x") * F.col("ym")).alias("sxym"),
+        )
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num_m = (big("n") * big("sxym") - big("sx") * big("sym")).cast("double")
+    den_x = (big("n") * big("sxx") - big("sx") * big("sx")).cast("double")
+    den_ym = (big("n") * big("syym") - big("sym") * big("sym")).cast(
+        "double"
+    )
+    slope = num_m / (den_x * F.lit(1000.0))
+    return g.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sym").cast("double") / F.lit(1000.0)
+             - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (num_m / F.sqrt(den_x * den_ym)).alias("corr"),
+    )
+
+
+ORACLE_REGRESSION_TREND = """
+WITH t AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000) AS BIGINT) AS ym
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n, SUM(x) AS sx, SUM(ym) AS sym,
+         SUM(x * x) AS sxx, SUM(ym * ym) AS syym, SUM(x * ym) AS sxym
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxym - sx * sym AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) AS slope,
+       (CAST(sym AS DOUBLE) / 1000.0
+        - (CAST(n * sxym - sx * sym AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0))
+          * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       CAST(n * sxym - sx * sym AS DOUBLE)
+         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syym - sym * sym AS DOUBLE)) AS corr
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5572,6 +5793,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
     "semantic_dedup": q_semantic_dedup,
+    "basket_pairs": q_basket_pairs,
+    "resample_fill": q_resample_fill,
+    "regression_trend": q_regression_trend,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5711,6 +5935,9 @@ _ORACLES: dict[str, str] = {
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
     # semantic_dedup: k-means model fit not ANSI-expressible → rows-only;
     # exact keep-rule equivalence asserted in tests/test_ext.py.
+    "basket_pairs": ORACLE_BASKET_PAIRS,
+    "resample_fill": ORACLE_RESAMPLE_FILL,
+    "regression_trend": ORACLE_REGRESSION_TREND,
 }
 
 
@@ -5773,10 +6000,10 @@ _DRIVER_PRIORITY: list[str] = [
     # -- new in round 4 (no driver row yet, by construction) --
     "grouped_agg_udaf",
     "semantic_dedup",
+    "basket_pairs",
+    "resample_fill",
+    "regression_trend",
     "min_cost_supplier",
-    "market_share",
-    "important_parts",
-    "supplier_part_counts",
     "disjunctive_revenue",
     "part_promotion",
     "cms_heavy_hitters",

@@ -532,3 +532,41 @@ def test_zorder_decode_roundtrips(spark):
     dx, dy = zorder_decode_exprs(zorder_key_expr("x", "y"))
     rows = df.select("x", "y", dx.alias("rx"), dy.alias("ry")).collect()
     assert all(r.x == r.rx and r.y == r.ry for r in rows)
+
+
+def test_regression_trend_matches_native_aggregates(spark):
+    """The exact-integer decomposition in q_regression_trend equals the
+    native float regression aggregates (F.regr_slope/regr_intercept/
+    F.corr) to float tolerance — the native forms are the production
+    API, the decomposition is the oracle-checkable twin."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF001
+
+    got = {
+        r.event_type: (r.slope, r.intercept, r.corr)
+        for r in em.q_regression_trend(spark, SF001).collect()
+    }
+    ev = load_table(spark, SF001, "events")
+    x = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+        "double"
+    )
+    native = {
+        r.event_type: (r.slope, r.intercept, r.corr)
+        for r in ev.select(
+            "event_type", x.alias("x"), F.col("value").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.corr("y", "x").alias("corr"),
+        )
+        .collect()
+    }
+    assert set(got) == set(native)
+    for et in got:
+        for a, b in zip(got[et], native[et]):
+            assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (et, a, b)
