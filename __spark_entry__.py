@@ -5444,31 +5444,39 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting): part pairs that ship together in the same order, with a
     minimum-support cut and a deterministic top-50.
 
-    Plan: distinct (order, part) — dedupes multi-line orders — then ONE
-    shuffle on ``l_orderkey`` co-partitions the self-join; pair fan-out
-    is Σ|basket|² (bounded: mean basket ≈ 4), partial aggregation
-    collapses pairs map-side, and the support filter prunes before the
-    final TakeOrderedAndProject. 100 TB posture: a pathological giant
-    basket (hot order) inflates quadratically — cap baskets with a
-    per-order ``row_number() <= B`` guard before pairing, the same
-    skew posture as ``max_df`` in jaccard_neardup (SCALING.md).
+    Plan (single-scan, two shuffles — NOT the classic self-join, which
+    scans and shuffles the fact twice): collect each basket with ONE
+    ``collect_set`` shuffle on ``l_orderkey`` (dedup is free — sets),
+    expand in-array pairs map-side with nested ``transform``/``slice``
+    HOFs (codegen, never a join), then one partial-aggregating shuffle
+    on the pair. Pair fan-out is Σ|basket|²/2 (mean basket ≈ 4); the
+    support filter prunes before the final TakeOrderedAndProject.
+    100 TB posture: a pathological giant basket (hot order) inflates
+    quadratically — cap with ``slice(parts, 1, B)`` after the sort,
+    the same skew posture as ``max_df`` in jaccard_neardup
+    (SCALING.md). The DuckDB oracle *is* the classic self-join, so the
+    HOF expansion is verified against the textbook formulation.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = li.alias("a"), li.alias("b")
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"),
+                 F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .orderBy(F.desc("support"), "part_a", "part_b")
