@@ -570,3 +570,24 @@ def test_regression_trend_matches_native_aggregates(spark):
     for et in got:
         for a, b in zip(got[et], native[et]):
             assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (et, a, b)
+
+
+def test_exploded_aggregates_group_on_scalars(spark):
+    """Plan pin for the scalar-extract discipline (SCALING.md round-3d):
+    grouping keys must be plain attributes, not struct-field expressions
+    — Catalyst marks the latter as `_groupingexpression` aliases inside
+    the aggregate's grouping projection, which costs ~2x on exploded
+    hot paths (measured on basket_pairs: 10.9 s -> 4.9 s at 10x)."""
+    import __spark_entry__ as em
+    from fink_broker_spark.functions.sketches import cms_build
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    basket = em.q_basket_pairs(spark, SF0001)
+    plan = basket._jdf.queryExecution().executedPlan().toString()
+    assert "_groupingexpression" not in plan
+
+    ev = load_table(spark, SF0001, "events")
+    cms = cms_build(ev, "user_id", depth=3, width=64)
+    plan = cms._jdf.queryExecution().executedPlan().toString()
+    assert "_groupingexpression" not in plan
