@@ -685,3 +685,72 @@ def test_session_dynamic_gap_stream_equals_batch(spark, tmp_path):
         map(tuple, batch.collect())
     )
     assert streamed.count() > 0
+
+
+def test_stream_stream_join_on_healpix_pixel(spark, tmp_path):
+    """The full multi-messenger composition (ztf/mm_utils.py:154-235):
+    two live streams keyed by HEALPix sky pixel + time window. The
+    pixelization is the same staged NESTED expression the batch
+    crossmatch uses (applied to a *streaming* frame — pure column
+    exprs, so Structured Streaming accepts it), and the watermarked
+    join equals the batch range join over the same files."""
+    from fink_broker_spark.core.time import ensure_event_ts
+    from fink_broker_spark.functions.spatial import with_healpix_nest
+    from fink_broker_spark.streaming.join import stream_stream_join
+    from fink_broker_spark.streaming.replay import run_stream
+
+    stage = _stage_events(tmp_path)
+
+    def sides(df):
+        df = ensure_event_ts(df)
+        # deterministic synthetic sky positions (same recipe as
+        # q_multires_index) so both layouts pixelize identically
+        df = df.select(
+            "event_id",
+            "event_type",
+            "ts",
+            (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+            ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias(
+                "dec"
+            ),
+        )
+        df = with_healpix_nest(df, "ra", "dec", 4, out="pix")
+        left = df.filter(F.col("event_type") == "purchase").select(
+            F.col("pix"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        right = df.filter(F.col("event_type") == "error").select(
+            F.col("pix"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return left, right
+
+    sl, sr = sides(file_stream(spark, stage))
+    joined = stream_stream_join(
+        sl, sr, on=["pix"], left_time="l_ts", right_time="r_ts",
+        tolerance="24 hours", watermark="48 hours",
+    ).select("l_id", "r_id")
+    q = run_stream(joined, available_now=True, query_name="mmj")
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("mmj").collect()))
+
+    bl, br = sides(spark.read.parquet(stage))
+    batch = sorted(
+        map(
+            tuple,
+            bl.join(
+                br,
+                (bl.pix == br.pix)
+                & (br.r_ts >= bl.l_ts - F.expr("INTERVAL 24 hours"))
+                & (br.r_ts <= bl.l_ts + F.expr("INTERVAL 24 hours")),
+            )
+            .select("l_id", "r_id")
+            .collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
