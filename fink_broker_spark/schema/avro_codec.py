@@ -1,0 +1,255 @@
+"""Pure-Python Avro *binary* codec, jar-free — closes the byte path.
+
+The reference serializes outgoing alerts with Avro through the
+spark-avro jar (``common/spark_utils.py:44-123``,
+``common/distribution_utils.py:92-140``); in environments without the
+jar the engine's Kafka twin carried the protocol with JSON only. This
+module implements the Avro **binary encoding** itself (public spec,
+Apache Avro 1.11.x, "Binary encoding" section — zigzag varint
+ints/longs, little-endian IEEE floats, length-prefixed bytes/strings,
+block-encoded arrays/maps, index-prefixed unions, field-ordered
+records), driven by the very .avsc documents
+:mod:`fink_broker_spark.schema.avro_schema` emits, so real Avro bytes
+flow through the schema-as-key + Confluent wire framing machinery with
+zero external dependencies.
+
+Interop contract: bytes produced here decode with any conformant Avro
+reader under the same schema, and vice versa.
+``tests/test_avro_wire.py`` pins golden byte strings hand-derived from
+the spec, and — when the spark-avro jar IS present — cross-checks
+against native ``to_avro``/``from_avro`` automatically.
+
+Spark integration is an Arrow-batched pandas UDF pair
+(:func:`avro_encode_udf` / :func:`avro_decode_udf`): the per-record
+Python loop is the documented fallback posture (same class as the
+multimodal decode stubs — executor-side, batch-at-a-time, payloads
+never leave executors); ``to_avro``/``from_avro`` remain the
+production path the moment the jar appears (``sinks/kafka.py``
+probes at runtime).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+import pandas as pd
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+# -- primitive writers (spec: Binary encoding / Primitive types) ----------
+
+
+def _zigzag(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & _MASK
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    u = _zigzag(n)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+def _is_nullable_union(schema: Any) -> bool:
+    return isinstance(schema, list)
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def encode(schema: Any, value: Any, out: bytearray | None = None) -> bytes:
+    """Encode ``value`` under ``schema`` (parsed .avsc) to Avro binary."""
+    if out is None:
+        out = bytearray()
+    if _is_nullable_union(schema):
+        # union: long index, then the value under the selected branch
+        if value is None:
+            idx = next(
+                i for i, s in enumerate(schema) if _type_name(s) == "null"
+            )
+            _write_long(out, idx)
+            return bytes(out)
+        idx, branch = next(
+            (i, s)
+            for i, s in enumerate(schema)
+            if _type_name(s) != "null"
+        )
+        _write_long(out, idx)
+        encode(branch, value, out)
+        return bytes(out)
+    t = _type_name(schema)
+    if t == "null":
+        pass
+    elif t == "boolean":
+        out.append(1 if value else 0)
+    elif t in ("int", "long"):
+        _write_long(out, int(value))
+    elif t == "float":
+        out += struct.pack("<f", float(value))
+    elif t == "double":
+        out += struct.pack("<d", float(value))
+    elif t == "string":
+        raw = str(value).encode("utf-8")
+        _write_long(out, len(raw))
+        out += raw
+    elif t == "bytes":
+        raw = bytes(value)
+        _write_long(out, len(raw))
+        out += raw
+    elif t == "record":
+        for f in schema["fields"]:
+            encode(f["type"], value[f["name"]], out)
+    elif t == "array":
+        items = list(value)
+        if items:
+            _write_long(out, len(items))
+            for it in items:
+                encode(schema["items"], it, out)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = dict(value)
+        if entries:
+            _write_long(out, len(entries))
+            for k, v in entries.items():
+                encode("string", k, out)
+                encode(schema["values"], v, out)
+        _write_long(out, 0)
+    else:
+        raise NotImplementedError(f"avro type {t!r}")
+    return bytes(out)
+
+
+def decode(schema: Any, buf: bytes, pos: int = 0) -> tuple[Any, int]:
+    """Decode one value under ``schema``; returns ``(value, new_pos)``."""
+    if _is_nullable_union(schema):
+        idx, pos = _read_long(buf, pos)
+        branch = schema[idx]
+        if _type_name(branch) == "null":
+            return None, pos
+        return decode(branch, buf, pos)
+    t = _type_name(schema)
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] == 1, pos + 1
+    if t in ("int", "long"):
+        return _read_long(buf, pos)
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == "string":
+        n, pos = _read_long(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _read_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = decode(f["type"], buf, pos)
+        return rec, pos
+    if t == "array":
+        items = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:  # block with byte-size prefix (spec-permitted)
+                _, pos = _read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = decode(schema["items"], buf, pos)
+                items.append(v)
+    if t == "map":
+        entries = {}
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return entries, pos
+            if n < 0:
+                _, pos = _read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = decode("string", buf, pos)
+                entries[k], pos = decode(schema["values"], buf, pos)
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+# -- Spark integration -----------------------------------------------------
+
+
+def _pythonize(v: Any) -> Any:
+    """Row/numpy containers → plain python for the encoder."""
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {k: _pythonize(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # pyspark Row inside pandas cells
+        return {k: _pythonize(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [_pythonize(x) for x in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def avro_encode_udf(avsc: dict):
+    """Pandas UDF: struct column → Avro-binary ``binary`` column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _enc(s: pd.Series) -> pd.Series:
+        # struct input arrives as a pd.DataFrame at runtime (the
+        # annotation must still read Series per the typehint contract)
+        df = s if isinstance(s, pd.DataFrame) else s.to_frame()
+        return pd.Series(
+            [
+                encode(avsc, _pythonize(dict(zip(df.columns, row))))
+                for row in df.itertuples(index=False, name=None)
+            ]
+        )
+
+    return _enc
+
+
+def avro_decode_udf(avsc: dict, spark_schema):
+    """Pandas UDF: binary column → struct column under ``spark_schema``."""
+    from pyspark.sql.functions import pandas_udf
+
+    names = [f["name"] for f in avsc["fields"]]
+
+    @pandas_udf(returnType=spark_schema)
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        rows = [decode(avsc, bytes(b))[0] for b in s]
+        return pd.DataFrame(
+            {n: [r[n] for r in rows] for n in names}
+        )
+
+    return _dec

@@ -82,7 +82,7 @@ def distribution_cast_plan(df: DataFrame) -> DataFrame:
 def serialize_payload(
     df: DataFrame,
     columns: list[str] | None = None,
-    use_avro: bool = False,
+    use_avro: bool | str = False,
     key_format: str = "spark_json",
 ) -> DataFrame:
     """Columns → single binary/string ``value`` + schema-string ``key``.
@@ -94,20 +94,31 @@ def serialize_payload(
     Spark JSON schema — the reference's actual key content
     (``schema_converter.to_avro``), available jar-free via
     :mod:`fink_broker_spark.schema.avro_schema`.
+
+    ``use_avro``: ``True``/"jvm" → native ``to_avro`` (needs the
+    spark-avro jar); ``"python"`` → REAL Avro binary via the jar-free
+    codec (:mod:`fink_broker_spark.schema.avro_codec`, Arrow-batched
+    pandas UDF — interop-conformant bytes, the fallback when the jar is
+    absent); ``False`` → JSON twin (codegen, cheapest for tests).
     """
     cols = columns or df.columns
     payload: Column = F.struct(*[F.col(c) for c in cols])
-    if key_format == "avsc":
+    if key_format == "avsc" or use_avro == "python":
         import json as _json
 
         from fink_broker_spark.schema.avro_schema import spark_schema_to_avsc
 
-        schema_key = F.lit(
-            _json.dumps(spark_schema_to_avsc(df.select(*cols).schema))
-        )
+        avsc = spark_schema_to_avsc(df.select(*cols).schema)
+        schema_key = F.lit(_json.dumps(avsc))
+        if key_format != "avsc":
+            schema_key = F.lit(df.select(*cols).schema.json())
     else:
         schema_key = F.lit(df.select(*cols).schema.json())
-    if use_avro:
+    if use_avro == "python":
+        from fink_broker_spark.schema.avro_codec import avro_encode_udf
+
+        value = avro_encode_udf(avsc)(payload)
+    elif use_avro:
         from pyspark.sql.avro.functions import to_avro
 
         value = to_avro(payload)
