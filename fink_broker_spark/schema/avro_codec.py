@@ -89,17 +89,23 @@ def encode(schema: Any, value: Any, out: bytearray | None = None) -> bytes:
         out = bytearray()
     if _is_nullable_union(schema):
         # union: long index, then the value under the selected branch
-        if value is None:
-            idx = next(
-                i for i, s in enumerate(schema) if _type_name(s) == "null"
-            )
-            _write_long(out, idx)
-            return bytes(out)
         idx, branch = next(
             (i, s)
             for i, s in enumerate(schema)
             if _type_name(s) != "null"
         )
+        # pandas upcasts nullable int/long columns to float64 with NaN
+        # for the nulls — map NaN back to null ONLY when the non-null
+        # branch is integral (a double branch keeps NaN as a value)
+        is_nan = isinstance(value, float) and value != value
+        if value is None or (
+            is_nan and _type_name(branch) in ("int", "long")
+        ):
+            nidx = next(
+                i for i, s in enumerate(schema) if _type_name(s) == "null"
+            )
+            _write_long(out, nidx)
+            return bytes(out)
         _write_long(out, idx)
         encode(branch, value, out)
         return bytes(out)

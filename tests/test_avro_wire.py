@@ -469,3 +469,87 @@ def test_serialize_payload_python_avro(spark):
         for r in ev.select("event_id", "event_type").collect()
     }
     assert {(d["event_id"], d["event_type"]) for d in decoded} == expected
+
+
+def test_avro_ocf_roundtrip(spark, tmp_path):
+    """Object Container Files end to end, jar-free: partition-parallel
+    write (one part-N.avro per task), driver reads one header for the
+    schema, executor-side block decode over a binaryFile scan. Spec
+    structure pinned: magic, metadata map, sync-marker-delimited
+    blocks."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.sinks.avro_ocf import (
+        MAGIC,
+        read_avro_ocf,
+        read_header,
+        write_avro_ocf,
+    )
+
+    df = (
+        spark.range(10_000)
+        .repartition(4)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).cast("double").alias("score"),
+            F.concat(F.lit("u"), (F.col("id") % 13).cast("string")).alias(
+                "user"
+            ),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise(F.col("id") % 3)
+            .alias("bucket"),
+        )
+    )
+    out = str(tmp_path / "ocf")
+    manifest = write_avro_ocf(df, out)
+    assert len(manifest) == 4
+    assert sum(n for _, n in manifest) == 10_000
+
+    # spec pin: magic + metadata keys
+    with open(os.path.join(out, manifest[0][0]), "rb") as fh:
+        head = fh.read(4096)
+    assert head[:4] == MAGIC
+    avsc, sync, _ = read_header(head)
+    assert avsc["type"] == "record"
+    assert len(sync) == 16
+
+    back = read_avro_ocf(spark, out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_avro_ocf_native_interop(spark, tmp_path):
+    """When spark-avro is present, natively read our OCF files and
+    natively write files our reader consumes — auto-armed interop."""
+    import pytest
+
+    from fink_broker_spark.sinks.kafka import avro_available
+
+    if not avro_available(spark):
+        pytest.skip("spark-avro jar not on classpath")
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.sinks.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("s")
+    )
+    ours = str(tmp_path / "ours")
+    write_avro_ocf(df, ours)
+    native_read = spark.read.format("avro").load(ours)
+    assert sorted(map(tuple, native_read.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    theirs = str(tmp_path / "theirs")
+    df.write.format("avro").save(theirs)
+    our_read = read_avro_ocf(spark, theirs)
+    assert sorted(map(tuple, our_read.collect())) == sorted(
+        map(tuple, df.collect())
+    )
