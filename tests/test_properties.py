@@ -188,3 +188,65 @@ def test_healpix_expr_matches_numpy_property(spark, pts, nside):
     dec = np.array([p[1] for p in pts])
     want = ang2pix_ring_np(ra, dec, nside).tolist()
     assert got == want
+
+
+# -- Avro binary codec: round-trip over random schemas and values ---------
+
+_avro_primitives = st.sampled_from(
+    ["boolean", "int", "long", "float", "double", "string", "bytes"]
+)
+
+
+def _value_for(t):
+    if t == "boolean":
+        return st.booleans()
+    if t in ("int", "long"):
+        lo, hi = (-(2**31), 2**31 - 1) if t == "int" else (-(2**63), 2**63 - 1)
+        return st.integers(lo, hi)
+    if t == "float":
+        return st.floats(width=32, allow_nan=False)
+    if t == "double":
+        return st.floats(allow_nan=False)
+    if t == "string":
+        return st.text(max_size=40)
+    return st.binary(max_size=40)
+
+
+@st.composite
+def _record_and_value(draw):
+    nfields = draw(st.integers(1, 6))
+    fields = []
+    value = {}
+    for i in range(nfields):
+        t = draw(_avro_primitives)
+        nullable = draw(st.booleans())
+        as_array = draw(st.booleans())
+        ftype = {"type": "array", "items": t} if as_array else t
+        if nullable:
+            ftype = [ftype, "null"]
+        fields.append({"name": f"f{i}", "type": ftype})
+        if nullable and draw(st.booleans()):
+            value[f"f{i}"] = None
+        elif as_array:
+            value[f"f{i}"] = draw(
+                st.lists(_value_for(t), max_size=5)
+            )
+        else:
+            value[f"f{i}"] = draw(_value_for(t))
+    return {"type": "record", "name": "r", "fields": fields}, value
+
+
+@given(rv=_record_and_value())
+@settings(max_examples=200, deadline=None)
+def test_avro_codec_roundtrip_property(rv):
+    """decode(encode(v)) == v for random record schemas mixing
+    primitives, arrays, and nullable unions; the cursor must land
+    exactly at the end of the buffer (no trailing garbage, no
+    over-read)."""
+    from fink_broker_spark.schema.avro_codec import decode, encode
+
+    schema, value = rv
+    blob = encode(schema, value)
+    back, pos = decode(schema, blob)
+    assert pos == len(blob)
+    assert back == value
