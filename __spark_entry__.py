@@ -1882,9 +1882,9 @@ def _oracle_multires_index() -> str:
         "sqrt(pow(sin((radians(i.dec) - radians(p.p_dec)) / 2), 2)"
         " + cos(radians(p.p_dec)) * cos(radians(i.dec))"
         "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2)),"
-        "sqrt(1.0 - (pow(sin((radians(i.dec) - radians(p.p_dec)) / 2), 2)"
+        "sqrt(greatest(0.0, 1.0 - (pow(sin((radians(i.dec) - radians(p.p_dec)) / 2), 2)"
         " + cos(radians(p.p_dec)) * cos(radians(i.dec))"
-        "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2)))))"
+        "   * pow(sin((radians(i.ra) - radians(p.p_ra)) / 2), 2))))))"
     )
     return f"""
 WITH idx0 AS (
@@ -3287,9 +3287,9 @@ WHERE degrees(2.0 * atan2(
         sqrt(pow(sin((radians(cat.dec) - radians(survey.dec)) / 2), 2)
              + cos(radians(survey.dec)) * cos(radians(cat.dec))
                * pow(sin((radians(cat.ra) - radians(survey.ra)) / 2), 2)),
-        sqrt(1.0 - (pow(sin((radians(cat.dec) - radians(survey.dec)) / 2), 2)
+        sqrt(greatest(0.0, 1.0 - (pow(sin((radians(cat.dec) - radians(survey.dec)) / 2), 2)
              + cos(radians(survey.dec)) * cos(radians(cat.dec))
-               * pow(sin((radians(cat.ra) - radians(survey.ra)) / 2), 2)))))
+               * pow(sin((radians(cat.ra) - radians(survey.ra)) / 2), 2))))))
       <= 2.0
 """
 
@@ -3339,9 +3339,9 @@ WITH alerts AS (
            sqrt(pow(sin((radians(c.dec) - radians(a.dec)) / 2), 2)
                 + cos(radians(a.dec)) * cos(radians(c.dec))
                   * pow(sin((radians(c.ra) - radians(a.ra)) / 2), 2)),
-           sqrt(1.0 - (pow(sin((radians(c.dec) - radians(a.dec)) / 2), 2)
+           sqrt(greatest(0.0, 1.0 - (pow(sin((radians(c.dec) - radians(a.dec)) / 2), 2)
                 + cos(radians(a.dec)) * cos(radians(c.dec))
-                  * pow(sin((radians(c.ra) - radians(a.ra)) / 2), 2))))) AS sep
+                  * pow(sin((radians(c.ra) - radians(a.ra)) / 2), 2)))))) AS sep
   FROM alerts a, cat c
 ), ranked AS (
   SELECT event_id, main_type,
@@ -4510,12 +4510,15 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): per supplier-nation,
     per-year profit on LARGE-type parts.
 
-    No partsupp ⇒ unit cost proxies as ``p_retailprice / 10``. Revenue
-    and cost aggregate as two separate exact DECIMAL sums (a combined
-    ``rev − cost/10`` term would push the decimal product past
-    precision 38 and force engine-specific rounding); the subtraction
-    and the /10 happen once per output row in DOUBLE, an identical
-    IEEE tree on both engines."""
+    No partsupp ⇒ unit cost proxies as ``p_retailprice / 10``.
+    Arithmetic is fully integerized (prices in cents, revenue in 1e-4
+    dollars — all exact int64), the per-group difference is an exact
+    integer, and the ONLY float op is the final exact-int → double
+    division. No terminal ROUND: rounding a computed double at a
+    half-cent boundary diverges between engines (Spark rounds the
+    BigDecimal of the double, DuckDB rounds with float ops — a sf0.1
+    group at x.835 produced .84 vs .83; surfaced by the sf0.1 parity
+    sweep, invisible at sf0.01)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "LARGE"
@@ -4523,10 +4526,10 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
-    rev = _dec("l_extendedprice") * (
-        F.lit(1.0).cast("decimal(18,9)") - _dec("l_discount")
-    )
-    cost = _dec("p_retailprice") * _dec("l_quantity")
+    price_c = F.rint(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.rint(F.col("l_discount") * 100).cast("long")
+    retail_c = F.rint(F.col("p_retailprice") * 100).cast("long")
+    qty = F.rint(F.col("l_quantity")).cast("long")
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -4535,20 +4538,19 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            rev.alias("rev"),
-            cost.alias("cost"),
+            (price_c * (F.lit(100) - disc_c)).alias("rev_e4"),
+            (retail_c * qty).alias("cost_c"),
         )
     )
     return (
         joined.groupBy("nation", "o_year")
-        .agg(F.sum("rev").alias("sr"), F.sum("cost").alias("sc"))
+        .agg(F.sum("rev_e4").alias("sr"), F.sum("cost_c").alias("sc"))
         .select(
             "nation",
             "o_year",
-            F.round(
-                F.col("sr").cast("double")
-                - F.col("sc").cast("double") / F.lit(10.0),
-                2,
+            (
+                (F.col("sr") - F.col("sc") * 10).cast("double")
+                / F.lit(10000.0)
             ).alias("profit"),
         )
     )
@@ -4558,11 +4560,10 @@ ORACLE_PRODUCT_PROFIT = """
 WITH joined AS (
   SELECT n_name AS nation,
          EXTRACT(year FROM o_orderdate) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,9)) *
-           (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))
-           AS rev,
-         CAST(p_retailprice AS DECIMAL(18,9)) *
-           CAST(l_quantity AS DECIMAL(18,9)) AS cost
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) *
+           CAST(ROUND(l_quantity) AS BIGINT) AS cost_c
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
   JOIN orders ON l_orderkey = o_orderkey
@@ -4570,8 +4571,7 @@ WITH joined AS (
   JOIN nation ON s_nationkey = n_nationkey
 )
 SELECT nation, o_year,
-       ROUND(CAST(SUM(rev) AS DOUBLE) - CAST(SUM(cost) AS DOUBLE) / 10.0, 2)
-         AS profit
+       CAST(SUM(rev_e4) - SUM(cost_c) * 10 AS DOUBLE) / 10000.0 AS profit
 FROM joined GROUP BY nation, o_year
 """
 

@@ -670,8 +670,17 @@ def angular_sep_deg_expr(
         F.pow(F.sin((d2 - d1) / 2), 2)
         + F.cos(d1) * F.cos(d2) * F.pow(F.sin((r2 - r1) / 2), 2)
     )
+    # near-antipodal float error can push a past 1.0: Spark's
+    # sqrt(negative) silently yields NaN (pair correctly excluded) but
+    # an un-clamped SQL transcription hard-errors in engines that raise
+    # on sqrt(<0) — clamp on BOTH sides so the trees stay identical
+    # (greatest(0, x) == x bit-for-bit whenever x >= 0; surfaced by the
+    # sf0.1 parity sweep, invisible at sf0.01)
     return F.degrees(
-        F.lit(2.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+        F.lit(2.0)
+        * F.atan2(
+            F.sqrt(a), F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - a))
+        )
     )
 
 
