@@ -235,3 +235,22 @@ def test_bloom_prefilter_runs_before_shuffle_when_pushdown_excluded(spark):
         assert got == expect
     finally:
         spark.conf.unset("spark.sql.optimizer.excludedRules")
+
+
+def test_cardinality_report_keeps_all_null_groups(spark):
+    """A group whose key values are ALL NULL has no exact-count row;
+    the report must still list it with exact = 0 (left join +
+    coalesce), not silently drop it."""
+    from fink_broker_spark.functions.sketches import cardinality_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("b", None), ("c", 3)],
+        "grp string, key int",
+    )
+    rep = {
+        r.grp: (r.exact, r.approx)
+        for r in cardinality_report(df, ["grp"], "key").collect()
+    }
+    assert set(rep) == {"a", "b", "c"}
+    assert rep["b"][0] == 0
+    assert rep["a"][0] == 2
