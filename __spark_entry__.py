@@ -4176,15 +4176,16 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size moment partials → driver eigendecomposition → vectorized
     projection matmul. Eigenvectors are not ANSI-expressible → rows-only
     driver check; numpy equivalence is pinned in tests/test_ext.py.
-    Output: per-vector top-4 coordinates (rounded for row stability)."""
+    Output: scalar ``(vec_id, component_idx, coord)`` rows — the vector
+    is posexploded so the driver's rows-only canonicalizer (a pandas
+    sort over all columns) never meets an unhashable array cell."""
     from fink_broker_spark.ext.pca import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = pca_project(emb, k=4)
     return proj.select(
-        "vec_id",
-        F.transform("pca", lambda x: F.round(x, 6)).alias("pca4"),
-    )
+        "vec_id", F.posexplode("pca").alias("component_idx", "coord")
+    ).select("vec_id", "component_idx", F.round("coord", 6).alias("coord"))
 
 
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5963,80 +5964,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-sampling priority: the correctness driver checks the FIRST ~50
-# entries of queries() per round (dict order == iteration order).  Round 1+2
-# kept re-sampling already-green queries, leaving 18 queries with no driver
-# CORRECTNESS row ever and 14 checked only in round 1 (including
-# json_extract, whose r1 hash-fail fix is otherwise unverified).  Order:
-#   1. never driver-checked (r01 ∪ r02 have no row)
-#   2. checked in r01 only (stale — fix verification + refresh)
-#   3. double-green (checked in r02) last.
-_DRIVER_PRIORITY: list[str] = [
-    # -- new this round (no driver row yet, by construction) --
-    "multires_index",
-    "range_join_windows",
-    "skew_join_salted",
-    "variant_json",
-    "nation_trade_flows",
-    "approx_quantiles",
-    "top_supplier_revenue",
-    "large_orders",
-    "sole_late_supplier",
-    "idle_customers",
-    "pareto_frontier",
-    "scd2_history",
-    "cdc_fold",
-    "tfidf_topterms",
-    "doc_chunks",
-    "bigram_counts",
-    "reservoir_sample",
-    "equidepth_histogram",
-    "pq_ann_topk",
-    "zorder_layout",
-    # -- never checked in r01 or r02 --
-    "tracklet_candidates",
-    "sky_tracklets",
-    "healpix_crossmatch",
-    "xmatch_enrich",
-    "grouping_sets",
-    "explode_outer_nulls",
-    "pivot_recode",
-    "unpivot_stack",
-    "range_frame_window",
-    "malformed_records",
-    "union_evolution",
-    "approx_cardinality",
-    "embedding_pca",
-    "null_semantics",
-    "date_arithmetic",
-    "deterministic_ids",
-    "ann_kernel_topk",
-    "embedding_quantize",
-    # -- checked in r01 only: the one unverified FIX --
-    "json_extract",
-    # -- new in round 4 (no driver row yet, by construction) --
-    "grouped_agg_udaf",
-    "semantic_dedup",
-    "basket_pairs",
-    "resample_fill",
-    "regression_trend",
-    "min_cost_supplier",
-    "disjunctive_revenue",
-    "part_promotion",
-    "cms_heavy_hitters",
-    "corpus_temperature",
-    "epoch_shuffle_order",
-    # revenue_forecast / late_shipment_priority / promo_revenue /
-    # product_profit / returned_items (round-4 twins of already-
-    # driver-green join-agg shapes) and the r01-green leftovers
-    # (multimodal_features, serialize_roundtrip, ...) sit outside the
-    # 50-row window; all remain covered by tests/test_oracle_parity.py
-]
+# entries of queries() per round (dict order == iteration order).  The
+# order is DERIVED from the recorded CORRECTNESS_r*.json artifacts by
+# the rotation ledger (fink_broker_spark/admin/rotation.py), so it can
+# never go stale by hand again: most-recent-failure first, then
+# never-checked (newest additions land here automatically), then
+# previously-green stalest-round-first.
+def _driver_priority() -> list[str]:
+    from fink_broker_spark.admin.rotation import driver_priority
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        return driver_priority(_QUERIES.keys(), here)
+    except Exception:  # ledger must never break queries()
+        return list(_QUERIES.keys())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = {n: _QUERIES[n] for n in _DRIVER_PRIORITY if n in _QUERIES}
-    ordered.update((n, f) for n, f in _QUERIES.items() if n not in ordered)
-    return ordered
+    return {n: _QUERIES[n] for n in _driver_priority()}
 
 
 def oracle_sql() -> dict[str, str]:

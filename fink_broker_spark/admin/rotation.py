@@ -1,0 +1,97 @@
+"""Driver-sampling rotation ledger.
+
+The correctness driver samples the FIRST ~50 entries of
+``__spark_entry__.queries()`` each round, so dict order decides which
+queries earn a hard CORRECTNESS row.  Rounds 1-3 managed that order by
+hand and it went stale twice.  This module derives the order from the
+recorded ``CORRECTNESS_r*.json`` artifacts themselves, so the list can
+never go stale again:
+
+1. queries whose most recent driver row FAILED (hash mismatch, or a
+   harness error other than the documented ``no_oracle``) come first —
+   a fix needs re-verification before anything else;
+2. then queries NEVER driver-checked in any recorded round, in
+   registration order (newest additions naturally land here);
+3. then previously-green queries, oldest round first (stalest green
+   gets refreshed before a twice-confirmed one).
+
+A ``no_oracle`` row with a non-null ``spark_rows`` counts as checked:
+it is the strongest signal a rows-only query can ever earn, and
+re-sampling it adds nothing.  Ties inside each tier keep registration
+order, which is deterministic (dict insertion order).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Iterable, Mapping
+
+
+def read_ledger(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
+    """Scan ``CORRECTNESS_r*.json`` under *artifact_dir*.
+
+    Returns ``(last_green, failed)`` where ``last_green`` maps query
+    name -> most recent round with a passing (or rows-only-attested)
+    row, and ``failed`` is the set whose MOST RECENT row was a failure
+    (later green rows clear earlier failures).
+    """
+    last_green: dict[str, int] = {}
+    failed: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, Mapping):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, Mapping):
+                continue
+            err = row.get("err")
+            if err is None:
+                ok = bool(row.get("hash_match")) or (
+                    # oracle-less rows recorded without the sentinel:
+                    # rows-only check ran and produced a count
+                    row.get("hash_match") is None
+                    and row.get("spark_rows") is not None
+                )
+            elif err == "no_oracle":
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = False
+            if ok:
+                if last_green.get(name, -1) < rnd:
+                    last_green[name] = rnd
+                if failed.get(name, -1) <= rnd:
+                    failed.pop(name, None)
+            else:
+                if last_green.get(name, -1) <= rnd:
+                    failed[name] = rnd
+    return last_green, set(failed)
+
+
+def driver_priority(names: Iterable[str], artifact_dir: str) -> list[str]:
+    """Order *names* for driver sampling: failed, never-checked, then
+    stalest-green first.  Registration order breaks ties."""
+    names = list(names)
+    order = {n: i for i, n in enumerate(names)}
+    last_green, failed = read_ledger(artifact_dir)
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in failed:
+            tier = 0
+        elif n not in last_green:
+            tier = 1
+        else:
+            tier = 2
+        return (tier, last_green.get(n, 0), order[n])
+
+    return sorted(names, key=key)

@@ -47,14 +47,35 @@ def test_entry_smoke(spark):
 
 
 def test_driver_priority_names_resolve():
-    """A typo in _DRIVER_PRIORITY silently drops a query from the
-    driver's 50-row sample window (the ordering filters unknown names);
-    every entry must be a real query and unique."""
-    priority = entrymod._DRIVER_PRIORITY
-    queries = set(entrymod.queries())
-    unknown = [n for n in priority if n not in queries]
-    assert not unknown, f"priority names not in queries(): {unknown}"
-    assert len(priority) == len(set(priority))
-    assert len(priority) <= 50  # the driver's per-round sample size
-    # priority names must actually come FIRST in iteration order
-    assert list(entrymod.queries())[: len(priority)] == priority
+    """The ledger-derived priority must be a permutation of the real
+    query registry — a drop or duplicate silently shrinks the driver's
+    50-row sample window."""
+    priority = entrymod._driver_priority()
+    assert sorted(priority) == sorted(entrymod._QUERIES)
+    assert list(entrymod.queries()) == priority
+
+
+ROWS_ONLY_NAMES = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+_ATOMIC = (
+    "string", "int", "bigint", "smallint", "tinyint", "double", "float",
+    "boolean", "date", "timestamp", "binary",
+)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_output_is_canonicalizable(spark, name):
+    """The driver's rows-only check pandas-sorts the result over ALL
+    columns; an array/map/struct cell is unhashable and crashes the
+    canonicalizer (the embedding_pca r03 red row).  Every oracle-less
+    query must emit only atomic columns."""
+    df = entrymod.queries()[name](spark, SF001)
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if not (
+            f.dataType.simpleString() in _ATOMIC
+            or f.dataType.simpleString().startswith("decimal")
+        )
+    ]
+    assert not bad, f"non-atomic driver-facing columns: {bad}"

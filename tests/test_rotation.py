@@ -1,0 +1,83 @@
+"""Rotation ledger: the driver-sampling order is DERIVED from the
+recorded CORRECTNESS_r*.json artifacts (VERDICT r3 item 7), so it can
+never go stale by hand.  Pin the tier semantics and the live wiring."""
+
+import json
+import os
+
+import pytest
+
+from fink_broker_spark.admin.rotation import driver_priority, read_ledger
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write(tmp_path, rnd, rows):
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 5, "oracle_rows": 5, "err": None}
+ROWS_ONLY = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+CRASH = {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": None, "oracle_rows": None, "err": "TypeError: boom"}
+MISMATCH = {"rows_match": True, "schema_match": True, "hash_match": False,
+            "spark_rows": 5, "oracle_rows": 5, "err": None}
+
+
+def test_tier_order(tmp_path):
+    _write(tmp_path, 1, {"a": GREEN, "b": GREEN, "crash": CRASH})
+    _write(tmp_path, 2, {"b": GREEN, "wrong": MISMATCH, "ro": ROWS_ONLY})
+    names = ["a", "b", "crash", "wrong", "ro", "never1", "never2"]
+    got = driver_priority(names, str(tmp_path))
+    # failures first (registration order), then never-checked, then
+    # green stalest-first (a: r1, ro: r2, b: r2; ties by registration)
+    assert got == ["crash", "wrong", "never1", "never2", "a", "b", "ro"]
+
+
+def test_later_green_clears_failure(tmp_path):
+    _write(tmp_path, 1, {"a": CRASH})
+    _write(tmp_path, 2, {"a": GREEN, "b": GREEN})
+    _, failed = read_ledger(str(tmp_path))
+    assert failed == set()
+    assert driver_priority(["a", "b", "c"], str(tmp_path)) == ["c", "a", "b"]
+
+
+def test_rows_only_counts_as_checked(tmp_path):
+    _write(tmp_path, 1, {"ro": ROWS_ONLY})
+    last, failed = read_ledger(str(tmp_path))
+    assert last == {"ro": 1} and failed == set()
+
+
+def test_rows_only_crash_is_failure(tmp_path):
+    # the embedding_pca r03 shape: err=no_oracle would be fine, but an
+    # actual canonicalizer crash records a traceback in err
+    _write(tmp_path, 1, {"pca": CRASH})
+    last, failed = read_ledger(str(tmp_path))
+    assert failed == {"pca"} and "pca" not in last
+
+
+def test_missing_dir_harmless(tmp_path):
+    assert driver_priority(["x", "y"], str(tmp_path / "nope")) == ["x", "y"]
+
+
+def test_live_wiring():
+    """queries() order == ledger order over the real artifacts; every
+    round-3 never-checked query sits inside the driver's 50-row window."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries().keys())
+    expect = driver_priority(entry._QUERIES.keys(), REPO)
+    assert names == expect
+    never_checked_r3 = {
+        "bloom_prefilter_join", "unigram_lm_scores", "line_dedup",
+        "dedup_keep_best", "fuzzy_name_match", "session_dynamic_gap",
+        "incremental_stats", "distribution_ranks", "doc_chunks_udtf",
+        "small_quantity_revenue", "important_parts", "market_share",
+        "product_profit", "returned_items", "revenue_forecast",
+        "late_shipment_priority", "promo_revenue", "supplier_part_counts",
+    }
+    window = set(names[:50])
+    missing = never_checked_r3 - window
+    assert not missing, f"outside 50-row driver window: {missing}"
