@@ -5121,6 +5121,62 @@ GROUP BY o_orderpriority
 """
 
 
+def q_bloom_prefilter_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-bitset regime of the Bloom runtime prefilter
+    (``functions/sketches.py:bloom_build(nshards=8)``): ``num_bits`` is
+    split across 8 shard bitsets, keys route by a salted xxhash64, and
+    the probe is an equi-join on shard id — plan-asserted to contain NO
+    cross/nested-loop join (``tests/test_sketches.py::
+    test_bloom_sharded_probe_is_equi_join_not_cross``). Result is
+    exact (fp rows chased by the exact semi join), so the oracle is
+    the plain semi join.
+
+    100 TB story: this is the posture when the single bitset outgrows
+    broadcast comfort — 1e9 keys at 10 bits/key is a 1.25 GB row; 128
+    shards of ~10 MB each stay hash-join-able, and the shard key is
+    xxhash64-uniform so the join cannot skew."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    supp = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bf = bloom_build(supp, "c_custkey", num_bits=1 << 17, k=5, nshards=8)
+    pre = bloom_might_contain(
+        orders.withColumn("c_custkey", F.col("o_custkey")),
+        bf,
+        "c_custkey",
+        num_bits=1 << 17,
+        k=5,
+        nshards=8,
+    ).drop("c_custkey")
+    exact = pre.join(
+        F.broadcast(supp), pre.o_custkey == supp.c_custkey, "left_semi"
+    )
+    return exact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+ORACLE_BLOOM_PREFILTER_SHARDED = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'MACHINERY')
+GROUP BY o_orderstatus
+"""
+
+
 def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram language-model quality scoring: fit the
     corpus unigram distribution (one token shuffle with map-side
@@ -5805,6 +5861,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_temperature": q_corpus_temperature,
     "epoch_shuffle_order": q_epoch_shuffle_order,
     "bloom_prefilter_join": q_bloom_prefilter_join,
+    "bloom_prefilter_sharded": q_bloom_prefilter_sharded,
     "unigram_lm_scores": q_unigram_lm_scores,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5946,6 +6003,7 @@ _ORACLES: dict[str, str] = {
     "corpus_temperature": ORACLE_CORPUS_TEMPERATURE,
     "epoch_shuffle_order": ORACLE_EPOCH_SHUFFLE_ORDER,
     "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER_JOIN,
+    "bloom_prefilter_sharded": ORACLE_BLOOM_PREFILTER_SHARDED,
     "unigram_lm_scores": ORACLE_UNIGRAM_LM_SCORES,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,

@@ -208,54 +208,89 @@ def _bloom_positions(key, num_bits: int, k: int) -> list:
     ]
 
 
+#: salt decorrelating the shard-assignment hash from the k position hashes
+_BLOOM_SHARD_SALT = "bloom-shard"
+
+
+def _shard_bits(num_bits: int, nshards: int) -> int:
+    """Per-shard bitset width: total ``num_bits`` split across shards,
+    rounded up to whole 64-bit words so the array<long> packing is exact."""
+    return ((num_bits + nshards - 1) // nshards + 63) // 64 * 64
+
+
 def bloom_build(
-    df: DataFrame, key_col: str, num_bits: int = 1 << 17, k: int = 5
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 17,
+    k: int = 5,
+    nshards: int = 1,
 ) -> DataFrame:
-    """Distributed Bloom-filter build as a ONE-ROW DataFrame holding the
-    bitset as ``array<long>`` (``num_bits/64`` words) — no driver-side
-    state at any point.
+    """Distributed Bloom-filter build as a ``nshards``-row DataFrame —
+    one bitset (``array<long>``) per shard — with no driver-side state
+    at any point.
 
     Spark's own runtime-filter machinery has ``BloomFilterAggregate``
     but does not register it as a SQL-callable function; this is the
     declarative re-expression: each build row explodes into its ``k``
-    ``(word, bit)`` pairs, a ``bit_or`` aggregate per word builds the
-    bitmap (partial aggregation map-side: ``bit_or`` is associative, so
-    the shuffle carries at most ``num_bits/64`` rows per partition —
-    bounded regardless of build-side row count), and a final 1-row
-    assembly densifies missing words to 0 via ``map_from_entries`` +
-    ``transform(sequence(...))``. The result is broadcast-join-able:
-    probing never moves the filter to the driver.
+    ``(word, bit)`` pairs, a ``bit_or`` aggregate per ``(shard, word)``
+    builds the bitmap (partial aggregation map-side: ``bit_or`` is
+    associative, so the shuffle carries at most ``num_bits/64`` rows
+    per partition — bounded regardless of build-side row count), and a
+    final per-shard assembly densifies missing words to 0 via
+    ``map_from_entries`` + ``transform(sequence(...))``.
+
+    **Sharding (``nshards > 1``)**: ``num_bits`` is the TOTAL budget;
+    keys are routed to ``pmod(xxhash64(key, salt), nshards)`` and each
+    shard covers its keys with a ``num_bits/nshards``-bit bitset, so the
+    bits-per-key ratio — hence the fp rate — matches the monolithic
+    build. This is the 1e9-key posture SCALING.md documents: a 10
+    bits/key filter over 1e9 keys is a 1.25 GB bitset, past broadcast
+    comfort as ONE row, but 128 shards of ~10 MB each join fine. The
+    probe becomes an equi-join on shard id (see
+    :func:`bloom_might_contain`) — never a cross join against a
+    monolith; Spark broadcasts the shard table while it fits and falls
+    back to a shuffle-hash join on the (uniform, xxhash64-assigned)
+    shard key beyond that, which still beats shuffling the fact side on
+    the raw join key: the prefiltered survivors, not the full table,
+    reach the exact join's shuffle.
 
     At 100 TB: the classic semi-join runtime filter — build on the
     dim-side key, probe the fact side *before* its shuffle, so the
     shuffle only carries rows that might match (plus the fp rate,
     ~0.6% at 10 bits/key, k=5).
     """
-    nwords = (num_bits + 63) // 64
-    pos = F.explode(
-        F.array(*_bloom_positions(key_col, num_bits, k))
-    ).alias("pos")
+    sbits = _shard_bits(num_bits, nshards)
+    nwords = sbits // 64
+    c = F.col(key_col)
+    shard = (
+        F.pmod(F.xxhash64(c, F.lit(_BLOOM_SHARD_SALT)), F.lit(nshards))
+        if nshards > 1
+        else F.lit(0).cast("bigint")
+    )
+    pos = F.explode(F.array(*_bloom_positions(key_col, sbits, k))).alias("pos")
     words = (
-        df.select(pos)
+        df.select(shard.alias("shard"), pos)
         .select(
+            "shard",
             (F.col("pos") / 64).cast("long").alias("word"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
             ).alias("bit"),
         )
-        .groupBy("word")
+        .groupBy("shard", "word")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    return words.groupBy().agg(
+    return words.groupBy("shard").agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
         ).alias("__m")
     ).select(
+        "shard",
         F.transform(
             F.sequence(F.lit(0).cast("long"), F.lit(nwords - 1).cast("long")),
             lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("long")),
         ).alias("bloom"),
-        F.lit(num_bits).alias("num_bits"),
+        F.lit(sbits).alias("num_bits"),
         F.lit(k).alias("k"),
     )
 
@@ -266,21 +301,37 @@ def bloom_might_contain(
     key_col: str,
     num_bits: int = 1 << 17,
     k: int = 5,
+    nshards: int = 1,
 ) -> DataFrame:
     """Filter ``probe`` to rows whose ``key_col`` might be in ``bloom``
     (no false negatives; false positives at the filter's fp rate — chase
-    with the exact join).
+    with the exact join). ``num_bits``/``k``/``nshards`` must match the
+    build call.
 
-    The 1-row filter broadcasts through a cross join; each probe row
-    tests its ``k`` bits with ``element_at`` + shift — pure codegen, no
-    UDF, no shuffle of the probe side."""
-    b = probe.crossJoin(F.broadcast(bloom))
+    ``nshards == 1``: the 1-row filter broadcasts through a cross join.
+    ``nshards > 1``: each probe row computes its shard id and
+    equi-joins the shard table — no cross join, no monolithic bitset;
+    an inner join, so keys whose shard built empty (no build rows
+    hashed there) drop out exactly as an all-zero bitset would drop
+    them. Either way each row then tests its ``k`` bits with
+    ``element_at`` + shift — pure codegen, no UDF, and the probe side
+    never shuffles in the broadcast regime."""
+    sbits = _shard_bits(num_bits, nshards)
+    if nshards > 1:
+        shard = F.pmod(
+            F.xxhash64(F.col(key_col), F.lit(_BLOOM_SHARD_SALT)),
+            F.lit(nshards),
+        )
+        b = probe.withColumn("shard", shard).join(bloom, on="shard")
+    else:
+        b = probe.crossJoin(F.broadcast(bloom.drop("shard")))
     pos_sqls = [
-        f"pmod(xxhash64({key_col}, {i}), {num_bits})" for i in range(k)
+        f"pmod(xxhash64({key_col}, {i}), {sbits})" for i in range(k)
     ]
     keep = " AND ".join(
         f"(shiftrightunsigned(bloom[CAST({p} / 64 AS INT)],"
         f" CAST(pmod({p}, 64) AS INT)) & CAST(1 AS BIGINT)) = 1"
         for p in pos_sqls
     )
-    return b.filter(F.expr(keep)).drop("bloom", "num_bits", "k")
+    out = b.filter(F.expr(keep)).drop("bloom", "num_bits", "k")
+    return out.drop("shard") if nshards > 1 else out

@@ -252,10 +252,11 @@ class AlertArchiveStreamWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self.path, m.filename))
 
 
-def read_stream_archive(spark, path: str):
+def read_stream_archive(spark, path: str, schema=None):
     """Union of all committed microbatch manifests (exactly-once view:
     one manifest per batch id, orphans from failed/replayed attempts
-    excluded)."""
+    excluded). ``schema`` defaults to the raw alert schema; pass the
+    enriched schema when the archived stream carried derived columns."""
     import glob
     import json
     import os
@@ -266,13 +267,13 @@ def read_stream_archive(spark, path: str):
             files.extend(
                 os.path.join(path, f["file"]) for f in json.load(fh)["files"]
             )
-    schema = AlertReplaySource({}).schema()
+    schema = schema or AlertReplaySource({}).schema()
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
 
 
-def read_archive(spark, path: str):
+def read_archive(spark, path: str, schema=None):
     """Read back ONLY manifest-committed files (exactly-once view)."""
     import json
     import os
@@ -280,7 +281,7 @@ def read_archive(spark, path: str):
     with open(os.path.join(path, MANIFEST_NAME)) as fh:
         doc = json.load(fh)
     files = [os.path.join(path, f["file"]) for f in doc["files"]]
-    schema = AlertReplaySource({}).schema()
+    schema = schema or AlertReplaySource({}).schema()
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

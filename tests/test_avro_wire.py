@@ -580,3 +580,68 @@ def test_avro_ocf_timestamp_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, ev.collect())
     )
+
+
+def test_avro_ocf_vs_fastavro(spark, tmp_path):
+    """Third-party interop for the jar-free OCF path: when ``fastavro``
+    is importable, files we write must read back with fastavro, and a
+    fastavro-written file must read back with ``read_avro_ocf`` — the
+    same auto-arming gating discipline as the spark-avro jar probe.
+    Skips with a reason where fastavro is absent (this container)."""
+    import pytest
+
+    fastavro = pytest.importorskip(
+        "fastavro", reason="fastavro not installed in this container"
+    )
+    import os
+
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.sinks.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 9).cast("double").alias("score"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("user"),
+    )
+
+    # ours -> fastavro
+    out = str(tmp_path / "ours")
+    manifest = write_avro_ocf(df.repartition(2), out)
+    via_fastavro = []
+    for fname, _ in manifest:
+        with open(os.path.join(out, fname), "rb") as fh:
+            via_fastavro.extend(
+                (r["event_id"], r["score"], r["user"])
+                for r in fastavro.reader(fh)
+            )
+    assert sorted(via_fastavro) == sorted(map(tuple, df.collect()))
+
+    # fastavro -> ours
+    theirs = str(tmp_path / "theirs")
+    os.makedirs(theirs)
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "score", "type": "double"},
+            {"name": "user", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        {"event_id": i, "score": float(i % 9),
+         "user": None if i % 4 == 0 else f"u{i}"}
+        for i in range(500)
+    ]
+    with open(os.path.join(theirs, "part-0.avro"), "wb") as fh:
+        fastavro.writer(fh, schema, rows)
+    back = read_avro_ocf(spark, theirs)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        (r["event_id"], r["score"], r["user"]) for r in rows
+    )

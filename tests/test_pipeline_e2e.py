@@ -119,3 +119,130 @@ def test_four_stage_night(spark, tmp_path):
     assert stats.n_total == 1000
     assert stats.n_transient == expect_transients
     assert stats.n_distinct_event_type == 5
+
+
+def test_datasource_front_full_topology(spark, tmp_path):
+    """The composed replay with the Python DataSource at the FRONT
+    (reference topology ``bin/ztf/stream2raw.py:48-184`` →
+    ``raw2science.py:40-146`` → ``distribute.py:53-223`` →
+    ``merge.py:29-91``): ``readStream.format("alert_replay")`` →
+    fused enrichment (one Arrow boundary for the pandas chain) →
+    filter-registry fan-out, ONE streaming query per topic, each
+    writing through the manifest-committed custom-format stream sink →
+    stats-driven compaction of a topic archive — asserting batch ≡
+    stream at every stage (the reference CI's implicit invariant,
+    SURVEY.md §7.2.3)."""
+    import glob
+    import json
+    import time
+
+    from fink_broker_spark.sinks.parquet import compact_night
+    from fink_broker_spark.sources.alert_source import (
+        read_stream_archive,
+        register,
+    )
+
+    register(spark)
+    OPTS = {"rows": "800", "rows_per_batch": "300", "seed": "7"}
+
+    pipe = (
+        EnrichmentPipeline()
+        .add(
+            Processor(
+                name="score",
+                inputs=["value"],
+                output="score",
+                pandas_fn=lambda v: v / 1000.0,
+                dtype="double",
+            )
+        )
+        .add(
+            Processor(
+                name="transient_flag",
+                inputs=["score", "event_type"],
+                output="transient_flag",
+                pandas_fn=lambda s, t: (s > 0.25) & (t != "error"),
+                dtype="boolean",
+            )
+        )
+        .add(
+            Processor(
+                name="topic_key",
+                inputs=["user_id"],
+                output="topic_key",
+                fn=lambda u: F.pmod(F.col(u), F.lit(10)),
+            )
+        )
+    )
+
+    # batch oracle: same options through the batch face of the format
+    batch = spark.read.format("alert_replay").options(**OPTS).load()
+    sci_batch = pipe.apply(batch)
+    # the dependent pandas chain fused to ONE Arrow boundary
+    plan = sci_batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+    reg = (
+        FilterRegistry()
+        .register("transients", lambda df: F.col("transient_flag"))
+        .register("clicks", lambda df: F.col("event_type") == "click")
+    )
+    expect = {
+        name: sci_batch.filter(reg.filters[name](sci_batch)).count()
+        for name in reg.names()
+    }
+    assert min(expect.values()) > 0
+
+    # streaming face: enrich the stream, fan out one query per topic
+    sdf = spark.readStream.format("alert_replay").options(**OPTS).load()
+    sci_stream = pipe.apply(sdf)
+
+    def topic_sink(name, fdf):
+        return (
+            fdf.writeStream.format("alert_replay")
+            .option("path", str(tmp_path / name))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+
+    handles = fan_out(sci_stream, reg, sink=topic_sink)
+
+    def committed(name):
+        total = 0
+        for mf in glob.glob(str(tmp_path / name / "_MANIFEST-batch-*.json")):
+            try:
+                with open(mf) as fh:
+                    total += json.load(fh)["total_rows"]
+            except (OSError, json.JSONDecodeError):
+                pass
+        return total
+
+    deadline = time.monotonic() + 180
+    while time.monotonic() < deadline:
+        if all(committed(n) >= expect[n] for n in reg.names()):
+            break
+        time.sleep(0.3)
+    for q in handles.values():
+        q.stop()
+        q.awaitTermination(30)
+
+    # batch ≡ stream, full enriched rows, through the manifest view only
+    for name in reg.names():
+        got = read_stream_archive(
+            spark, str(tmp_path / name), schema=sci_batch.schema
+        )
+        want = sci_batch.filter(reg.filters[name](sci_batch))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), name
+
+    # merge stage: compact the transients archive into night partitions
+    arch = read_stream_archive(
+        spark, str(tmp_path / "transients"), schema=sci_batch.schema
+    )
+    nightly = with_night_partitions(ensure_event_ts(arch), "ts")
+    compacted = str(tmp_path / "compacted")
+    compact_night(nightly, compacted)
+    back = spark.read.parquet(compacted)
+    assert back.count() == expect["transients"]
+    assert {"year", "month", "day"} <= set(back.columns)

@@ -194,6 +194,60 @@ def test_bloom_filter_is_distributed_one_row(spark):
     assert len(rows[0]["bloom"]) == (1 << 10) // 64
 
 
+def test_bloom_sharded_equals_monolithic_semantics(spark):
+    """nshards>1 keeps Bloom semantics: no false negatives, bounded fp,
+    and BF-prefilter + exact join == plain semi join. num_bits is the
+    TOTAL budget, so per-key fp matches the monolithic build."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("key"))
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") % 13).alias("grp")
+    )
+    bf = bloom_build(dim, "key", num_bits=1 << 15, k=5, nshards=8)
+    assert bf.count() <= 8  # one row per non-empty shard
+    assert len(bf.first()["bloom"]) == (1 << 15) // 8 // 64
+    pre = bloom_might_contain(
+        fact, bf, "key", num_bits=1 << 15, k=5, nshards=8
+    )
+    # no false negatives
+    assert dim.join(pre, "key", "left_anti").count() == 0
+    # fp bounded: ~64 bits/key total, k=5
+    assert pre.count() <= dim.count() + int(5000 * 0.02)
+    via_bf = sorted(
+        (r.key, r.grp) for r in pre.join(dim, "key", "left_semi").collect()
+    )
+    plain = sorted(
+        (r.key, r.grp) for r in fact.join(dim, "key", "left_semi").collect()
+    )
+    assert via_bf == plain
+
+
+def test_bloom_sharded_probe_is_equi_join_not_cross(spark):
+    """The sharded probe must plan as a hash equi-join on shard id —
+    never a BroadcastNestedLoopJoin/cartesian against a monolithic
+    bitset row (the whole point of sharding: each shard stays
+    join-able when the total bitset exceeds broadcast comfort)."""
+    from fink_broker_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.range(0, 500).select((F.col("id") * 7).alias("key"))
+    fact = spark.range(0, 5000).select(F.col("id").alias("key"))
+    bf = bloom_build(dim, "key", num_bits=1 << 15, k=5, nshards=8)
+    pre = bloom_might_contain(
+        fact, bf, "key", num_bits=1 << 15, k=5, nshards=8
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "HashJoin" in plan, plan[:2000]  # broadcast- or shuffled-
+
+
 def test_bloom_prefilter_runs_before_shuffle_when_pushdown_excluded(spark):
     """The 100 TB posture: with PushLeftSemiLeftAntiThroughJoin
     excluded (one conf), the BF probe executes inside the broadcast
