@@ -5733,6 +5733,216 @@ FROM g
 """
 
 
+_BM25_TERMS = ["hash", "join", "scan", "vector"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 lexical retrieval over the documents table
+    (``ext/retrieval.py:bm25_topk``) — the sparse-retrieval workhorse a
+    RAG corpus builder runs at scale. One tokenize+explode pass feeds
+    doc lengths and term frequencies; corpus stats are a 1-row
+    broadcast; the query-term filter prunes the tf shuffle BEFORE it
+    moves; final top-k is TakeOrderedAndProject. Per-term scores round
+    to decimal(18,9) pre-sum (exact, order-independent)."""
+    from fink_broker_spark.ext.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (Xie et al. 2023,
+    ``ext/retrieval.py:dsir_importance``): score every non-English
+    document by how English-corpus-like its unigram distribution is
+    (add-α smoothed log-ratio of target vs raw token probabilities),
+    return the 50 most target-like — the documents importance
+    resampling would pull into the training mix first. Single
+    tokenize pass; target and raw counts ride one shuffle via
+    ``count_if``; totals broadcast; decimal-exact log-ratio sums."""
+    from fink_broker_spark.ext.retrieval import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en", k=50)
+
+
+def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-folded light-curve binning (``operators/timeseries.py:
+    phase_fold``): fold the event stream on a 1-day trial period into 8
+    phase bins per event type — the variable-star folding shape behind
+    the reference's downstream classifier features. Bin assignment is
+    exact integer-microsecond modular arithmetic (bit-identical across
+    engines); per-bin means are decimal-exact."""
+    from fink_broker_spark.operators.timeseries import phase_fold
+
+    ev = load_table(spark, sf_dir, "events")
+    folded = phase_fold(ev, "ts", period_s=86_400, nbins=8)
+    return (
+        folded.groupBy("event_type", "phase_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "phase_bin",
+            "n",
+            (F.col("sum_value") / F.col("n"))
+            .cast("decimal(18,6)")
+            .alias("mean_value"),
+        )
+    )
+
+
+ORACLE_PHASE_FOLD = """
+WITH f AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) % 86400000000) * 8) // 86400000000 AS INT)
+             AS phase_bin,
+         value
+  FROM events
+)
+SELECT event_type, phase_bin, count(*) AS n,
+       CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                 AS DECIMAL(28,6)) / count(*) AS DECIMAL(18,6))
+           AS mean_value
+FROM f
+GROUP BY event_type, phase_bin
+"""
+
+
+def q_interpolate_ephemeris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of LINEAR INTERPOLATION (``operators/timeseries.py:
+    interpolate_at``) — the ephemeris-evaluation shape of SSO
+    enrichment: each 'click' observation gets the 'view' series value
+    interpolated at its exact timestamp, per user. Union+window plan:
+    ONE shuffle on the key, no join, O(1) window state per row (the
+    running bracketing sample), clamped (not extrapolated) outside the
+    reference range. Per-row double interpolation is order-free;
+    rounded to 6 decimals for the hash."""
+    from fink_broker_spark.operators.timeseries import interpolate_at
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    ref = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = interpolate_at(obs, ref, "user_id", "ts", "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("interp_value", 6).alias("interp_value"),
+    )
+
+
+ORACLE_INTERPOLATE_EPHEMERIS = """
+WITH obs AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_obs,
+         CAST(NULL AS DOUBLE) AS rv, event_id
+  FROM events WHERE event_type = 'click'
+),
+ref AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_obs,
+         CAST(value AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS event_id
+  FROM events WHERE event_type = 'view'
+),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM ref),
+ann AS (
+  SELECT *,
+    last_value(rv IGNORE NULLS) OVER w_back AS prev_val,
+    last_value(CASE WHEN is_obs = 0 THEN t END IGNORE NULLS)
+        OVER w_back AS prev_ts,
+    first_value(rv IGNORE NULLS) OVER w_fwd AS next_val,
+    first_value(CASE WHEN is_obs = 0 THEN t END IGNORE NULLS)
+        OVER w_fwd AS next_ts
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY k ORDER BY t, is_obs, rv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY k ORDER BY t, is_obs, rv
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, k AS user_id,
+       round(CASE
+         WHEN prev_ts IS NULL THEN next_val
+         WHEN next_ts IS NULL OR next_ts = prev_ts THEN prev_val
+         ELSE prev_val + (next_val - prev_val)
+              * (CAST(t - prev_ts AS DOUBLE)
+                 / CAST(next_ts - prev_ts AS DOUBLE))
+       END, 6) AS interp_value
+FROM ann WHERE is_obs = 1
+"""
+
+
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality-classifier scoring (the fasttext-classifier
+    shape of C4/CCNet pipelines, with a fixed literal weight vector —
+    model serving, not model fitting): engineered per-row features
+    (capped length, punctuation ratio, boosted stopword ratio) →
+    sigmoid → per-(source, decile) histogram. Pure Column math in one
+    codegen stage, integer-exact histogram counts; the per-row doubles
+    never cross an aggregation unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count_expr("text").cast("double")
+    z = (
+        F.lit(-1.0)
+        + F.lit(2.5) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        - F.lit(4.0) * punct_ratio_expr("text")
+        + F.lit(3.0)
+        * F.least(F.lit(1.0), stopword_ratio_expr("text") * F.lit(5.0))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = docs.select(
+        "source",
+        F.least(F.lit(9), F.floor(score * 10).cast("int")).alias("decile"),
+        F.round(score, 6).alias("score_r"),
+    )
+    return scored.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score_r").alias("min_score"),
+        F.max("score_r").alias("max_score"),
+    )
+
+
+ORACLE_QUALITY_LOGISTIC = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         END AS punct_ratio,
+         len(regexp_extract_all(lower(text),
+             '\b(the|a|an|and|or|of|to|in|is|it|on|for)\b')) AS stop_hits
+  FROM documents
+),
+z AS (
+  SELECT source,
+         -1.0 + 2.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         - 4.0 * punct_ratio
+         + 3.0 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             END) * 5.0) AS zval
+  FROM t
+),
+s AS (
+  SELECT source, 1.0 / (1.0 + exp(-zval)) AS score FROM z
+)
+SELECT source,
+       least(9, CAST(floor(score * 10) AS INT)) AS decile,
+       count(*) AS n_docs,
+       min(round(score, 6)) AS min_score,
+       max(round(score, 6)) AS max_score
+FROM s
+GROUP BY source, least(9, CAST(floor(score * 10) AS INT))
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5863,6 +6073,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter_join": q_bloom_prefilter_join,
     "bloom_prefilter_sharded": q_bloom_prefilter_sharded,
     "unigram_lm_scores": q_unigram_lm_scores,
+    "bm25_topk": q_bm25_topk,
+    "dsir_importance": q_dsir_importance,
+    "phase_fold": q_phase_fold,
+    "interpolate_ephemeris": q_interpolate_ephemeris,
+    "quality_logistic": q_quality_logistic,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6005,6 +6220,9 @@ _ORACLES: dict[str, str] = {
     "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER_JOIN,
     "bloom_prefilter_sharded": ORACLE_BLOOM_PREFILTER_SHARDED,
     "unigram_lm_scores": ORACLE_UNIGRAM_LM_SCORES,
+    "phase_fold": ORACLE_PHASE_FOLD,
+    "interpolate_ephemeris": ORACLE_INTERPOLATE_EPHEMERIS,
+    "quality_logistic": ORACLE_QUALITY_LOGISTIC,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
@@ -6014,6 +6232,23 @@ _ORACLES: dict[str, str] = {
     "resample_fill": ORACLE_RESAMPLE_FILL,
     "regression_trend": ORACLE_REGRESSION_TREND,
 }
+
+
+def _retrieval_oracles() -> dict[str, str]:
+    """Parameter-derived oracle twins (built by the same module that
+    owns the operators, so the constants can never drift)."""
+    from fink_broker_spark.ext.retrieval import (
+        bm25_topk_oracle_sql,
+        dsir_importance_oracle_sql,
+    )
+
+    return {
+        "bm25_topk": bm25_topk_oracle_sql(_BM25_TERMS, k=20),
+        "dsir_importance": dsir_importance_oracle_sql("lang = 'en'", k=50),
+    }
+
+
+_ORACLES.update(_retrieval_oracles())
 
 
 def entry(spark: SparkSession) -> DataFrame:
