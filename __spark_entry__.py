@@ -5943,6 +5943,147 @@ GROUP BY source, least(9, CAST(floor(score * 10) AS INT))
 """
 
 
+_PERIODOGRAM_PERIODS = [3_600, 21_600, 86_400, 604_800]
+
+
+def q_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical periodogram power at four literal trial periods per
+    event type (``operators/timeseries.py:periodogram``) — the
+    period-search primitive of variable-star pipelines. Grid explode
+    (constant fan-out) + ONE (key, period) shuffle of decimal-rounded
+    sin/cos terms; the phase angle is integer-pmod-reduced BEFORE the
+    trig call so large-epoch libm drift cannot split the engines."""
+    from fink_broker_spark.operators.timeseries import periodogram
+
+    ev = load_table(spark, sf_dir, "events")
+    out = periodogram(
+        ev, "event_type", "ts", "value", _PERIODOGRAM_PERIODS
+    )
+    return out.select(
+        F.col("k").alias("event_type"), "period_s", "n", "power"
+    )
+
+
+def _periodogram_oracle() -> str:
+    two_pi = 6.283185307179586
+    arms = ",\n         ".join(
+        f"{{'period_s': {p}, 'angle': (CAST(epoch_us(ts) % {p * 1_000_000} "
+        f"AS DOUBLE) / {float(p * 1_000_000)}) * {two_pi}}}"
+        for p in _PERIODOGRAM_PERIODS
+    )
+    return f"""
+WITH expanded AS (
+  SELECT event_type, value, unnest([
+         {arms}
+       ]) AS pf
+  FROM events
+),
+terms AS (
+  SELECT event_type, pf.period_s AS period_s,
+         CAST(round(value * cos(pf.angle), 7) AS DECIMAL(18,7)) AS c,
+         CAST(round(value * sin(pf.angle), 7) AS DECIMAL(18,7)) AS s
+  FROM expanded
+),
+sums AS (
+  SELECT event_type, period_s, count(*) AS n,
+         CAST(SUM(c) AS DECIMAL(28,7)) AS sc,
+         CAST(SUM(s) AS DECIMAL(28,7)) AS ss
+  FROM terms GROUP BY event_type, period_s
+)
+SELECT event_type, period_s, n,
+       CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+       + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) AS power
+FROM sums
+"""
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document (``ext/dedup.py:
+    dup_span_coverage``): fraction of each doc's sliding 10-token
+    windows appearing verbatim in at least one other document — the
+    detection half of exact-substring dedup (Lee et al. 2022) as a
+    corpus-wide window-frequency aggregate (suffix-array-free). Window
+    digests are md5 (cross-engine bit-identical); explode ∝ tokens,
+    then one digest shuffle + one per-doc re-aggregate. Returns the 50
+    most-covered docs (TakeOrdered)."""
+    from fink_broker_spark.ext.dedup import dup_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    cov = dup_span_coverage(docs, n=10)
+    return cov.orderBy(
+        F.col("coverage").desc(), F.col("doc_id")
+    ).limit(50)
+
+
+ORACLE_DUP_SPAN_COVERAGE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+w AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+9], ' ')) AS w
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 10 + 2, 1))) AS t(i)
+),
+freq AS (SELECT w, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY w),
+cov AS (
+  SELECT doc_id, count(*) AS n_windows,
+         count(*) FILTER (WHERE ndocs >= 2) AS n_dup_windows
+  FROM w JOIN freq USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(CAST(n_dup_windows AS DOUBLE)
+             / CAST(n_windows AS DOUBLE), 6) AS coverage
+FROM cov
+ORDER BY coverage DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap every source at its 10 best
+    documents by a deterministic (quality desc, doc_id) rule — the
+    data-governance cap a corpus mixer applies so no single domain
+    floods the training mix. One row_number window per source
+    partition; the quota filter prunes before anything else moves.
+    At 100 TB the window state is one counter per (bounded) source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        token_count_expr("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= 10)
+        .select("source", "rank_in_source", "doc_id", "n_tokens")
+    )
+
+
+ORACLE_DOMAIN_QUOTA_SAMPLE = r"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id)
+             AS rank_in_source
+  FROM scored
+)
+SELECT source, rank_in_source, doc_id, n_tokens
+FROM ranked WHERE rank_in_source <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6078,6 +6219,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phase_fold": q_phase_fold,
     "interpolate_ephemeris": q_interpolate_ephemeris,
     "quality_logistic": q_quality_logistic,
+    "periodogram_power": q_periodogram_power,
+    "dup_span_coverage": q_dup_span_coverage,
+    "domain_quota_sample": q_domain_quota_sample,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6223,6 +6367,9 @@ _ORACLES: dict[str, str] = {
     "phase_fold": ORACLE_PHASE_FOLD,
     "interpolate_ephemeris": ORACLE_INTERPOLATE_EPHEMERIS,
     "quality_logistic": ORACLE_QUALITY_LOGISTIC,
+    "periodogram_power": _periodogram_oracle(),
+    "dup_span_coverage": ORACLE_DUP_SPAN_COVERAGE,
+    "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

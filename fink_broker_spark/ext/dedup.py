@@ -600,3 +600,71 @@ def embedding_neardup_pairs(
     return exploded.groupBy("__pa", "__pb").applyInPandas(
         score_group, "id_a bigint, id_b bigint, cosine double"
     )
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    sliding ``n``-token windows that also occur in at least one OTHER
+    document — the detection metric behind exact-substring dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", which removes 50-token spans shared verbatim; this is the
+    find-the-spans half expressed as one corpus-wide window-frequency
+    aggregate instead of a suffix array).
+
+    Plan shape: the sliding windows come from ``transform(sequence(...),
+    i -> concat_ws(slice(tokens, i, n)))`` — per-row codegen, no explode
+    until the windows exist — then ONE shuffle on the window digest
+    computes cross-document frequencies (``count(DISTINCT doc)``
+    bounded by the duplication depth) and a second bounded shuffle
+    re-aggregates per doc. Explode volume ∝ total tokens, same class
+    as any tokenize pass. The digest is md5 — bit-identical in every
+    engine, so the whole operator is oracle-exact (xxhash64 would be
+    cheaper in production; the 16-byte md5 keeps the DuckDB twin
+    honest).
+
+    Returns (doc_id, n_windows, n_dup_windows, coverage); docs with
+    fewer than ``n`` tokens have no windows and are excluded.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    windows = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
+            )
+        ).alias("w"),
+    )
+    freq = windows.groupBy("w").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        windows.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("ndocs") >= 2).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -58,6 +58,96 @@ def phase_fold(
     )
 
 
+def periodogram(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    periods_s: list[int],
+    round_scale: int = 7,
+) -> DataFrame:
+    """Classical (Schuster) periodogram power at literal trial periods,
+    per key — the period-search primitive behind variable-star work
+    (Lomb–Scargle's uneven-sampling refinement shares this exact plan
+    shape; the classical form keeps the math oracle-checkable).
+
+    ``P(f) = (Σ v·cos ωt)² + (Σ v·sin ωt)²`` per (key, period).
+
+    Distribution shape: each row explodes into ``len(periods_s)``
+    (period, phase) rows — fan-out is the trial-grid size, a constant —
+    then ONE groupBy((key, period)) shuffle computes the sin/cos sums.
+    At 100 TB with a K-point frequency grid this is the honest K×
+    work; nothing is quadratic and no state exceeds the aggregate row.
+
+    FP discipline: the phase angle is reduced by exact integer
+    ``pmod(epoch_us, period_us)`` BEFORE the trig call (sin/cos of a
+    small argument, never of a 1e9-second epoch — large-argument trig
+    is where libm implementations drift apart), and each sin/cos term
+    rounds to ``decimal`` before the sum, so the aggregation is exact
+    and order-independent across engines.
+    """
+    two_pi = 6.283185307179586
+    epoch_us = F.unix_micros(F.col(ts_col))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("period_s"),
+                    (
+                        F.pmod(epoch_us, F.lit(p * US_PER_S)).cast("double")
+                        / F.lit(float(p * US_PER_S))
+                        * F.lit(two_pi)
+                    ).alias("angle"),
+                )
+                for p in periods_s
+            ]
+        )
+    ).alias("pf")
+    dec_t = f"decimal(18,{round_scale})"
+    v = F.col(value_col).cast("double")
+    # two-phase select: the generator gets its own projection, then the
+    # struct fields are unpacked, then the rounded trig terms
+    terms = (
+        df.select(F.col(key_col).alias("k"), v.alias("v"), pairs)
+        .select(
+            "k",
+            "v",
+            F.col("pf.period_s").alias("period_s"),
+            F.col("pf.angle").alias("angle"),
+        )
+        .select(
+            "k",
+            "period_s",
+            F.round(F.col("v") * F.cos("angle"), round_scale)
+            .cast(dec_t)
+            .alias("c"),
+            F.round(F.col("v") * F.sin("angle"), round_scale)
+            .cast(dec_t)
+            .alias("s"),
+        )
+    )
+    sums = terms.groupBy("k", "period_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast(f"decimal(28,{round_scale})").alias("sc"),
+        F.sum("s").cast(f"decimal(28,{round_scale})").alias("ss"),
+    )
+    # NO terminal round: at power ~1e9 the double's ulp reaches the 1e-6
+    # rounding unit, and Spark (BigDecimal-of-double) and C libm float
+    # rounding split exactly at half-boundaries. The raw double is
+    # already deterministic — it derives from EXACT decimal sums through
+    # an identical cast-multiply-add tree on both engines.
+    power = (
+        F.col("sc").cast("double") * F.col("sc").cast("double")
+        + F.col("ss").cast("double") * F.col("ss").cast("double")
+    )
+    return sums.select(
+        F.col("k"),
+        "period_s",
+        "n",
+        power.alias("power"),
+    )
+
+
 def interpolate_at(
     obs: DataFrame,
     ref: DataFrame,

@@ -383,3 +383,26 @@ def test_grouped_agg_udaf_in_window(spark):
     got = {r.l_returnflag: r.wavg for r in windowed.collect()}
     exp = {r.l_returnflag: r.wavg for r in grouped.collect()}
     assert got == exp  # exact-integer UDAF → bitwise equality holds
+
+
+def test_dup_span_coverage_shared_vs_unique(spark):
+    """A 10-token span copied across two docs marks exactly those
+    windows; a fully unique doc scores zero coverage."""
+    from fink_broker_spark.ext.dedup import dup_span_coverage
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1a tail1b"),
+            (2, "head2a head2b " + shared),
+            (3, "all unique words nothing in common with others at all x"),
+            (4, "short doc"),  # < 10 tokens: no windows, excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_coverage(docs, n=10).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1: 3 windows, only the pure shared one also lives in doc2
+    assert out[1].n_windows == 3 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 3 and out[2].n_dup_windows == 1
+    assert out[3].n_dup_windows == 0 and out[3].coverage == 0.0

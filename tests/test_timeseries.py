@@ -97,3 +97,33 @@ def test_interpolate_preserves_obs_columns(spark):
     row = interpolate_at(obs, ref, "k", "ts", "v", "iv").collect()[0]
     assert row.tag == "extra" and row.event_id == 1
     assert row.iv == pytest.approx(2.0)
+
+
+def test_periodogram_detects_true_period(spark):
+    """A pure sinusoid sampled at 1 Hz for 2 h: power at the true
+    600 s period dominates the off-grid trial periods."""
+    import math
+
+    from fink_broker_spark.operators.timeseries import periodogram
+
+    rows = [
+        ("a", _ts(t), math.sin(2 * math.pi * t / 600.0))
+        for t in range(0, 7200, 5)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        r.period_s: r.power
+        for r in periodogram(df, "k", "ts", "v", [600, 353, 1021]).collect()
+    }
+    assert out[600] > 50 * out[353]
+    assert out[600] > 50 * out[1021]
+
+
+def test_periodogram_one_row_per_key_and_period(spark):
+    from fink_broker_spark.operators.timeseries import periodogram
+
+    rows = [(k, _ts(t), 1.0) for k in ("a", "b") for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = periodogram(df, "k", "ts", "v", [60, 120]).collect()
+    assert len(out) == 4
+    assert all(r.n == 10 for r in out)
