@@ -5486,13 +5486,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     flags = semantic_dedup(emb, threshold=0.95, nlist=8, seed=42)
-    return (
-        flags.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        )
-        .orderBy("cluster")
+    return flags.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
 
 
@@ -6084,6 +6080,84 @@ FROM ranked WHERE rank_in_source <= 10
 """
 
 
+def q_fading_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object trailing-window trend: the fading-transient detector —
+    fit a slope over each user's LAST 20 observations and surface the
+    50 steepest declines (the alerts a follow-up scheduler would chase
+    first; same science shape as a magnitude-decline cut on recent
+    detections).
+
+    Plan: one row_number window on (user, ts desc) keeps the trailing
+    20 rows (state = one counter per key), then ONE per-user moment-sum
+    aggregate in the ``regression_trend`` decimal-exact discipline
+    (x = in-window time index, exact small int; y integerized to
+    milli-units; products cross DECIMAL(38,0)) and a TakeOrdered
+    bottom-50. No per-key collect, no UDF; at 100 TB this is a window
+    + aggregate over the same key partitioning — one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            (F.lit(21) - F.col("rn")).cast("long").alias("x"),
+            F.rint(F.col("value") * 1000).cast("long").alias("ym"),
+        )
+    )
+    g = recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("ym").alias("sym"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("ym")).alias("sxym"),
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (big("n") * big("sxym") - big("sx") * big("sym")).cast("double")
+    den = (big("n") * big("sxx") - big("sx") * big("sx")).cast("double")
+    slope = num / (den * F.lit(1000.0))
+    return (
+        g.filter(F.col("n") >= 5)
+        .select("user_id", "n", slope.alias("slope"))
+        .orderBy("slope", "user_id")
+        .limit(50)
+    )
+
+
+ORACLE_FADING_TREND = """
+WITH recent AS (
+  SELECT user_id,
+         CAST(21 - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+              AS BIGINT) AS x,
+         CAST(round(value * 1000) AS BIGINT) AS ym
+  FROM events
+  QUALIFY x >= 1
+),
+g AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(ym) AS sym,
+         sum(x * x) AS sxx, sum(x * ym) AS sxym
+  FROM recent GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxym AS DECIMAL(38,0))
+            - CAST(sx AS DECIMAL(38,0)) * CAST(sym AS DECIMAL(38,0))
+            AS DOUBLE)
+       / (CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+               - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+               AS DOUBLE) * 1000.0) AS slope
+FROM g WHERE n >= 5
+ORDER BY slope, user_id
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6222,6 +6296,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "periodogram_power": q_periodogram_power,
     "dup_span_coverage": q_dup_span_coverage,
     "domain_quota_sample": q_domain_quota_sample,
+    "fading_trend": q_fading_trend,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6370,6 +6445,7 @@ _ORACLES: dict[str, str] = {
     "periodogram_power": _periodogram_oracle(),
     "dup_span_coverage": ORACLE_DUP_SPAN_COVERAGE,
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
+    "fading_trend": ORACLE_FADING_TREND,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -1,0 +1,94 @@
+"""Mechanized plan audit: every registered query's physical plan is
+free of 100 TB scale smells — or carries an explicit, justified
+allowance below. A new query that cartesians, nested-loops, pickles
+rows through Python, or globally sorts without a limit fails CI
+instead of waiting for a review round."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from fink_broker_spark.plans.lint import lint_plan
+from tests.conftest import SF0001
+
+#: query -> (smells allowed, why that plan is the honest one)
+ALLOWED: dict[str, tuple[set[str], str]] = {
+    "fuzzy_name_match": (
+        {"broadcast_nested_loop_join"},
+        "4-row literal probe side broadcast against the corpus: edit "
+        "distance has no equi-key, linear scan IS the honest plan",
+    ),
+    "bloom_prefilter_join": (
+        {"broadcast_nested_loop_join"},
+        "the 1-row bitset broadcasts through a cross join by design "
+        "(the sharded regime q_bloom_prefilter_sharded equi-joins)",
+    ),
+    "unigram_lm_scores": (
+        {"broadcast_nested_loop_join"},
+        "1-row corpus-total aggregate broadcast into the scorer",
+    ),
+    "bm25_topk": (
+        {"broadcast_nested_loop_join"},
+        "1-row (N, avgdl) corpus-stats aggregate broadcast",
+    ),
+    "dsir_importance": (
+        {"broadcast_nested_loop_join"},
+        "1-row smoothing-totals aggregate broadcast",
+    ),
+    "ann_cosine_topk": (
+        {"broadcast_nested_loop_join"},
+        "bounded query-matrix broadcast against the corpus scan: "
+        "brute-force cosine has no join key by construction",
+    ),
+    "idle_customers": (
+        {"broadcast_nested_loop_join"},
+        "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "
+        "broadcast",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_plan_is_smell_free(spark, name):
+    allow, _why = ALLOWED.get(name, (set(), ""))
+    df = entrymod.queries()[name](spark, SF0001)
+    findings = lint_plan(df, allow=frozenset(allow))
+    assert not findings, (
+        f"{name}: " + "; ".join(map(str, findings))
+        + " — fix the plan or add a justified ALLOWED entry"
+    )
+
+
+def test_linter_catches_each_smell(spark):
+    """The linter itself must fire on known-bad plans (otherwise the
+    suite above proves nothing)."""
+    big_a = spark.range(1000).selectExpr("id AS a")
+    big_b = spark.range(1000).selectExpr("id AS b")
+    cart = big_a.crossJoin(big_b)
+    assert {f.smell for f in lint_plan(cart)} & {
+        "cartesian_product",
+        "broadcast_nested_loop_join",
+    }
+
+    nlj = big_a.join(big_b, big_a.a < big_b.b)
+    assert any(
+        f.smell == "broadcast_nested_loop_join" for f in lint_plan(nlj)
+    )
+
+    from pyspark.sql.functions import col, udf
+
+    slow = big_a.withColumn("u", udf(lambda x: x + 1, "long")(col("a")))
+    assert any(
+        f.smell == "python_udf_row_at_a_time" for f in lint_plan(slow)
+    )
+
+    gsort = big_a.orderBy("a")
+    assert any(
+        f.smell == "global_sort_without_limit" for f in lint_plan(gsort)
+    )
+    # sanctioned forms do NOT fire
+    topk = big_a.orderBy("a").limit(5)
+    assert not lint_plan(topk)
+    local_sorted = big_a.repartitionByRange(4, "a").sortWithinPartitions("a")
+    assert not lint_plan(local_sorted)
