@@ -6158,6 +6158,107 @@ LIMIT 50
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint metrics in ONE aggregate
+    pass (the pre-training validation gate a pipeline runs before
+    admitting a day's data): per tracked column — completeness (null
+    count), exact distinctness, and for numerics the min/max envelope
+    and a decimal-exact mean. All metrics ride a single scan + single
+    (map-side-partial) aggregate; ``count_distinct`` over several
+    columns expands map-side, never re-scans. Output is long-form
+    (column, metric, value) so new checks append rows, not columns."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_id").alias("nn_event_id"),
+        F.count("user_id").alias("nn_user_id"),
+        F.count("value").alias("nn_value"),
+        F.count("event_type").alias("nn_event_type"),
+        F.count_distinct("event_id").alias("d_event_id"),
+        F.count_distinct("user_id").alias("d_user_id"),
+        F.count_distinct("event_type").alias("d_event_type"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("decimal(28,6)")
+        .alias("sum_value"),
+    )
+    mean_value = (F.col("sum_value") / F.col("nn_value")).cast(
+        "decimal(18,6)"
+    )
+    stacked = agg.select(
+        F.expr(
+            """stack(4,
+              'event_id',  n_rows - nn_event_id,  d_event_id,
+              'user_id',   n_rows - nn_user_id,   d_user_id,
+              'event_type',n_rows - nn_event_type,d_event_type,
+              'value',     n_rows - nn_value,     CAST(NULL AS BIGINT)
+            ) AS (column_name, n_nulls, n_distinct)"""
+        ),
+        "n_rows",
+        F.col("min_value").alias("mn"),
+        F.col("max_value").alias("mx"),
+        mean_value.alias("mean_v"),
+    )
+    return stacked.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.when(F.col("column_name") == "value", F.col("mn")).alias(
+            "min_value"
+        ),
+        F.when(F.col("column_name") == "value", F.col("mx")).alias(
+            "max_value"
+        ),
+        F.when(F.col("column_name") == "value", F.col("mean_v")).alias(
+            "mean_value"
+        ),
+    )
+
+
+ORACLE_DATA_QUALITY_REPORT = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         count(event_id) AS nn_event_id,
+         count(user_id) AS nn_user_id,
+         count(value) AS nn_value,
+         count(event_type) AS nn_event_type,
+         count(DISTINCT event_id) AS d_event_id,
+         count(DISTINCT user_id) AS d_user_id,
+         count(DISTINCT event_type) AS d_event_type,
+         min(value) AS min_value,
+         max(value) AS max_value,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+              AS DECIMAL(28,6)) AS sum_value
+  FROM events
+),
+stacked AS (
+  SELECT * FROM (
+    SELECT 'event_id' AS column_name, n_rows,
+           n_rows - nn_event_id AS n_nulls, d_event_id AS n_distinct,
+           min_value, max_value, sum_value, nn_value FROM agg
+    UNION ALL
+    SELECT 'user_id', n_rows, n_rows - nn_user_id, d_user_id,
+           min_value, max_value, sum_value, nn_value FROM agg
+    UNION ALL
+    SELECT 'event_type', n_rows, n_rows - nn_event_type, d_event_type,
+           min_value, max_value, sum_value, nn_value FROM agg
+    UNION ALL
+    SELECT 'value', n_rows, n_rows - nn_value, CAST(NULL AS BIGINT),
+           min_value, max_value, sum_value, nn_value FROM agg
+  )
+)
+SELECT column_name, n_rows, n_nulls, n_distinct,
+       CASE WHEN column_name = 'value' THEN min_value END AS min_value,
+       CASE WHEN column_name = 'value' THEN max_value END AS max_value,
+       CASE WHEN column_name = 'value'
+            THEN CAST(sum_value / nn_value AS DECIMAL(18,6)) END
+           AS mean_value
+FROM stacked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6297,6 +6398,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_coverage": q_dup_span_coverage,
     "domain_quota_sample": q_domain_quota_sample,
     "fading_trend": q_fading_trend,
+    "data_quality_report": q_data_quality_report,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6446,6 +6548,7 @@ _ORACLES: dict[str, str] = {
     "dup_span_coverage": ORACLE_DUP_SPAN_COVERAGE,
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "fading_trend": ORACLE_FADING_TREND,
+    "data_quality_report": ORACLE_DATA_QUALITY_REPORT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
