@@ -8,6 +8,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 EPOCH = datetime(2024, 1, 1)
@@ -250,3 +251,47 @@ def test_avro_codec_roundtrip_property(rv):
     back, pos = decode(schema, blob)
     assert pos == len(blob)
     assert back == value
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref_pts=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(-1000, 1000)),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda p: p[0],
+    ),
+    obs_ts=st.lists(st.integers(0, 5000), min_size=1, max_size=25),
+)
+def test_interpolate_at_matches_numpy_interp(spark, ref_pts, obs_ts):
+    """interpolate_at ≡ numpy.interp on a random per-key series —
+    np.interp clamps outside the range exactly as the operator does."""
+    import numpy as np
+
+    from fink_broker_spark.operators.timeseries import interpolate_at
+
+    ref_pts = sorted(ref_pts)
+    ref = spark.createDataFrame(
+        [("k", EPOCH + timedelta(seconds=t), float(v)) for t, v in ref_pts],
+        "k string, ts timestamp, v double",
+    )
+    obs = spark.createDataFrame(
+        [
+            (i, "k", EPOCH + timedelta(seconds=t))
+            for i, t in enumerate(obs_ts)
+        ],
+        "id long, k string, ts timestamp",
+    )
+    got = {
+        r.id: r.iv
+        for r in interpolate_at(obs, ref, "k", "ts", "v", "iv").collect()
+    }
+    xs = [t for t, _ in ref_pts]
+    ys = [float(v) for _, v in ref_pts]
+    for i, t in enumerate(obs_ts):
+        want = float(np.interp(t, xs, ys))
+        assert got[i] == pytest.approx(want, abs=1e-9), (t, ref_pts)
