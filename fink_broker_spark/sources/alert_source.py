@@ -252,17 +252,27 @@ class AlertArchiveStreamWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self.path, m.filename))
 
 
-def read_stream_archive(spark, path: str, schema=None):
+def read_stream_archive(spark, path: str, schema=None, upto_batch=None):
     """Union of all committed microbatch manifests (exactly-once view:
     one manifest per batch id, orphans from failed/replayed attempts
     excluded). ``schema`` defaults to the raw alert schema; pass the
-    enriched schema when the archived stream carried derived columns."""
+    enriched schema when the archived stream carried derived columns.
+
+    ``upto_batch`` is batch-granular TIME TRAVEL: only manifests with
+    ``batchId <= upto_batch`` contribute, reconstructing the archive
+    exactly as a reader saw it after that batch committed — each batch
+    manifest is an immutable generation marker, so historical snapshots
+    cost a glob, not a table format."""
     import glob
     import json
     import os
+    import re
 
     files: list[str] = []
     for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-batch-*.json"))):
+        m = re.search(r"_MANIFEST-batch-(\d+)\.json$", mf)
+        if upto_batch is not None and m and int(m.group(1)) > upto_batch:
+            continue
         with open(mf) as fh:
             files.extend(
                 os.path.join(path, f["file"]) for f in json.load(fh)["files"]

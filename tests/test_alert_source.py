@@ -319,3 +319,34 @@ def test_alert_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
     streamed = sorted(map(tuple, back.collect()))
     expected = sorted(map(tuple, batch.collect()))
     assert streamed == expected  # no loss, no duplicates
+
+
+def test_read_stream_archive_time_travel(spark, tmp_path):
+    """upto_batch reconstructs the archive as of an earlier batch: each
+    per-batch manifest is an immutable generation marker."""
+    import os
+
+    from fink_broker_spark.sources.alert_source import (
+        AlertArchiveStreamWriter,
+        _FileCommit,
+        read_stream_archive,
+    )
+
+    out = str(tmp_path / "tt")
+    os.makedirs(out)
+    w = AlertArchiveStreamWriter({"path": out}, overwrite=False)
+    for batch in range(3):
+        fname = f"part-b{batch}.jsonl"
+        with open(os.path.join(out, fname), "w") as fh:
+            fh.write(
+                f'{{"event_id": {batch}, "ts": "2024-01-01T00:00:0{batch}", '
+                f'"user_id": {batch}, "event_type": "click", '
+                f'"value": 1.0, "props": "{{}}"}}\n'
+            )
+        w.commit([_FileCommit(fname, 1)], batchId=batch)
+
+    assert read_stream_archive(spark, out).count() == 3
+    snap = read_stream_archive(spark, out, upto_batch=1)
+    assert sorted(r.event_id for r in snap.collect()) == [0, 1]
+    assert read_stream_archive(spark, out, upto_batch=0).count() == 1
+    assert read_stream_archive(spark, out, upto_batch=-1).count() == 0
