@@ -6259,6 +6259,53 @@ FROM stacked
 """
 
 
+def q_fanout_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass multi-topic distribution accounting
+    (``distribute/fanout.py:fan_out_single_pass``): every registered
+    topic predicate evaluated in ONE scan, rows exploded into their
+    matching topics (fan-out ∝ matches, no shuffle/join before the
+    per-topic aggregate) — versus the reference's one-query-per-topic
+    distribute stage that re-scans the archive per topic. Oracle is
+    the UNION of the per-filter counts, which is exactly what N
+    separate scans would have produced."""
+    from fink_broker_spark.distribute.fanout import (
+        FilterRegistry,
+        fan_out_single_pass,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    reg = (
+        FilterRegistry()
+        .register("purchases", lambda df: F.col("event_type") == "purchase")
+        .register("high_value", lambda df: F.col("value") >= 900.0)
+        .register(
+            "weekend",
+            lambda df: F.dayofweek("ts").isin(1, 7),
+        )
+    )
+    routed = fan_out_single_pass(ev, reg, topic_col="topic")
+    return routed.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_FANOUT_SINGLE_PASS = """
+-- DuckDB dayofweek is 0-based Sunday=0 (Spark is 1-based Sunday=1);
+-- HAVING mirrors groupBy's no-rows-no-group semantics for any filter
+-- that matches nothing at a given scale
+SELECT 'purchases' AS topic, count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type = 'purchase' HAVING count(*) > 0
+UNION ALL
+SELECT 'high_value', count(*), count(DISTINCT user_id)
+FROM events WHERE value >= 900.0 HAVING count(*) > 0
+UNION ALL
+SELECT 'weekend', count(*), count(DISTINCT user_id)
+FROM events WHERE dayofweek(ts) IN (0, 6) HAVING count(*) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6399,6 +6446,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota_sample": q_domain_quota_sample,
     "fading_trend": q_fading_trend,
     "data_quality_report": q_data_quality_report,
+    "fanout_single_pass": q_fanout_single_pass,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6549,6 +6597,7 @@ _ORACLES: dict[str, str] = {
     "domain_quota_sample": ORACLE_DOMAIN_QUOTA_SAMPLE,
     "fading_trend": ORACLE_FADING_TREND,
     "data_quality_report": ORACLE_DATA_QUALITY_REPORT,
+    "fanout_single_pass": ORACLE_FANOUT_SINGLE_PASS,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -56,3 +56,36 @@ def fan_out(
         pred = registry.filters[name](df)
         handles[name] = sink(name, df.filter(pred))
     return handles
+
+
+def fan_out_single_pass(
+    df: DataFrame, registry: FilterRegistry, topic_col: str = "__topic"
+) -> DataFrame:
+    """All topic predicates evaluated in ONE pass over the source.
+
+    The reference's distribute service runs one streaming query per
+    topic — N topics re-scan (and re-decode, re-enrich) the science
+    stream N times (``bin/ztf/distribute.py:167-200``). This operator
+    computes every registered predicate in a single projection and
+    explodes each row into the topics it matches, so the source is
+    scanned ONCE however many topics exist; the result partitions (or
+    routes, for a keyed Kafka sink) on ``topic_col``.
+
+    Plan shape: `array(when(pred_i, 'name_i')...)` → `filter(not null)`
+    → `explode` — all codegen, no shuffle, no join; fan-out ∝ matches,
+    not topics. Rows matching nothing disappear (explode of an empty
+    array). Write with ``partitionBy(topic_col)`` for per-topic
+    directories or use the column as the Kafka message key/topic.
+
+    At 100 TB with ~40 science topics this turns 40 full-archive scans
+    into 1 — the largest single saving available in the distribute
+    stage.
+    """
+    from pyspark.sql import functions as F
+
+    arms = [
+        F.when(registry.filters[name](df), F.lit(name))
+        for name in registry.names()
+    ]
+    topics = F.filter(F.array(*arms), lambda x: x.isNotNull())
+    return df.withColumn(topic_col, F.explode(topics))

@@ -330,3 +330,42 @@ def test_multimodal_frame_sampling_and_resize(spark):
     assert small.count() == 20
     sizes = [r.frame.n_bytes for r in small.collect()]
     assert all(s <= 16 for s in sizes)
+
+
+def test_fan_out_single_pass_equals_per_filter(spark):
+    """One-pass routing == N separate filtered scans, and the plan has
+    no join/shuffle before the explode (pure codegen routing)."""
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.distribute.fanout import (
+        FilterRegistry,
+        fan_out_single_pass,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    reg = (
+        FilterRegistry()
+        .register("t_a", lambda d: F.col("a") == 0)
+        .register("t_b", lambda d: F.col("b") == 1)
+        .register("t_none", lambda d: F.col("a") < 0)  # matches nothing
+    )
+    routed = fan_out_single_pass(df, reg, topic_col="t")
+    got = {
+        r.t: r.n
+        for r in routed.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        name: df.filter(reg.filters[name](df)).count()
+        for name in reg.names()
+    }
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # a row matching both topics appears once per topic
+    both = routed.filter((F.col("a") == 0) & (F.col("b") == 1))
+    assert both.count() == df.filter((F.col("a") == 0) & (F.col("b") == 1)).count() * 2
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Generate explode" in plan
