@@ -369,3 +369,51 @@ def test_fan_out_single_pass_equals_per_filter(spark):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_fan_out_single_pass_streaming_one_sink(spark, tmp_path):
+    """The streaming production shape: ONE streaming query routes every
+    topic through a single topic-partitioned sink (vs one query per
+    topic) and the per-topic directories hold exactly the batch
+    answer."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.distribute.fanout import (
+        FilterRegistry,
+        fan_out_single_pass,
+    )
+    from fink_broker_spark.sinks.parquet import stream_to_parquet
+    from fink_broker_spark.sources.parquet import file_stream, load_table
+    from tests.conftest import SF0001
+
+    stage = str(tmp_path / "in")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.join(SF0001, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    reg = (
+        FilterRegistry()
+        .register("purchases", lambda d: F.col("event_type") == "purchase")
+        .register("errors", lambda d: F.col("event_type") == "error")
+    )
+    sdf = file_stream(spark, stage)
+    routed = fan_out_single_pass(sdf, reg, topic_col="topic")
+    out = str(tmp_path / "topics")
+    q = stream_to_parquet(
+        routed,
+        out,
+        str(tmp_path / "ckpt"),
+        partition_cols=("topic",),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    ev = load_table(spark, SF0001, "events")
+    back = spark.read.parquet(out)
+    for name in reg.names():
+        want = ev.filter(reg.filters[name](ev)).count()
+        got = back.filter(F.col("topic") == name).count()
+        assert got == want > 0, name
