@@ -5184,11 +5184,11 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-probability, and return the 50 most atypical documents — the
     ones a perplexity filter would drop first.
 
-    Shape at 100 TB: the model fit and the scoring share ONE tokenize +
-    explode pass (the counts aggregate and the per-doc join both read
-    the same staged ``tok`` relation); the vocabulary aggregate is
-    bounded by distinct-token count, and the final top-50 is a
-    TakeOrdered, never a global sort. FP discipline: each token's
+    Shape at 100 TB: the model fit and the scoring share one LOGICAL
+    tokenize + explode relation (physically recomputed per branch while
+    uncached — materialize the token table once when the corpus is the
+    cost); the vocabulary aggregate is bounded by distinct-token count,
+    and the final top-50 is a TakeOrdered, never a global sort. FP discipline: each token's
     log-prob rounds to ``decimal(18,9)`` BEFORE the per-doc sum, so the
     aggregation is exact and order-independent on both engines."""
     docs = load_table(spark, sf_dir, "documents")
@@ -5849,11 +5849,11 @@ u AS (SELECT * FROM obs UNION ALL SELECT * FROM ref),
 ann AS (
   SELECT *,
     last_value(rv IGNORE NULLS) OVER w_back AS prev_val,
-    last_value(CASE WHEN is_obs = 0 THEN t END IGNORE NULLS)
-        OVER w_back AS prev_ts,
+    last_value(CASE WHEN is_obs = 0 AND rv IS NOT NULL THEN t END
+               IGNORE NULLS) OVER w_back AS prev_ts,
     first_value(rv IGNORE NULLS) OVER w_fwd AS next_val,
-    first_value(CASE WHEN is_obs = 0 THEN t END IGNORE NULLS)
-        OVER w_fwd AS next_ts
+    first_value(CASE WHEN is_obs = 0 AND rv IS NOT NULL THEN t END
+                IGNORE NULLS) OVER w_fwd AS next_ts
   FROM u
   WINDOW
     w_back AS (PARTITION BY k ORDER BY t, is_obs, rv
@@ -5891,10 +5891,18 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.least(F.lit(1.0), stopword_ratio_expr("text") * F.lit(5.0))
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # decile from the ROUNDED score as exact DECIMAL math: binning the
+    # raw exp()-derived double would split engines when score*10 sits
+    # within an ulp of an integer boundary (Java Math.exp vs C libm
+    # exp differ in the last ulp) — the same boundary hazard phase_fold
+    # avoids with integral DIV
+    score_dec = F.round(score, 6).cast("decimal(9,6)")
     scored = docs.select(
         "source",
-        F.least(F.lit(9), F.floor(score * 10).cast("int")).alias("decile"),
-        F.round(score, 6).alias("score_r"),
+        F.least(F.lit(9), F.floor(score_dec * 10).cast("int")).alias(
+            "decile"
+        ),
+        score_dec.cast("double").alias("score_r"),
     )
     return scored.groupBy("source", "decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -5927,15 +5935,18 @@ z AS (
   FROM t
 ),
 s AS (
-  SELECT source, 1.0 / (1.0 + exp(-zval)) AS score FROM z
+  SELECT source,
+         CAST(round(1.0 / (1.0 + exp(-zval)), 6) AS DECIMAL(9,6))
+             AS score_dec
+  FROM z
 )
 SELECT source,
-       least(9, CAST(floor(score * 10) AS INT)) AS decile,
+       least(9, CAST(floor(score_dec * 10) AS INT)) AS decile,
        count(*) AS n_docs,
-       min(round(score, 6)) AS min_score,
-       max(round(score, 6)) AS max_score
+       min(CAST(score_dec AS DOUBLE)) AS min_score,
+       max(CAST(score_dec AS DOUBLE)) AS max_score
 FROM s
-GROUP BY source, least(9, CAST(floor(score * 10) AS INT))
+GROUP BY source, least(9, CAST(floor(score_dec * 10) AS INT))
 """
 
 

@@ -40,11 +40,16 @@ def read_ledger(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
     """
     last_green: dict[str, int] = {}
     failed: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json"))):
+    # sort by PARSED round number: lexicographic filename order breaks
+    # for unpadded names (r10 < r4) and at round 100 even when padded,
+    # and a stale green processed after a newer failure would wrongly
+    # clear the failure tier
+    numbered = []
+    for path in glob.glob(os.path.join(artifact_dir, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for rnd, path in sorted(numbered):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -74,7 +79,7 @@ def read_ledger(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
                     failed.pop(name, None)
             else:
                 if last_green.get(name, -1) <= rnd:
-                    failed[name] = rnd
+                    failed[name] = max(failed.get(name, -1), rnd)
     return last_green, set(failed)
 
 

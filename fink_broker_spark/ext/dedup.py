@@ -618,10 +618,13 @@ def dup_span_coverage(
 
     Plan shape: the sliding windows come from ``transform(sequence(...),
     i -> concat_ws(slice(tokens, i, n)))`` — per-row codegen, no explode
-    until the windows exist — then ONE shuffle on the window digest
+    until the windows exist — then a shuffle on the window digest
     computes cross-document frequencies (``count(DISTINCT doc)``
-    bounded by the duplication depth) and a second bounded shuffle
-    re-aggregates per doc. Explode volume ∝ total tokens, same class
+    bounded by the duplication depth) and a bounded shuffle
+    re-aggregates per doc. The uncached ``windows`` subtree feeds both
+    the frequency aggregate and the join back, so Spark recomputes it
+    per branch; materialize the window-digest relation once when the
+    corpus dominates the cost (the logical shape is unchanged). Explode volume ∝ total tokens, same class
     as any tokenize pass. The digest is md5 — bit-identical in every
     engine, so the whole operator is oracle-exact (xxhash64 would be
     cheaper in production; the 16-byte md5 keeps the DuckDB twin

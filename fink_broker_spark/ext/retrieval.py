@@ -44,8 +44,13 @@ def bm25_topk(
 
     Plan shape (and why it scales):
 
-    - ``tok`` — ONE tokenize+explode pass feeds both the length stats
-      and the term frequencies;
+    - ``tok`` — one LOGICAL tokenize+explode relation feeds both the
+      length stats and the term frequencies. Physically Spark
+      recomputes an uncached subtree per consuming branch (two scans /
+      two tokenizes here); the production posture at 100 TB is to
+      MATERIALIZE the tokenized relation once (write it, or persist
+      within the job) and hang every consumer off it — the logical
+      shape below is unchanged by that choice;
     - doc lengths + corpus stats — one groupBy(doc) aggregate, then a
       1-row global aggregate (``N``, ``avgdl``) that stays in the DAG
       and broadcasts (never ``.count()`` on the driver);
@@ -181,13 +186,15 @@ def dsir_importance(
     optimization, not a semantic one). High weight = looks like the
     target corpus ⇒ keep for resampling.
 
-    Plan shape: ONE tokenize+explode pass feeds the target counts, the
-    raw counts, and the scoring join (the two count aggregates are
-    vocabulary-bounded; the conditional target count rides the same
-    shuffle as the raw count via ``count_if``); corpus totals are a
-    1-row broadcast; the result is a TakeOrdered top-``k`` over
-    out-of-target docs. Per-token log ratios round to decimal before
-    the per-doc sum (exact, order-independent).
+    Plan shape: one logical tokenize+explode relation feeds the counts
+    aggregate and the scoring join; target and raw counts ride a SINGLE
+    shuffle via ``count_if`` (vocabulary-bounded), corpus totals are a
+    1-row broadcast, and the result is a TakeOrdered top-``k`` over
+    out-of-target docs. As with BM25 above, Spark physically
+    recomputes the uncached tok subtree per branch — materialize the
+    tokenized relation once when the corpus is the cost. Per-token log
+    ratios round to decimal before the per-doc sum (exact,
+    order-independent).
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),

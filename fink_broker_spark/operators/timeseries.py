@@ -200,7 +200,13 @@ def interpolate_at(
         .orderBy("t", "is_obs", "rv")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    ref_t = F.when(F.col("is_obs") == 0, F.col("t"))
+    # a reference sample only brackets if its VALUE is present — gating
+    # ref_t on rv too keeps (prev_val, prev_ts) a pair from the SAME
+    # sample; an ungated ref_t would borrow the timestamp of a
+    # NULL-valued sample and interpolate along the wrong span
+    ref_t = F.when(
+        (F.col("is_obs") == 0) & F.col("rv").isNotNull(), F.col("t")
+    )
     annotated = (
         u.withColumn("prev_val", F.last("rv", ignorenulls=True).over(w_back))
         .withColumn("prev_ts", F.last(ref_t, ignorenulls=True).over(w_back))

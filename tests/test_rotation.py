@@ -58,26 +58,34 @@ def test_rows_only_crash_is_failure(tmp_path):
     assert failed == {"pca"} and "pca" not in last
 
 
+def test_rounds_ordered_numerically_not_lexicographically(tmp_path):
+    """r10 must process AFTER r4/r5 even though it sorts before them as
+    a filename — otherwise a stale green clears a newer failure."""
+    _write(tmp_path, 4, {"q": CRASH})
+    _write(tmp_path, 5, {"q": GREEN})
+    _write(tmp_path, 10, {"q": CRASH})
+    last, failed = read_ledger(str(tmp_path))
+    assert failed == {"q"}  # the r10 failure is the most recent signal
+    assert last == {"q": 5}
+
+
 def test_missing_dir_harmless(tmp_path):
     assert driver_priority(["x", "y"], str(tmp_path / "nope")) == ["x", "y"]
 
 
 def test_live_wiring():
-    """queries() order == ledger order over the real artifacts; every
-    round-3 never-checked query sits inside the driver's 50-row window."""
+    """queries() order == ledger order over the real artifacts, and the
+    ledger's own tier-0/tier-1 queries (failed or never driver-checked,
+    whatever the artifacts currently say) all sit inside the driver's
+    50-row sample window — artifact-driven, so recording a new round's
+    CORRECTNESS file re-derives the expectation instead of breaking it."""
     import __spark_entry__ as entry
 
     names = list(entry.queries().keys())
     expect = driver_priority(entry._QUERIES.keys(), REPO)
     assert names == expect
-    never_checked_r3 = {
-        "bloom_prefilter_join", "unigram_lm_scores", "line_dedup",
-        "dedup_keep_best", "fuzzy_name_match", "session_dynamic_gap",
-        "incremental_stats", "distribution_ranks", "doc_chunks_udtf",
-        "small_quantity_revenue", "important_parts", "market_share",
-        "product_profit", "returned_items", "revenue_forecast",
-        "late_shipment_priority", "promo_revenue", "supplier_part_counts",
-    }
+    last_green, failed = read_ledger(REPO)
+    urgent = [n for n in entry._QUERIES if n in failed or n not in last_green]
     window = set(names[:50])
-    missing = never_checked_r3 - window
+    missing = set(urgent[:50]) - window
     assert not missing, f"outside 50-row driver window: {missing}"

@@ -127,3 +127,18 @@ def test_periodogram_one_row_per_key_and_period(spark):
     out = periodogram(df, "k", "ts", "v", [60, 120]).collect()
     assert len(out) == 4
     assert all(r.n == 10 for r in out)
+
+
+def test_interpolate_skips_null_valued_reference_samples(spark):
+    """A NULL-valued reference sample must not contribute its TIMESTAMP
+    as a bracket: obs at t=5 between (0, 10.0) and (20, 30.0) with a
+    NULL sample at t=10 interpolates along 0→20 (15.0), not 0→10."""
+    obs = spark.createDataFrame(
+        [(1, "a", _ts(5))], "event_id long, k string, ts timestamp"
+    )
+    ref = spark.createDataFrame(
+        [("a", _ts(0), 10.0), ("a", _ts(10), None), ("a", _ts(20), 30.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = interpolate_at(obs, ref, "k", "ts", "v", "iv").collect()
+    assert out[0].iv == pytest.approx(15.0)
