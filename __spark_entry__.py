@@ -6317,6 +6317,59 @@ FROM events WHERE dayofweek(ts) IN (0, 6) HAVING count(*) > 0
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (``ext/pipeline.py:weighted_sample_key_expr``): 50 documents drawn
+    with inclusion odds ∝ an integer quality weight (token-count
+    bands), via the Efraimidis–Spirakis sampler re-expressed as
+    max-of-w-uniforms so the priority key is EXACT integer md5
+    arithmetic — no transcendental whose last ulp could split the
+    engines, hence a full value-hash oracle for a *weighted random
+    sample*. Plan: per-row O(w) codegen key + one TakeOrdered."""
+    from fink_broker_spark.ext.pipeline import weighted_sample_key_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # floor, not a bare int cast: Spark's double→int cast truncates but
+    # DuckDB's rounds; /64 itself is exact (power of two) so floor agrees
+    staged = docs.select(
+        "doc_id",
+        "source",
+        (F.floor(token_count_expr("text") / 64) + 1).cast("int").alias("w"),
+    )
+    keyed = staged.withColumn(
+        "priority", weighted_sample_key_expr("doc_id", "w", max_weight=8)
+    )
+    return (
+        keyed.orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "source", "w", "priority")
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = r"""
+WITH staged AS (
+  SELECT doc_id, source,
+         CAST(floor((CASE WHEN length(trim(lower(text))) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+              / 64) + 1 AS INT) AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, w,
+         list_max(list_transform(
+           range(1, least(greatest(w, 1), 8) + 1),
+           j -> CAST('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || '#' ||
+                      CAST(j AS VARCHAR) || '#ws'), 1, 8) AS BIGINT)
+         )) AS priority
+  FROM staged
+)
+SELECT doc_id, source, w, priority FROM keyed
+ORDER BY priority DESC, doc_id
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6458,6 +6511,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fading_trend": q_fading_trend,
     "data_quality_report": q_data_quality_report,
     "fanout_single_pass": q_fanout_single_pass,
+    "weighted_sample": q_weighted_sample,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6609,6 +6663,7 @@ _ORACLES: dict[str, str] = {
     "fading_trend": ORACLE_FADING_TREND,
     "data_quality_report": ORACLE_DATA_QUALITY_REPORT,
     "fanout_single_pass": ORACLE_FANOUT_SINGLE_PASS,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

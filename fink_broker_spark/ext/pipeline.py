@@ -302,3 +302,51 @@ def epoch_shuffle(
         .withColumn("position", F.row_number().over(win))
         .select(id_col, "shard", "position")
     )
+
+
+def weighted_sample_key_expr(
+    id_col: str, weight_col: str, max_weight: int = 16, salt: str = "ws"
+) -> Column:
+    """Efraimidis–Spirakis weighted-sampling priority key with EXACT
+    cross-engine arithmetic: rank rows by this key descending and take
+    the top-k for a without-replacement sample where inclusion odds
+    scale with the (integer) weight.
+
+    The textbook ES key is ``u^(1/w)`` (u uniform) — a transcendental
+    whose last-ulp behavior differs between JVM and libm, which would
+    poison hash-exact oracle checks. This uses the max-of-uniforms
+    identity instead: ``max(u_1..u_w)`` has CDF ``x^w``, exactly the
+    distribution of ``u^(1/w)`` — so ranking by the MAX of ``w``
+    deterministic per-(id, j) uniforms is the same sampler, computed
+    entirely in integer space (md5 hex → integer, no floats anywhere).
+
+    Plan: per-row ``transform(sequence(1, w), j -> int(md5(id#j#salt)))``
+    + ``array_max`` — codegen, O(w) per row, no shuffle; cap ``w`` at
+    ``max_weight`` so the cost is bounded. DuckDB twin (same md5, same
+    substring, same cast):
+
+    ``list_max(list_transform(range(1, least(w, MW)+1),
+      j -> CAST('0x' || substr(md5(id || '#' || j || '#salt'), 1, 8)
+           AS BIGINT)))``
+    """
+    w = F.least(F.greatest(F.col(weight_col).cast("int"), F.lit(1)), F.lit(max_weight))
+    draws = F.transform(
+        F.sequence(F.lit(1), w),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit("#"),
+                        j.cast("string"),
+                        F.lit("#" + salt),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.array_max(draws)

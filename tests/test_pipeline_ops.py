@@ -240,3 +240,33 @@ def test_epoch_shuffle_window_is_sharded_not_global(spark):
     )
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_weighted_sample_key_biases_by_weight(spark):
+    """max-of-w-uniforms priority: items with weight 4 should win top-k
+    slots ~4x as often as weight-1 items (statistical check), and the
+    key must be deterministic across evaluations."""
+    import pyspark.sql.functions as F
+
+    from fink_broker_spark.ext.pipeline import weighted_sample_key_expr
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 4).otherwise(1).alias("w"),
+    )
+    keyed = df.withColumn(
+        "p", weighted_sample_key_expr("id", "w", max_weight=8)
+    )
+    top = keyed.orderBy(F.col("p").desc(), "id").limit(400)
+    heavy = top.filter(F.col("w") == 4).count()
+    # expected heavy share = 4/5 = 320 of 400; allow generous noise
+    assert 270 <= heavy <= 370, heavy
+    # deterministic: second evaluation identical
+    again = {
+        r.id: r.p
+        for r in df.withColumn(
+            "p", weighted_sample_key_expr("id", "w", max_weight=8)
+        ).collect()
+    }
+    first = {r.id: r.p for r in keyed.collect()}
+    assert first == again
