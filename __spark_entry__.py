@@ -6370,6 +6370,121 @@ LIMIT 50
 """
 
 
+_FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey funnel (view → click → purchase within 7 days):
+    per user, the first view starts the clock, the first later click
+    and the first later purchase inside the window advance the stage;
+    output is users per deepest-stage-reached.
+
+    Plan: ONE groupBy(user) collecting the sorted (t, type) event
+    array, then a per-row ``aggregate`` HOF walks the sequence in
+    codegen — no self-joins, no N-stage join chain (the naive funnel
+    is stage-count joins over the fact table). All timestamps are
+    exact integer microseconds, so the oracle (min-over-qualifying
+    formulation) matches bit-for-bit. At 100 TB: shuffle ∝ events,
+    per-user state = that user's event list (sessions-bounded); for
+    heavy hitters pre-aggregate per (user, day) first."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("t"),
+            F.col("event_type").alias("et"),
+        ).alias("e"),
+    )
+    walked = (
+        staged.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(
+            "user_id",
+            F.aggregate(
+                "seq",
+                F.struct(
+                    F.lit(None).cast("long").alias("t1"),
+                    F.lit(None).cast("long").alias("t2"),
+                    F.lit(None).cast("long").alias("t3"),
+                ),
+                lambda acc, e: F.struct(
+                    F.when(
+                        acc["t1"].isNull() & (e["et"] == "view"), e["t"]
+                    )
+                    .otherwise(acc["t1"])
+                    .alias("t1"),
+                    F.when(
+                        acc["t1"].isNotNull()
+                        & acc["t2"].isNull()
+                        & (e["et"] == "click")
+                        & (e["t"] > acc["t1"])
+                        & (e["t"] <= acc["t1"] + F.lit(_FUNNEL_WINDOW_US)),
+                        e["t"],
+                    )
+                    .otherwise(acc["t2"])
+                    .alias("t2"),
+                    F.when(
+                        acc["t2"].isNotNull()
+                        & acc["t3"].isNull()
+                        & (e["et"] == "purchase")
+                        & (e["t"] > acc["t2"])
+                        & (e["t"] <= acc["t1"] + F.lit(_FUNNEL_WINDOW_US)),
+                        e["t"],
+                    )
+                    .otherwise(acc["t3"])
+                    .alias("t3"),
+                ),
+            ).alias("s"),
+        )
+    )
+    stage = (
+        F.when(F.col("s.t3").isNotNull(), 3)
+        .when(F.col("s.t2").isNotNull(), 2)
+        .when(F.col("s.t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return walked.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+),
+s1 AS (
+  SELECT user_id, min(t) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(t) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND t > t1
+    AND t <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(t) AS t3
+  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND t > t2
+    AND t <= t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+per_user AS (
+  SELECT u.user_id,
+         CASE WHEN s3.t3 IS NOT NULL THEN 3
+              WHEN s2.t2 IS NOT NULL THEN 2
+              WHEN s1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM e) u
+  LEFT JOIN s1 USING (user_id)
+  LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)
+)
+SELECT stage, count(*) AS n_users FROM per_user GROUP BY stage
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6512,6 +6627,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_report": q_data_quality_report,
     "fanout_single_pass": q_fanout_single_pass,
     "weighted_sample": q_weighted_sample,
+    "funnel_conversion": q_funnel_conversion,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6664,6 +6780,7 @@ _ORACLES: dict[str, str] = {
     "data_quality_report": ORACLE_DATA_QUALITY_REPORT,
     "fanout_single_pass": ORACLE_FANOUT_SINGLE_PASS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -591,3 +591,48 @@ def test_exploded_aggregates_group_on_scalars(spark):
     cms = cms_build(ev, "user_id", depth=3, width=64)
     plan = cms._jdf.queryExecution().executedPlan().toString()
     assert "_groupingexpression" not in plan
+
+
+def test_funnel_walk_edge_semantics(spark):
+    """Funnel stage walk: clicks BEFORE the first view don't count, the
+    window is anchored at the first view, and boundary events at
+    exactly t1+window are included (<=) while t==t1 is excluded (>)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+
+    E = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return E + datetime.timedelta(seconds=s)
+
+    W = 7 * 86_400
+    rows = [
+        # u1: full funnel in order
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(20), "purchase"),
+        # u2: click precedes the first view -> stage 1 only
+        (2, ts(0), "click"), (2, ts(10), "view"),
+        # u3: click exactly at the window edge counts (<=)
+        (3, ts(0), "view"), (3, ts(W), "click"),
+        # u4: click one second past the window -> stage 1
+        (4, ts(0), "view"), (4, ts(W + 1), "click"),
+        # u5: no view at all -> stage 0
+        (5, ts(0), "purchase"),
+        # u6: click at the same microsecond as the view is NOT after it
+        (6, ts(0), "view"), (6, ts(0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).withColumn("event_id", F.monotonically_increasing_id()) \
+     .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.stage: r.n_users
+            for r in em.q_funnel_conversion(spark, d).collect()
+        }
+    assert out == {0: 1, 1: 3, 2: 1, 3: 1}
