@@ -6485,6 +6485,141 @@ SELECT stage, count(*) AS n_users FROM per_user GROUP BY stage
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they act again — the
+    standard growth-analytics rollup.
+
+    Plan: the cohort week comes from an unbounded ``min`` WINDOW over
+    the user partition (no self-join back to a min-aggregate — one
+    shuffle on user serves both the cohort assignment and, reused by
+    the sort-free aggregation that follows, the distinct count), then
+    one groupBy((cohort_week, week_offset), countDistinct(user)).
+    Week arithmetic is exact integer µs division by a constant."""
+    ev = load_table(spark, sf_dir, "events")
+    wk_us = 7 * 86_400_000_000
+    staged = (
+        ev.select("user_id", F.unix_micros(F.col("ts")).alias("t"))
+        .withColumn(
+            "cohort_week",
+            F.expr(
+                f"CAST(min(t) OVER (PARTITION BY user_id)"
+                f" DIV {wk_us} AS INT)"
+            ),
+        )
+        .withColumn(
+            "week_offset",
+            F.expr(f"CAST(t DIV {wk_us} AS INT) - cohort_week"),
+        )
+    )
+    return staged.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH staged AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(min(epoch_us(ts)) OVER (PARTITION BY user_id)
+              // {7 * 86_400_000_000} AS INT) AS cohort_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(t // {7 * 86_400_000_000} AS INT) - cohort_week
+           AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM staged
+GROUP BY cohort_week, CAST(t // {7 * 86_400_000_000} AS INT) - cohort_week
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan per event type: running sum of
+    mean-deviations over the time-ordered series; the maximum
+    |S_i| (and the first time it is reached) locates the strongest
+    level shift — the drift detector a data-quality monitor runs per
+    partition before admitting a day.
+
+    Plan: per-type mean via ONE aggregate broadcast back (5 rows — not
+    an unbounded window, whose state is the whole partition); running
+    sum via a ROWS window on the (type, time) ordering; two bounded
+    re-aggregates pick the max and its first position by EXACT decimal
+    equality (no arg_max, whose tie order is engine-specific). All
+    deviations are decimal-exact, so Spark and DuckDB agree
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+        "event_id",
+        F.round("value", 6).cast("decimal(18,6)").alias("x"),
+    )
+    means = staged.groupBy("event_type").agg(
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = (F.col("sx") / F.col("n")).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        staged.join(F.broadcast(means), "event_type")
+        .withColumn("dev", (F.col("x") - mean).cast("decimal(18,6)"))
+        .withColumn(
+            "abs_s",
+            F.abs(F.sum("dev").over(w).cast("decimal(28,6)")),
+        )
+        .select("event_type", "t", "n", "abs_s")
+    )
+    mx = run.groupBy("event_type").agg(
+        F.max("abs_s").alias("max_cusum"), F.max("n").alias("n")
+    )
+    at = (
+        run.join(
+            F.broadcast(mx.select("event_type", "max_cusum")), "event_type"
+        )
+        .filter(F.col("abs_s") == F.col("max_cusum"))
+        .groupBy("event_type")
+        .agg(F.min("t").alias("t_at_max"))
+    )
+    return mx.join(at, "event_type").select(
+        "event_type", "n", "max_cusum", "t_at_max"
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH staged AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+  FROM events
+),
+means AS (
+  SELECT event_type, CAST(sum(x) AS DECIMAL(28,6)) AS sx,
+         count(*) AS n
+  FROM staged GROUP BY event_type
+),
+run AS (
+  SELECT s.event_type, t, n,
+         abs(CAST(SUM(CAST(x - CAST(sx / n AS DECIMAL(18,6))
+                           AS DECIMAL(18,6)))
+                  OVER (PARTITION BY s.event_type ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(28,6))) AS abs_s
+  FROM staged s JOIN means USING (event_type)
+),
+mx AS (
+  SELECT event_type, max(abs_s) AS max_cusum, max(n) AS n
+  FROM run GROUP BY event_type
+)
+SELECT r.event_type, mx.n, mx.max_cusum, min(r.t) AS t_at_max
+FROM run r JOIN mx USING (event_type)
+WHERE r.abs_s = mx.max_cusum
+GROUP BY r.event_type, mx.n, mx.max_cusum
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6628,6 +6763,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fanout_single_pass": q_fanout_single_pass,
     "weighted_sample": q_weighted_sample,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "cusum_changepoint": q_cusum_changepoint,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6781,6 +6918,8 @@ _ORACLES: dict[str, str] = {
     "fanout_single_pass": ORACLE_FANOUT_SINGLE_PASS,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
+    "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
