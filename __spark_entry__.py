@@ -6620,6 +6620,145 @@ GROUP BY r.event_type, mx.n, mx.max_cusum
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream (``lag`` window): how often does type A
+    follow type B — the session-path-mining primitive behind
+    recommendation and anomaly models. One shuffle on the user
+    partition; transition probability is emitted as an exact
+    numerator/denominator pair plus a decimal ratio (no float
+    accumulation anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("decimal(18,6)") / F.col("n_from"))
+        .cast("decimal(18,6)")
+        .alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+totals AS (SELECT prev_type, sum(n) AS n_from FROM trans GROUP BY prev_type)
+SELECT prev_type, event_type, n, n_from,
+       CAST(CAST(n AS DECIMAL(18,6)) / n_from AS DECIMAL(18,6)) AS p
+FROM trans JOIN totals USING (prev_type)
+"""
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the value series at lags 1-3 per event type
+    (the time-domain twin of ``periodogram_power``): exact-integer
+    moment sums over (x_i, x_{i+lag}) pairs from ``lag`` windows —
+    milli-unit integerization makes every sum exact, and the final
+    Pearson formula is a fixed IEEE tree over exact-valued doubles
+    (same discipline as ``regression_trend``). One shuffle on the type
+    partition; the lag arms ride the same window ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ym = F.rint(F.col("value") * 1000).cast("long")
+    staged = ev.select(
+        "event_type", "ts", "event_id", ym.alias("y")
+    )
+    arms = []
+    for lag in (1, 2, 3):
+        arms.append(
+            staged.withColumn("y_lag", F.lag("y", lag).over(w))
+            .filter(F.col("y_lag").isNotNull())
+            .select(
+                "event_type",
+                F.lit(lag).alias("lag"),
+                "y",
+                "y_lag",
+            )
+        )
+    pairs = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    g = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y_lag").alias("sl"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y_lag") * F.col("y_lag")).alias("sll"),
+        F.sum(F.col("y") * F.col("y_lag")).alias("syl"),
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (big("n") * big("syl") - big("sy") * big("sl")).cast("double")
+    den_y = (big("n") * big("syy") - big("sy") * big("sy")).cast("double")
+    den_l = (big("n") * big("sll") - big("sl") * big("sl")).cast("double")
+    return g.select(
+        "event_type",
+        "lag",
+        "n",
+        (num / F.sqrt(den_y * den_l)).alias("acf"),
+    )
+
+
+ORACLE_AUTOCORRELATION = """
+WITH staged AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+             AS y_lag
+  FROM staged
+  UNION ALL
+  SELECT event_type, 2, y,
+         lag(y, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+  FROM staged
+  UNION ALL
+  SELECT event_type, 3, y,
+         lag(y, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+  FROM staged
+),
+g AS (
+  SELECT event_type, lag, count(*) AS n, sum(y) AS sy, sum(y_lag) AS sl,
+         sum(y * y) AS syy, sum(y_lag * y_lag) AS sll,
+         sum(y * y_lag) AS syl
+  FROM pairs WHERE y_lag IS NOT NULL
+  GROUP BY event_type, lag
+)
+SELECT event_type, lag, n,
+       CAST(CAST(n AS DECIMAL(38,0)) * CAST(syl AS DECIMAL(38,0))
+            - CAST(sy AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
+            AS DOUBLE)
+       / SQRT(CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+                   - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                   AS DOUBLE)
+              * CAST(CAST(n AS DECIMAL(38,0)) * CAST(sll AS DECIMAL(38,0))
+                     - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
+                     AS DOUBLE)) AS acf
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6765,6 +6904,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "cusum_changepoint": q_cusum_changepoint,
+    "event_transitions": q_event_transitions,
+    "autocorrelation": q_autocorrelation,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -6920,6 +7061,8 @@ _ORACLES: dict[str, str] = {
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "cohort_retention": ORACLE_COHORT_RETENTION,
     "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "autocorrelation": ORACLE_AUTOCORRELATION,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
