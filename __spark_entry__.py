@@ -6759,6 +6759,76 @@ FROM g
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts sharing an
+    order, support ≥ 2): the standard compact-forward algorithm —
+    orient every edge low→high, join edge(a,b) with edge(b,c), then
+    semi-join the wedge closure (a,c) against the edge set. Orienting
+    first means each triangle is produced exactly ONCE (a<b<c) and the
+    wedge fan-out is bounded by out-degree, the classic distributed
+    triangle trick. Support cut bounds the edge set; all counts exact.
+
+    Output: triangles per anchor node (lowest id) plus the global
+    total as anchor NULL."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    wedges = e1.join(
+        e2, F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("u").alias("a"), F.col("v").alias("c")
+        ),
+        on=["a", "c"],
+        how="left_semi",
+    )
+    per_anchor = closed.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    total = closed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    ).select(F.lit(None).cast("bigint").alias("a"), "n_triangles")
+    return per_anchor.unionByName(total)
+
+
+ORACLE_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+closed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.u = e1.u AND p.v = e2.v)
+)
+SELECT a, count(*) AS n_triangles FROM closed GROUP BY a
+UNION ALL
+SELECT CAST(NULL AS BIGINT), count(*) FROM closed
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6906,6 +6976,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_changepoint": q_cusum_changepoint,
     "event_transitions": q_event_transitions,
     "autocorrelation": q_autocorrelation,
+    "triangle_count": q_triangle_count,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7063,6 +7134,7 @@ _ORACLES: dict[str, str] = {
     "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "autocorrelation": ORACLE_AUTOCORRELATION,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
