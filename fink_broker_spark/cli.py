@@ -135,8 +135,17 @@ def cmd_raw2science(args):
 def cmd_distribute(args):
     """Distribute: apply every registered filter to the science lake and
     write one substream per filter (``bin/ztf/distribute.py``); Kafka
-    topics in production, per-topic parquet dirs here."""
-    from fink_broker_spark.distribute.fanout import FilterRegistry, fan_out
+    topics in production, per-topic parquet dirs here.
+
+    ``-single_pass`` routes every topic in ONE scan (all predicates in
+    one codegen projection, explode into matched topics, one write
+    partitioned by topic) instead of the reference's per-topic re-scan
+    — the 100 TB distribute posture."""
+    from fink_broker_spark.distribute.fanout import (
+        FilterRegistry,
+        fan_out,
+        fan_out_single_pass,
+    )
     from fink_broker_spark.sources.parquet import scan_parquet
 
     spark = _session(args)
@@ -145,6 +154,16 @@ def cmd_distribute(args):
     for spec in args.filter or ["all:true"]:
         name, _, pred = spec.partition(":")
         reg.register(name, lambda d, p=pred: F.expr(p))
+
+    if args.single_pass:
+        routed = fan_out_single_pass(df, reg, topic_col="__topic")
+        out = os.path.join(args.out_prefix, f"night={args.night}")
+        (
+            routed.write.mode("overwrite")
+            .partitionBy("__topic")
+            .parquet(out)
+        )
+        return {name: out for name in reg.names()}
 
     def sink(topic, fdf):
         out = os.path.join(args.out_prefix, topic, f"night={args.night}")
@@ -258,6 +277,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-out_prefix", required=True)
     p.add_argument("-filter", action="append",
                    help="name:sql-bool, repeatable (one output per filter)")
+    p.add_argument("-single_pass", action="store_true",
+                   help="route all topics in one scan, partitioned by topic")
     p.set_defaults(fn=cmd_distribute)
 
     p = sub.add_parser("archive")

@@ -121,3 +121,52 @@ def test_cli_archive_zorder(spark, tmp_path):
     out = spark.read.parquet(os.path.join(arch, f"night={night}"))
     assert out.count() == 1000
     assert stats["n_total"] == 1000
+
+
+def test_cli_distribute_single_pass(spark, tmp_path):
+    """-single_pass routes every topic in one scan, partitioned by
+    topic, with per-topic contents identical to the per-query path."""
+    from fink_broker_spark.cli import main
+
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    os.symlink(
+        os.path.join(SF0001, "events.parquet"),
+        os.path.join(incoming, "events.parquet"),
+    )
+    raw = str(tmp_path / "raw")
+    sci = str(tmp_path / "science")
+    night = "20240101"
+    main([
+        "stream2raw", "-incoming", incoming, "-rawdata_prefix", raw,
+        "-night", night, "-available_now", "-cpus", "8",
+    ])
+    main([
+        "raw2science", "-rawdata_prefix", raw, "-science_prefix", sci,
+        "-night", night, "-available_now", "-cpus", "8",
+    ])
+    filters = [
+        "-filter", "purchases:event_type = 'purchase'",
+        "-filter", "errors:event_type = 'error'",
+    ]
+    multi = main([
+        "distribute", "-science_prefix", sci,
+        "-out_prefix", str(tmp_path / "multi"), "-night", night,
+        "-cpus", "8", *filters,
+    ])
+    single = main([
+        "distribute", "-science_prefix", sci,
+        "-out_prefix", str(tmp_path / "single"), "-night", night,
+        "-cpus", "8", "-single_pass", *filters,
+    ])
+    assert set(single) == set(multi) == {"purchases", "errors"}
+    routed = spark.read.parquet(single["purchases"])
+    for topic in ("purchases", "errors"):
+        got = sorted(
+            r.event_id
+            for r in routed.filter(f"__topic = '{topic}'").collect()
+        )
+        want = sorted(
+            r.event_id for r in spark.read.parquet(multi[topic]).collect()
+        )
+        assert got == want and got
