@@ -5225,8 +5225,12 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("sum_logp") / F.col("n_tokens"))
-            .cast("decimal(18,6)")
+            # DOUBLE division of exact inputs, not decimal/bigint:
+            # DuckDB divides decimals in double while Spark divides
+            # exactly with HALF_UP, so a quotient on a .5 at the target
+            # scale would split the engines; double division of the
+            # same exact operands is correctly rounded on both
+            (F.col("sum_logp").cast("double") / F.col("n_tokens"))
             .alias("mean_logp"),
         )
     )
@@ -5252,7 +5256,7 @@ scored AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens,
-       CAST(sum_logp / n_tokens AS DECIMAL(18,6)) AS mean_logp
+       CAST(sum_logp AS DOUBLE) / n_tokens AS mean_logp
 FROM scored
 ORDER BY mean_logp, doc_id
 LIMIT 50
@@ -6194,9 +6198,8 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,6)")
         .alias("sum_value"),
     )
-    mean_value = (F.col("sum_value") / F.col("nn_value")).cast(
-        "decimal(18,6)"
-    )
+    # double division of exact decimal/int inputs (see mean_logp note)
+    mean_value = F.col("sum_value").cast("double") / F.col("nn_value")
     stacked = agg.select(
         F.expr(
             """stack(4,
@@ -6264,7 +6267,7 @@ SELECT column_name, n_rows, n_nulls, n_distinct,
        CASE WHEN column_name = 'value' THEN min_value END AS min_value,
        CASE WHEN column_name = 'value' THEN max_value END AS max_value,
        CASE WHEN column_name = 'value'
-            THEN CAST(sum_value / nn_value AS DECIMAL(18,6)) END
+            THEN CAST(sum_value AS DOUBLE) / nn_value END
            AS mean_value
 FROM stacked
 """
@@ -6330,11 +6333,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # floor, not a bare int cast: Spark's double→int cast truncates but
-    # DuckDB's rounds; /64 itself is exact (power of two) so floor agrees
+    # DuckDB's rounds; /64 itself is exact (power of two) so floor
+    # agrees. The cap is applied HERE so the emitted w is the weight
+    # the sampler actually honors (an uncapped display weight would
+    # claim odds the capped key does not deliver).
     staged = docs.select(
         "doc_id",
         "source",
-        (F.floor(token_count_expr("text") / 64) + 1).cast("int").alias("w"),
+        F.least(
+            (F.floor(token_count_expr("text") / 64) + 1).cast("int"),
+            F.lit(8),
+        ).alias("w"),
     )
     keyed = staged.withColumn(
         "priority", weighted_sample_key_expr("doc_id", "w", max_weight=8)
@@ -6349,9 +6358,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEIGHTED_SAMPLE = r"""
 WITH staged AS (
   SELECT doc_id, source,
-         CAST(floor((CASE WHEN length(trim(lower(text))) = 0 THEN 0
+         least(CAST(floor((CASE WHEN length(trim(lower(text))) = 0 THEN 0
                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
-              / 64) + 1 AS INT) AS w
+              / 64) + 1 AS INT), 8) AS w
   FROM documents
 ),
 keyed AS (
@@ -6555,37 +6564,50 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).cast("decimal(18,6)").alias("x"),
     )
     means = staged.groupBy("event_type").agg(
-        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.sum("x").cast("decimal(20,6)").alias("sx"),
         F.count(F.lit(1)).alias("n"),
     )
-    mean = (F.col("sx") / F.col("n")).cast("decimal(18,6)")
-    w = (
+    # DIVISION-FREE deviations: S_i = P_i - i*mean, so n*S_i =
+    # n*P_i - i*sx — every term exact decimal/integer (the naive
+    # mean = sx/n is a decimal/bigint division, which DuckDB performs
+    # in DOUBLE while Spark divides exactly with HALF_UP — a
+    # half-boundary quotient would split the engines). The single
+    # division happens ONCE at the end, in double, over exact inputs.
+    wsum = (
         Window.partitionBy("event_type")
         .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wrow = Window.partitionBy("event_type").orderBy("t", "event_id")
     run = (
         staged.join(F.broadcast(means), "event_type")
-        .withColumn("dev", (F.col("x") - mean).cast("decimal(18,6)"))
+        .withColumn("p_run", F.sum("x").over(wsum).cast("decimal(20,6)"))
+        .withColumn("i", F.row_number().over(wrow).cast("decimal(9,0)"))
         .withColumn(
-            "abs_s",
-            F.abs(F.sum("dev").over(w).cast("decimal(28,6)")),
+            "abs_t",
+            F.abs(
+                F.col("p_run") * F.col("n").cast("decimal(9,0)")
+                - F.col("i") * F.col("sx")
+            ).cast("decimal(31,6)"),
         )
-        .select("event_type", "t", "n", "abs_s")
+        .select("event_type", "t", "n", "abs_t")
     )
     mx = run.groupBy("event_type").agg(
-        F.max("abs_s").alias("max_cusum"), F.max("n").alias("n")
+        F.max("abs_t").alias("max_t"), F.max("n").alias("n")
     )
     at = (
         run.join(
-            F.broadcast(mx.select("event_type", "max_cusum")), "event_type"
+            F.broadcast(mx.select("event_type", "max_t")), "event_type"
         )
-        .filter(F.col("abs_s") == F.col("max_cusum"))
+        .filter(F.col("abs_t") == F.col("max_t"))
         .groupBy("event_type")
         .agg(F.min("t").alias("t_at_max"))
     )
     return mx.join(at, "event_type").select(
-        "event_type", "n", "max_cusum", "t_at_max"
+        "event_type",
+        "n",
+        (F.col("max_t").cast("double") / F.col("n")).alias("max_cusum"),
+        "t_at_max",
     )
 
 
@@ -6596,27 +6618,34 @@ WITH staged AS (
   FROM events
 ),
 means AS (
-  SELECT event_type, CAST(sum(x) AS DECIMAL(28,6)) AS sx,
+  SELECT event_type, CAST(sum(x) AS DECIMAL(20,6)) AS sx,
          count(*) AS n
   FROM staged GROUP BY event_type
 ),
 run AS (
   SELECT s.event_type, t, n,
-         abs(CAST(SUM(CAST(x - CAST(sx / n AS DECIMAL(18,6))
-                           AS DECIMAL(18,6)))
-                  OVER (PARTITION BY s.event_type ORDER BY t, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DECIMAL(28,6))) AS abs_s
+         CAST(abs(
+           CAST(SUM(x) OVER (PARTITION BY s.event_type
+                             ORDER BY t, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DECIMAL(20,6))
+             * CAST(n AS DECIMAL(9,0))
+           - CAST(row_number() OVER (PARTITION BY s.event_type
+                                     ORDER BY t, event_id)
+                  AS DECIMAL(9,0)) * sx
+         ) AS DECIMAL(31,6)) AS abs_t
   FROM staged s JOIN means USING (event_type)
 ),
 mx AS (
-  SELECT event_type, max(abs_s) AS max_cusum, max(n) AS n
+  SELECT event_type, max(abs_t) AS max_t, max(n) AS n
   FROM run GROUP BY event_type
 )
-SELECT r.event_type, mx.n, mx.max_cusum, min(r.t) AS t_at_max
+SELECT r.event_type, mx.n,
+       CAST(mx.max_t AS DOUBLE) / mx.n AS max_cusum,
+       min(r.t) AS t_at_max
 FROM run r JOIN mx USING (event_type)
-WHERE r.abs_s = mx.max_cusum
-GROUP BY r.event_type, mx.n, mx.max_cusum
+WHERE r.abs_t = mx.max_t
+GROUP BY r.event_type, mx.n, mx.max_t
 """
 
 
@@ -6643,9 +6672,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "n_from",
-        (F.col("n").cast("decimal(18,6)") / F.col("n_from"))
-        .cast("decimal(18,6)")
-        .alias("p"),
+        # double division of exact integers (see mean_logp note)
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
 
 
@@ -6663,7 +6691,7 @@ trans AS (
 ),
 totals AS (SELECT prev_type, sum(n) AS n_from FROM trans GROUP BY prev_type)
 SELECT prev_type, event_type, n, n_from,
-       CAST(CAST(n AS DECIMAL(18,6)) / n_from AS DECIMAL(18,6)) AS p
+       CAST(n AS DOUBLE) / n_from AS p
 FROM trans JOIN totals USING (prev_type)
 """
 
@@ -6801,13 +6829,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["a", "c"],
         how="left_semi",
     )
-    per_anchor = closed.groupBy("a").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    total = closed.groupBy().agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    ).select(F.lit(None).cast("bigint").alias("a"), "n_triangles")
-    return per_anchor.unionByName(total)
+    # rollup gives per-anchor rows PLUS the NULL-anchor grand total in
+    # ONE aggregation — a union of two groupBys would re-execute the
+    # whole self-join/wedge/semi-join pipeline twice (anchor part keys
+    # are never null, so the NULL row is unambiguous)
+    return closed.rollup("a").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 ORACLE_TRIANGLE_COUNT = """

@@ -105,9 +105,11 @@ def main() -> None:
     # Outlier re-probe: single-run timings on a busy host spike 5-10×
     # on queries that are otherwise sub-second (measured: same-commit
     # driver vs builder runs in SCALING.md "Bench-environment
-    # variance"). Re-run only the spiky tail and keep the min — bounded
-    # extra wall time, much lower variance; honest queries (whose cost
-    # is real) reproduce their time and keep it.
+    # variance"). Queries whose first sample looks contaminated are
+    # RE-MEASURED once and the re-measurement replaces the sample —
+    # an independent draw, not min-of-two, so the estimator is not
+    # one-sidedly biased downward: a query whose cost is real simply
+    # reproduces its time.
     ok = sorted(t for n, t in timings.items() if n not in errors)
     if ok:
         median = ok[len(ok) // 2]
@@ -119,7 +121,7 @@ def main() -> None:
         for name in spiky:
             t2, err = run_once(name, entrymod.queries()[name])
             if not err:
-                timings[name] = min(timings[name], t2)
+                timings[name] = t2
     del total_start  # value = Σ per-query timings (re-probe excluded)
     total = round(sum(timings.values()), 2)
 
