@@ -6855,6 +6855,89 @@ SELECT CAST(NULL AS BIGINT), count(*) FROM closed
 """
 
 
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency: how many orders are
+    simultaneously OPEN (placed but not yet fully shipped) per
+    priority, at the busiest instant — the interval-overlap aggregate
+    behind capacity planning (and observation-scheduling pressure in
+    the astronomy setting).
+
+    The classic sweep: each [orderdate, last shipdate] interval
+    explodes into a (+1, start) and a (−1, end) boundary event; a
+    running sum over the time ordering is the live concurrency; its
+    max is the answer. Starts sort before ends at the same instant
+    (delta DESC), making the closed-interval semantics explicit and
+    deterministic. One shuffle on the group; everything integer-exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            # o_orderdate/l_shipdate arrive TIMESTAMP_NTZ; the cast to
+            # TIMESTAMP is exact under the engine's pinned UTC session
+            F.min(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("t0"),
+            F.max(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            ).alias("t1"),
+        )
+        .filter(F.col("t1") >= F.col("t0"))
+    )
+    events = spans.select(
+        "o_orderpriority", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            "o_orderpriority",
+            F.col("t1").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = events.withColumn("live", F.sum("delta").over(w))
+    return live.groupBy("o_orderpriority").agg(
+        F.max("live").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_orders"),
+    )
+
+
+ORACLE_MAX_CONCURRENCY = """
+WITH spans AS (
+  SELECT o_orderkey, o_orderpriority,
+         min(epoch_us(o_orderdate)) AS t0,
+         max(epoch_us(l_shipdate)) AS t1
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+  HAVING max(epoch_us(l_shipdate)) >= min(epoch_us(o_orderdate))
+),
+events AS (
+  SELECT o_orderpriority, t0 AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT o_orderpriority, t1, -1 FROM spans
+),
+live AS (
+  SELECT o_orderpriority,
+         SUM(delta) OVER (PARTITION BY o_orderpriority
+                          ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS live
+  FROM events
+)
+SELECT o_orderpriority, max(live) AS max_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_orders
+FROM live GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7003,6 +7086,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "autocorrelation": q_autocorrelation,
     "triangle_count": q_triangle_count,
+    "max_concurrency": q_max_concurrency,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7161,6 +7245,7 @@ _ORACLES: dict[str, str] = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "autocorrelation": ORACLE_AUTOCORRELATION,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "max_concurrency": ORACLE_MAX_CONCURRENCY,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
