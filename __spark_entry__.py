@@ -6938,6 +6938,49 @@ FROM live GROUP BY o_orderpriority
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve): COUNT DISTINCT over
+    a sliding window, which no engine's window functions support
+    directly — the distributed shape is the contribution explode:
+    dedup to (user, day) first (the big win: the fact table collapses
+    to at most users × days rows), then each active day contributes to
+    the 7 window-ends it falls in (constant fan-out) and one
+    groupBy(window_end) count-distinct finishes. Exact integral day
+    math; no window state anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {day_us}").alias("day"),
+        )
+        .distinct()
+    )
+    contrib = daily.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("window_end"),
+    )
+    return contrib.groupBy("window_end").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+
+
+ORACLE_ROLLING_ACTIVE_USERS = """
+WITH daily AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day + i AS window_end
+  FROM daily, UNNEST(range(0, 7)) AS t(i)
+)
+SELECT window_end, count(DISTINCT user_id) AS wau
+FROM contrib GROUP BY window_end
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7087,6 +7130,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorrelation": q_autocorrelation,
     "triangle_count": q_triangle_count,
     "max_concurrency": q_max_concurrency,
+    "rolling_active_users": q_rolling_active_users,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7246,6 +7290,7 @@ _ORACLES: dict[str, str] = {
     "autocorrelation": ORACLE_AUTOCORRELATION,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "max_concurrency": ORACLE_MAX_CONCURRENCY,
+    "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,
