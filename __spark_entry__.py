@@ -3769,14 +3769,25 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (``percentile`` is
-    JVM-exact and matches ``quantile_cont``; the scale path swaps in
-    ``percentile_approx`` — same plan shape, bounded memory)."""
+    """Percentiles per group via the size-gated exact/approx swap
+    (``archive/statistics.py:grouped_percentiles``): below 1 GB of
+    Catalyst-estimated input the exact ``percentile`` runs (matches
+    ``quantile_cont`` bit-for-bit — the driver scale); above it, the
+    3-key group would funnel EVERY value of the column into 3 unbounded
+    aggregation states, so the gate swaps in ``percentile_approx``
+    (bounded, mergeable Greenwald–Khanna state — the 100 TB path).
+    The oracle stays exact: driver scale is under the gate."""
+    from fink_broker_spark.archive.statistics import grouped_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+    return grouped_percentiles(
+        li,
+        ["l_returnflag"],
+        {
+            "p50_price": ("l_extendedprice", 0.5),
+            "p90_price": ("l_extendedprice", 0.9),
+            "p50_qty": ("l_quantity", 0.5),
+        },
     )
 
 
@@ -3996,7 +4007,7 @@ SELECT user_id,
 FROM (
   SELECT user_id,
          list(struct_pack(ts := ts, event_id := event_id, value := value)
-              ORDER BY ts, event_id) AS hist
+              ORDER BY epoch_us(ts), event_id) AS hist
   FROM events GROUP BY user_id
 )
 """
@@ -5229,9 +5240,15 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             # DuckDB divides decimals in double while Spark divides
             # exactly with HALF_UP, so a quotient on a .5 at the target
             # scale would split the engines; double division of the
-            # same exact operands is correctly rounded on both
-            (F.col("sum_logp").cast("double") / F.col("n_tokens"))
-            .alias("mean_logp"),
+            # same exact operands is correctly rounded on both.
+            # The scale-9 sum is first quantized to scale 5: a 1-ulp
+            # JVM-vs-libm ln() divergence can move one scale-9 summand
+            # by 1e-9, and the coarse quantization absorbs it (same
+            # defense as ext/retrieval.py)
+            (
+                F.round("sum_logp", 5).cast("decimal(28,5)").cast("double")
+                / F.col("n_tokens")
+            ).alias("mean_logp"),
         )
     )
     return scored.orderBy("mean_logp", "doc_id").limit(50)
@@ -5256,7 +5273,8 @@ scored AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens,
-       CAST(sum_logp AS DOUBLE) / n_tokens AS mean_logp
+       CAST(CAST(round(sum_logp, 5) AS DECIMAL(28,5)) AS DOUBLE)
+           / n_tokens AS mean_logp
 FROM scored
 ORDER BY mean_logp, doc_id
 LIMIT 50
@@ -5620,7 +5638,7 @@ WITH daily AS (
   FROM (
     SELECT user_id, ts, event_id, value,
            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                              ORDER BY ts DESC, event_id DESC) AS rn
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
     FROM events WHERE user_id < 20
   ) WHERE rn = 1
 ),
@@ -5788,8 +5806,10 @@ def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "phase_bin",
             "n",
-            (F.col("sum_value") / F.col("n"))
-            .cast("decimal(18,6)")
+            # DOUBLE division of exact operands, not DECIMAL/BIGINT:
+            # DuckDB divides decimals in double while Spark divides
+            # exactly with HALF_UP (see mean_logp note) — the r04 red
+            (F.col("sum_value").cast("double") / F.col("n"))
             .alias("mean_value"),
         )
     )
@@ -5805,7 +5825,7 @@ WITH f AS (
 )
 SELECT event_type, phase_bin, count(*) AS n,
        CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
-                 AS DECIMAL(28,6)) / count(*) AS DECIMAL(18,6))
+                 AS DECIMAL(28,6)) AS DOUBLE) / count(*)
            AS mean_value
 FROM f
 GROUP BY event_type, phase_bin
@@ -5834,7 +5854,11 @@ def q_interpolate_ephemeris(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        F.round("interp_value", 6).alias("interp_value"),
+        # raw double: the interp op tree is IDENTICAL on both sides
+        # (exact integer-µs operands → correctly-rounded IEEE ops), so
+        # the doubles are bit-equal; a terminal round(double, 6) is the
+        # engine-splitting construct the verify discipline bans
+        F.col("interp_value"),
     )
 
 
@@ -5866,13 +5890,13 @@ ann AS (
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT event_id, k AS user_id,
-       round(CASE
+       CASE
          WHEN prev_ts IS NULL THEN next_val
          WHEN next_ts IS NULL OR next_ts = prev_ts THEN prev_val
          ELSE prev_val + (next_val - prev_val)
               * (CAST(t - prev_ts AS DOUBLE)
                  / CAST(next_ts - prev_ts AS DOUBLE))
-       END, 6) AS interp_value
+       END AS interp_value
 FROM ann WHERE is_obs = 1
 """
 
@@ -6044,8 +6068,8 @@ cov AS (
   GROUP BY doc_id
 )
 SELECT doc_id, n_windows, n_dup_windows,
-       round(CAST(n_dup_windows AS DOUBLE)
-             / CAST(n_windows AS DOUBLE), 6) AS coverage
+       CAST(n_dup_windows AS DOUBLE)
+           / CAST(n_windows AS DOUBLE) AS coverage
 FROM cov
 ORDER BY coverage DESC, doc_id
 LIMIT 50
@@ -6110,8 +6134,9 @@ def q_fading_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-50. No per-key collect, no UDF; at 100 TB this is a window
     + aggregate over the same key partitioning — one shuffle total."""
     ev = load_table(spark, sf_dir, "events")
+    # symmetric µs ordering key (see q_event_transitions note)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
     )
     recent = (
         ev.select("user_id", "event_id", "ts", "value")
@@ -6149,7 +6174,8 @@ ORACLE_FADING_TREND = """
 WITH recent AS (
   SELECT user_id,
          CAST(21 - row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts DESC, event_id DESC)
+                                      ORDER BY epoch_us(ts) DESC,
+                                               event_id DESC)
               AS BIGINT) AS x,
          CAST(round(value * 1000) AS BIGINT) AS ym
   FROM events
@@ -6658,7 +6684,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator/denominator pair plus a decimal ratio (no float
     accumulation anywhere)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # symmetric ordering key: unix_micros here, epoch_us in the oracle —
+    # ordering by raw ts would lag-pair differently than a DuckDB oracle
+    # reading TIMESTAMP(NANOS) with sub-µs distinctions (the r04 red)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
     trans = (
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn("prev_type", F.lag("event_type").over(w))
@@ -6681,7 +6712,7 @@ ORACLE_EVENT_TRANSITIONS = """
 WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_type
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
   FROM events
 ),
 trans AS (
@@ -6705,7 +6736,10 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same discipline as ``regression_trend``). One shuffle on the type
     partition; the lag arms ride the same window ordering."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # symmetric µs ordering key (see q_event_transitions note)
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
     ym = F.rint(F.col("value") * 1000).cast("long")
     staged = ev.select(
         "event_type", "ts", "event_id", ym.alias("y")
@@ -6754,16 +6788,18 @@ WITH staged AS (
 ),
 pairs AS (
   SELECT event_type, 1 AS lag, y,
-         lag(y, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
-             AS y_lag
+         lag(y, 1) OVER (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id) AS y_lag
   FROM staged
   UNION ALL
   SELECT event_type, 2, y,
-         lag(y, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         lag(y, 2) OVER (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id)
   FROM staged
   UNION ALL
   SELECT event_type, 3, y,
-         lag(y, 3) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+         lag(y, 3) OVER (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id)
   FROM staged
 ),
 g AS (
@@ -6797,43 +6833,31 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle trick. Support cut bounds the edge set; all counts exact.
 
     Output: triangles per anchor node (lowest id) plus the global
-    total as anchor NULL."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    pairs = (
-        li.alias("a")
-        .join(li.alias("b"), on="l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("u", "v")
-    )
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    wedges = e1.join(
-        e2, F.col("e1.v") == F.col("e2.u")
-    ).select(
-        F.col("e1.u").alias("a"),
-        F.col("e1.v").alias("b"),
-        F.col("e2.v").alias("c"),
-    )
-    closed = wedges.join(
-        pairs.select(
-            F.col("u").alias("a"), F.col("v").alias("c")
-        ),
-        on=["a", "c"],
-        how="left_semi",
-    )
-    # rollup gives per-anchor rows PLUS the NULL-anchor grand total in
-    # ONE aggregation — a union of two groupBys would re-execute the
-    # whole self-join/wedge/semi-join pipeline twice (anchor part keys
-    # are never null, so the NULL row is unambiguous)
-    return closed.rollup("a").agg(F.count(F.lit(1)).alias("n_triangles"))
+    total as anchor NULL. Physical strategy is the size-gated
+    broadcast regime of ``ext/graph.py`` (small support-cut edge set
+    ships to every task); ``triangle_count_merge`` runs the same
+    logical query through the sort-merge regime — the 100 TB path
+    once the graph densifies."""
+    from fink_broker_spark.ext.graph import copurchase_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    return triangle_counts(edges, regime="auto")
+
+
+def q_triangle_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-merge regime of ``q_triangle_count`` (``ext/graph.py:
+    triangle_closure``): identical rows, but both closure joins run as
+    shuffled sort-merge — no broadcast of the edge set, no single-task
+    memory ceiling. This is the regime the auto gate picks once the
+    support-cut edge relation outgrows ~64 MB; registering it
+    separately keeps the scale path oracled green, plan-asserted
+    (``tests/test_ext.py``)."""
+    from fink_broker_spark.ext.graph import copurchase_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    return triangle_counts(edges, regime="merge")
 
 
 ORACLE_TRIANGLE_COUNT = """
@@ -6867,7 +6891,18 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum over the time ordering is the live concurrency; its
     max is the answer. Starts sort before ends at the same instant
     (delta DESC), making the closed-interval semantics explicit and
-    deterministic. One shuffle on the group; everything integer-exact."""
+    deterministic. Everything integer-exact.
+
+    Scale shape (SCALING.md's own prescription, wired round 5): a
+    single window per priority would funnel ~2|orders| boundary events
+    into 5 sequential partitions. Instead the sweep is CHUNKED — the
+    running sum runs inside (priority, 30-day-chunk) partitions
+    (bounded state ∝ chunk density), per-chunk delta totals are
+    prefix-summed over the tiny (priority × #chunks) relation to get
+    each chunk's carry-in, and the global max is
+    ``max(carry_in + local_max)``. Exactly equivalent: chunk id is a
+    monotone function of t, so chunk-local order concatenated in chunk
+    order IS the global sweep order."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -6878,14 +6913,11 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            # o_orderdate/l_shipdate arrive TIMESTAMP_NTZ; the cast to
-            # TIMESTAMP is exact under the engine's pinned UTC session
-            F.min(
-                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-            ).alias("t0"),
-            F.max(
-                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
-            ).alias("t1"),
+            # o_orderdate/l_shipdate are normalized to TIMESTAMP by
+            # load_table whatever the physical layout (NANOS-as-long
+            # included) — never cast a possibly-bigint column here
+            F.min(F.unix_micros(F.col("o_orderdate"))).alias("t0"),
+            F.max(F.unix_micros(F.col("l_shipdate"))).alias("t1"),
         )
         .filter(F.col("t1") >= F.col("t0"))
     )
@@ -6898,15 +6930,32 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    w = (
-        Window.partitionBy("o_orderpriority")
+    chunk_us = 30 * 86_400_000_000  # 30-day sweep chunks
+    events = events.withColumn(
+        "chunk", F.expr(f"CAST(t DIV {chunk_us} AS BIGINT)")
+    )
+    w_local = (
+        Window.partitionBy("o_orderpriority", "chunk")
         .orderBy(F.col("t"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    live = events.withColumn("live", F.sum("delta").over(w))
-    return live.groupBy("o_orderpriority").agg(
-        F.max("live").alias("max_concurrent"),
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_orders"),
+    local = events.withColumn("run", F.sum("delta").over(w_local))
+    per_chunk = local.groupBy("o_orderpriority", "chunk").agg(
+        F.max("run").alias("local_max"),
+        F.sum("delta").alias("chunk_delta"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    w_carry = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = per_chunk.withColumn(
+        "carry", F.coalesce(F.sum("chunk_delta").over(w_carry), F.lit(0))
+    )
+    return carried.groupBy("o_orderpriority").agg(
+        F.max(F.col("carry") + F.col("local_max")).alias("max_concurrent"),
+        (F.sum("n_ev") / 2).cast("bigint").alias("n_orders"),
     )
 
 
@@ -7129,6 +7178,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "autocorrelation": q_autocorrelation,
     "triangle_count": q_triangle_count,
+    "triangle_count_merge": q_triangle_count_merge,
     "max_concurrency": q_max_concurrency,
     "rolling_active_users": q_rolling_active_users,
     "line_dedup": q_line_dedup,
@@ -7289,6 +7339,8 @@ _ORACLES: dict[str, str] = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "autocorrelation": ORACLE_AUTOCORRELATION,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
+    # both physical regimes must hash-match the same oracle
+    "triangle_count_merge": ORACLE_TRIANGLE_COUNT,
     "max_concurrency": ORACLE_MAX_CONCURRENCY,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
     "line_dedup": ORACLE_LINE_DEDUP,

@@ -35,3 +35,63 @@ def nightly_statistics(
     for name, col in (sums or {}).items():
         aggs.append(F.sum(col).alias(name))
     return df.agg(*aggs)
+
+
+#: above this Catalyst size estimate the exact percentile is unsafe:
+#: with a low-cardinality group key every value funnels into a handful
+#: of unbounded aggregation buffers (the 100 TB scale-killer shape)
+EXACT_PERCENTILE_MAX_BYTES = 1 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (optimizer statistics — a
+    driver-side metadata lookup, never a scan; at 100 TB this is the
+    only affordable gate)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return -1
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    specs: Mapping[str, tuple[str, float]],
+    mode: str = "auto",
+    exact_max_bytes: int = EXACT_PERCENTILE_MAX_BYTES,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Grouped percentiles with a size-gated exact/approx swap.
+
+    ``specs``: out_name → (value_col, fraction). ``mode``:
+
+    - ``"exact"`` — Spark's ``percentile`` (interpolated, matches
+      DuckDB ``quantile_cont`` bit-for-bit). Per-group state is ALL
+      values: only sane when the input is small.
+    - ``"approx"`` — ``percentile_approx`` (Greenwald–Khanna, bounded
+      ~``accuracy`` samples per group state, mergeable map-side): the
+      100 TB path. Error ≤ 1/accuracy rank fraction.
+    - ``"auto"`` — exact below ``exact_max_bytes`` of Catalyst-estimated
+      input, approx above. Unknown stats (-1) fall back to approx —
+      at scale, unknown means "assume big".
+    """
+    if mode == "auto":
+        size = _plan_size_bytes(df)
+        mode = "exact" if 0 <= size <= exact_max_bytes else "approx"
+    if mode == "exact":
+        aggs = [
+            F.expr(f"percentile({col}, {frac!r})").alias(name)
+            for name, (col, frac) in specs.items()
+        ]
+    elif mode == "approx":
+        aggs = [
+            F.expr(
+                f"percentile_approx({col}, {frac!r}, {accuracy})"
+            ).cast("double").alias(name)
+            for name, (col, frac) in specs.items()
+        ]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -664,10 +664,14 @@ def dup_span_coverage(
             "doc_id",
             "n_windows",
             "n_dup_windows",
-            F.round(
+            # raw double ratio of exact integers: the IEEE division is
+            # correctly rounded on both engines, while a terminal
+            # round(double, 6) is the engine-splitting construct the
+            # verify discipline bans (Spark rounds the BigDecimal of
+            # the double, DuckDB rounds with float ops)
+            (
                 F.col("n_dup_windows").cast("double")
-                / F.col("n_windows").cast("double"),
-                6,
+                / F.col("n_windows").cast("double")
             ).alias("coverage"),
         )
     )

@@ -24,6 +24,10 @@ from fink_broker_spark.functions.text import tokens_expr
 
 #: round scale applied to per-token log/score terms before decimal sums
 _TERM_SCALE = 9
+#: terminal output scale: coarse enough that a 1-ulp cross-engine ln()
+#: divergence in one summand (≤1e-9 after the scale-9 round) cannot
+#: move the quantized sum except within 1e-9 of a 0.5e-5 boundary
+_OUT_SCALE = 5
 
 
 def _dec(col):
@@ -117,8 +121,21 @@ def bm25_topk(
         )
         .groupBy("doc_id")
         .agg(
-            F.sum("term_score").cast("decimal(28,9)").alias("bm25"),
+            F.sum("term_score").cast("decimal(28,9)").alias("bm25_exact"),
             F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        # terminal coarse quantization: a 1-ulp JVM-vs-libm ln()
+        # difference can straddle a 0.5e-9 boundary in ONE summand; the
+        # scale-9 sums then differ by 1e-9. Rounding the exact decimal
+        # sum to scale 5 absorbs that (decimal→decimal rounding is
+        # half-away-from-zero in both engines — probe-verified), and
+        # the top-k ranks by the coarse score with doc_id tiebreak.
+        .select(
+            "doc_id",
+            F.round("bm25_exact", _OUT_SCALE)
+            .cast(f"decimal(28,{_OUT_SCALE})")
+            .alias("bm25"),
+            "n_matched_terms",
         )
     )
     return scored.orderBy(
@@ -149,7 +166,7 @@ tf AS (
 df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 scored AS (
   SELECT tf.doc_id,
-         CAST(SUM(CAST(round(
+         CAST(round(CAST(SUM(CAST(round(
              ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
                       / (CAST(df AS DOUBLE) + 0.5))
              * (CAST(tf AS DOUBLE) * {k1 + 1.0}
@@ -157,7 +174,8 @@ scored AS (
                    + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE)
                              / (CAST(total_len AS DOUBLE)
                                 / CAST(n_docs AS DOUBLE))))),
-             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS bm25,
+             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)), {_OUT_SCALE})
+           AS DECIMAL(28,{_OUT_SCALE})) AS bm25,
          count(*) AS n_matched_terms
   FROM tf JOIN df_t USING (token) JOIN doclen USING (doc_id), corpus
   GROUP BY tf.doc_id
@@ -230,8 +248,17 @@ def dsir_importance(
         .select("doc_id", _dec(logratio).alias("lr"))
         .groupBy("doc_id")
         .agg(
-            F.sum("lr").cast("decimal(28,9)").alias("importance"),
+            F.sum("lr").cast("decimal(28,9)").alias("imp_exact"),
             F.count(F.lit(1)).alias("n_tokens"),
+        )
+        # terminal coarse quantization against 1-ulp ln() divergence —
+        # same defense as bm25_topk above
+        .select(
+            "doc_id",
+            F.round("imp_exact", _OUT_SCALE)
+            .cast(f"decimal(28,{_OUT_SCALE})")
+            .alias("importance"),
+            "n_tokens",
         )
     )
     return scored.orderBy(
@@ -261,12 +288,13 @@ totals AS (
 ),
 scored AS (
   SELECT tok.doc_id,
-         CAST(SUM(CAST(round(
+         CAST(round(CAST(SUM(CAST(round(
              ln((CAST(n_tgt AS DOUBLE) + {alpha})
                 / (CAST(t_tgt AS DOUBLE) + {alpha} * CAST(vocab AS DOUBLE)))
              - ln((CAST(n_raw AS DOUBLE) + {alpha})
                   / (CAST(t_raw AS DOUBLE) + {alpha} * CAST(vocab AS DOUBLE))),
-             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS importance,
+             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)), {_OUT_SCALE})
+           AS DECIMAL(28,{_OUT_SCALE})) AS importance,
          count(*) AS n_tokens
   FROM tok JOIN counts USING (token), totals
   WHERE NOT is_target

@@ -47,20 +47,60 @@ def scan_parquet(
     return reader.parquet(path)
 
 
+#: Per-path cache of parquet-footer timestamp columns: (name, unit) pairs.
+_TS_COLS_CACHE: dict[str, tuple[tuple[str, str], ...]] = {}
+
+
+def _timestamp_columns(path: str) -> tuple[tuple[str, str], ...]:
+    """``(column, unit)`` pairs for the parquet timestamp columns of
+    ``path``, read from ONE footer (driver-side, cached — at 100 TB this
+    is a single small metadata read, not a data scan).
+
+    Needed because the engine pins ``nanosAsLong``: a TIMESTAMP(NANOS)
+    column arrives in Spark as a bare ``bigint``, indistinguishable from
+    a genuine integer column without the footer's logical-type metadata.
+    """
+    cached = _TS_COLS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    out: list[tuple[str, str]] = []
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        for field in schema:
+            if pa.types.is_timestamp(field.type):
+                out.append((field.name, field.type.unit))
+    except Exception:
+        # no pyarrow / exotic layout: fall back to dtype-only handling
+        pass
+    _TS_COLS_CACHE[path] = tuple(out)
+    return _TS_COLS_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic-lake table, normalizing types.
 
-    ``events.ts`` has shipped in two physical layouts: parquet
-    TIMESTAMP(NANOS) (arrives as long under the engine's ``nanosAsLong``
-    conf) and TIMESTAMP(MICROS) (arrives as ``timestamp_ntz``). Both are
-    normalized to the same logical pair: ``ts`` as a proper UTC
-    microsecond timestamp plus ``ts_ns`` as long nanoseconds-since-epoch,
-    so every downstream query sees one schema regardless of the writer.
+    The lake's timestamp columns have shipped in two physical layouts:
+    parquet TIMESTAMP(NANOS) (arrives as long under the engine's
+    ``nanosAsLong`` conf) and TIMESTAMP(MICROS) (arrives as
+    ``timestamp_ntz``). EVERY timestamp column of EVERY table — not just
+    ``events.ts`` — is normalized to a proper UTC microsecond timestamp
+    (truncating ns → µs toward zero, exactly what DuckDB's ``epoch_us``
+    sees), so downstream queries get one schema regardless of the
+    writer. ``events`` additionally exposes ``ts_ns`` (long
+    nanoseconds-since-epoch) for the nanos-facing query surface.
     """
     configure_session(spark)
-    df = scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = scan_parquet(spark, path)
+    from pyspark.sql import functions as F
+
+    footer_ts = dict(_timestamp_columns(path))
+    dtypes = dict(df.dtypes)
     if name == "events":
-        dt = dict(df.dtypes).get("ts")
+        dt = dtypes.pop("ts", None)
         if dt == "bigint":
             df = df.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts", nanos_to_timestamp("ts_ns")
@@ -69,8 +109,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # timestamp / timestamp_ntz micros: session tz is UTC so the
             # cast is an identity on the stored value; ts_ns is exact
             # (micros * 1000) for the nanos-facing query surface
-            from pyspark.sql import functions as F
-
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             # same column order the nanos layout yields: event_id, ts_ns,
             # payload..., ts — one stable schema for both writers
@@ -80,6 +118,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 *[c for c in df.columns if c not in ("event_id", "ts")],
                 "ts",
             )
+    for col, dt in dtypes.items():
+        if dt == "bigint" and footer_ts.get(col) == "ns":
+            # TIMESTAMP(NANOS) read as long under nanosAsLong: a naive
+            # cast("timestamp") would reinterpret nanoseconds as SECONDS
+            df = df.withColumn(col, nanos_to_timestamp(col))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fink_broker_spark.core.time import (
     jd_expr,
@@ -406,3 +407,59 @@ def test_dup_span_coverage_shared_vs_unique(spark):
     assert out[1].n_windows == 3 and out[1].n_dup_windows == 1
     assert out[2].n_windows == 3 and out[2].n_dup_windows == 1
     assert out[3].n_dup_windows == 0 and out[3].coverage == 0.0
+
+
+def test_triangle_regimes_agree_and_plan_differs(spark):
+    """Both physical regimes of the triangle closure return identical
+    rows; the broadcast regime's plan broadcasts the edge set while the
+    merge regime runs shuffled sort-merge joins (the 100 TB path)."""
+    from fink_broker_spark.ext.graph import triangle_closure, triangle_counts
+
+    edges = spark.createDataFrame(
+        # two triangles (1,2,3) and (2,3,4), plus a dangling edge
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 9)],
+        "u long, v long",
+    )
+    rows_b = sorted(map(tuple, triangle_closure(edges, "broadcast").collect()))
+    rows_m = sorted(map(tuple, triangle_closure(edges, "merge").collect()))
+    assert rows_b == rows_m == [(1, 2, 3), (2, 3, 4)]
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(triangle_closure(edges, "broadcast"))
+    merge_plan = plan(triangle_closure(edges, "merge"))
+    assert "SortMergeJoin" in merge_plan
+    assert "BroadcastHashJoin" not in merge_plan
+    # counts rollup: per-anchor rows + NULL grand total
+    counts = {
+        r.a: r.n_triangles for r in triangle_counts(edges, "merge").collect()
+    }
+    assert counts == {1: 1, 2: 1, None: 2}
+
+
+def test_grouped_percentiles_size_gate(spark):
+    """The auto gate picks exact below the byte threshold and swaps to
+    percentile_approx above it (bounded, mergeable per-group state);
+    both paths agree on this input within sketch accuracy."""
+    from fink_broker_spark.archive.statistics import grouped_percentiles
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("x")
+    )
+    specs = {"p50": ("x", 0.5), "p90": ("x", 0.9)}
+    exact = grouped_percentiles(df, ["g"], specs, mode="auto",
+                                exact_max_bytes=1 << 40)
+    approx = grouped_percentiles(df, ["g"], specs, mode="auto",
+                                 exact_max_bytes=1)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    assert "percentile_approx" not in plan(exact).lower()
+    assert "percentile_approx" in plan(approx).lower()
+    e = {r.g: (r.p50, r.p90) for r in exact.collect()}
+    a = {r.g: (r.p50, r.p90) for r in approx.collect()}
+    for g in e:
+        assert a[g][0] == pytest.approx(e[g][0], abs=2.0)
+        assert a[g][1] == pytest.approx(e[g][1], abs=2.0)

@@ -36,7 +36,8 @@ def test_bm25_hand_computed_score(spark):
     # N=2, df=1, dl=2, avgdl=2, tf=1, k1=1.2, b=0.75
     idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
     tf_term = 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 2 / 2))
-    assert out[1] == pytest.approx(round(idf * tf_term, 9), abs=1e-9)
+    # scores quantize to scale 5 terminally (cross-engine ln defense)
+    assert out[1] == pytest.approx(idf * tf_term, abs=1e-5)
     assert 2 not in out
 
 
