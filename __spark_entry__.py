@@ -2256,8 +2256,13 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return qualifying.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(_dec("l_extendedprice")) / F.lit(7), 2)
-        .cast("double")
+        # round the exact sum FIRST, divide in double: Spark divides
+        # decimals exactly (HALF_UP) while DuckDB divides in double, so
+        # a sum/7 quotient landing on a half at scale 2 would split the
+        # engines; double division of the scale-2 sum is correctly
+        # rounded on both
+        (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double")
+         / F.lit(7.0))
         .alias("avg_yearly"),
     )
 
@@ -2269,8 +2274,8 @@ WITH pa AS (
   FROM lineitem GROUP BY 1
 )
 SELECT COUNT(*) AS n_lines,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9))) / 7, 2)
-            AS DOUBLE) AS avg_yearly
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9))), 2)
+            AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
 JOIN pa ON l.l_partkey = pa.pk
@@ -4484,9 +4489,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
+            # round the scale-18 sums to scale 2 before the double
+            # cast (wide-decimal → double double-rounds in DuckDB —
+            # see q_promo_revenue)
             (
-                F.col("nat_vol").cast("double")
-                / F.col("tot_vol").cast("double")
+                F.round("nat_vol", 2).cast("double")
+                / F.round("tot_vol", 2).cast("double")
             ).alias("mkt_share"),
         )
     )
@@ -4511,9 +4519,9 @@ WITH joined AS (
   JOIN nation sn ON s_nationkey = sn.n_nationkey
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
-                     ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
-         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+       CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                     ELSE CAST(0 AS DECIMAL(18,9)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS mkt_share
 FROM joined GROUP BY o_year
 """
 
@@ -4538,10 +4546,14 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
-    price_c = F.rint(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.rint(F.col("l_discount") * 100).cast("long")
-    retail_c = F.rint(F.col("p_retailprice") * 100).cast("long")
-    qty = F.rint(F.col("l_quantity")).cast("long")
+    # floor(x + 0.5), NOT rint: rint is half-EVEN while DuckDB round is
+    # half-away, so a price/qty sitting exactly on a .5 splits engines;
+    # the identical floor(+0.5) IEEE tree on both sides is
+    # convention-free (driftlab 'boundary' layout regression)
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    retail_c = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -4572,10 +4584,10 @@ ORACLE_PRODUCT_PROFIT = """
 WITH joined AS (
   SELECT n_name AS nation,
          EXTRACT(year FROM o_orderdate) AS o_year,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
-           (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4,
-         CAST(ROUND(p_retailprice * 100) AS BIGINT) *
-           CAST(ROUND(l_quantity) AS BIGINT) AS cost_c
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) *
+           (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) *
+           CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS cost_c
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
   JOIN orders ON l_orderkey = o_orderkey
@@ -4747,23 +4759,29 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vol).alias("total"),
         )
         .select(
+            # round the scale-18 sums to scale 2 BEFORE the double
+            # cast: a wide-decimal → double conversion is correctly
+            # rounded in Spark but double-rounds through (double)int128
+            # / 10^18 in DuckDB — at scale 2 the unscaled value fits a
+            # double exactly and both engines convert identically
+            # (driftlab 'boundary' layout regression)
             (
                 F.lit(100.0)
-                * F.col("promo").cast("double")
-                / F.col("total").cast("double")
+                * F.round("promo", 2).cast("double")
+                / F.round("total", 2).cast("double")
             ).alias("promo_pct")
         )
     )
 
 
 ORACLE_PROMO_REVENUE = """
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
          THEN CAST(l_extendedprice AS DECIMAL(18,9)) *
               (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))
-         ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
+         ELSE CAST(0 AS DECIMAL(18,9)) END), 2) AS DOUBLE)
+       / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,9)) *
               (CAST(1.0 AS DECIMAL(18,9)) - CAST(l_discount AS DECIMAL(18,9)))
-         ) AS DOUBLE) AS promo_pct
+         ), 2) AS DOUBLE) AS promo_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -5446,8 +5464,10 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.rint(F.col("l_extendedprice") * 100).cast("long")
-    qty = F.rint(F.col("l_quantity")).cast("long")
+    # floor(x + 0.5), not rint: convention-free on .5 ties (see
+    # q_product_profit note); the UDAF uses the same tree internally
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     keys = ["l_returnflag", "l_linestatus"]
     # API constraint worth pinning: GROUPED_AGG pandas UDFs cannot share
     # an agg(...) with non-pandas aggregates (INVALID_PANDAS_UDF_PLACEMENT)
@@ -5474,8 +5494,8 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GROUPED_AGG_UDAF = """
 WITH t AS (
   SELECT l_returnflag, l_linestatus,
-         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
-         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
          CAST(epoch(l_shipdate) AS BIGINT) AS ep
   FROM lineitem
 )
@@ -5688,7 +5708,7 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact int64 and every moment sum is exact integer arithmetic;
     # products go through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so
     # nothing overflows or rounds before the final double conversion
-    ym = F.rint(F.col("value") * 1000).cast("long")
+    ym = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
     g = (
         ev.select(F.col("event_type"), x.alias("x"), ym.alias("ym"))
         .groupBy("event_type")
@@ -5728,7 +5748,7 @@ ORACLE_REGRESSION_TREND = """
 WITH t AS (
   SELECT event_type,
          CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS x,
-         CAST(ROUND(value * 1000) AS BIGINT) AS ym
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS ym
   FROM events
 ),
 g AS (
@@ -5798,8 +5818,14 @@ def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded.groupBy("event_type", "phase_bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round("value", 6).cast("decimal(18,6)"))
-            .cast("decimal(28,6)")
+            # scale-9 summand round: rounding a double AT the scale
+            # where the data can sit on halves (scale 6 for generator-
+            # quantized values) splits engines — Spark rounds the exact
+            # binary expansion, DuckDB rounds with float ops. Three
+            # guard digits put the decision point far from the data's
+            # half-boundaries (driftlab 'boundary' layout regression)
+            F.sum(F.round("value", 9).cast("decimal(18,9)"))
+            .cast("decimal(28,9)")
             .alias("sum_value"),
         )
         .select(
@@ -5808,8 +5834,10 @@ def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             # DOUBLE division of exact operands, not DECIMAL/BIGINT:
             # DuckDB divides decimals in double while Spark divides
-            # exactly with HALF_UP (see mean_logp note) — the r04 red
-            (F.col("sum_value").cast("double") / F.col("n"))
+            # exactly with HALF_UP (see mean_logp note) — the r04 red.
+            # Scale-2 round first: wide-decimal → double double-rounds
+            # in DuckDB once the unscaled value outgrows 2^53
+            (F.round("sum_value", 2).cast("double") / F.col("n"))
             .alias("mean_value"),
         )
     )
@@ -5824,8 +5852,8 @@ WITH f AS (
   FROM events
 )
 SELECT event_type, phase_bin, count(*) AS n,
-       CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
-                 AS DECIMAL(28,6)) AS DOUBLE) / count(*)
+       CAST(ROUND(CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                 AS DECIMAL(28,9)), 2) AS DOUBLE) / count(*)
            AS mean_value
 FROM f
 GROUP BY event_type, phase_bin
@@ -6145,7 +6173,7 @@ def q_fading_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (F.lit(21) - F.col("rn")).cast("long").alias("x"),
-            F.rint(F.col("value") * 1000).cast("long").alias("ym"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("ym"),
         )
     )
     g = recent.groupBy("user_id").agg(
@@ -6177,7 +6205,7 @@ WITH recent AS (
                                       ORDER BY epoch_us(ts) DESC,
                                                event_id DESC)
               AS BIGINT) AS x,
-         CAST(round(value * 1000) AS BIGINT) AS ym
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS ym
   FROM events
   QUALIFY x >= 1
 ),
@@ -6220,12 +6248,17 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_type").alias("d_event_type"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.sum(F.round("value", 6).cast("decimal(18,6)"))
-        .cast("decimal(28,6)")
+        # scale-9 summand round (3 guard digits — see q_phase_fold)
+        F.sum(F.round("value", 9).cast("decimal(18,9)"))
+        .cast("decimal(28,9)")
         .alias("sum_value"),
     )
-    # double division of exact decimal/int inputs (see mean_logp note)
-    mean_value = F.col("sum_value").cast("double") / F.col("nn_value")
+    # round the scale-9 sum to scale 2 first (wide-decimal → double
+    # double-rounds in DuckDB once the unscaled value outgrows 2^53 —
+    # see q_promo_revenue), then double division of exact operands
+    mean_value = (
+        F.round("sum_value", 2).cast("double") / F.col("nn_value")
+    )
     stacked = agg.select(
         F.expr(
             """stack(4,
@@ -6269,8 +6302,8 @@ WITH agg AS (
          count(DISTINCT event_type) AS d_event_type,
          min(value) AS min_value,
          max(value) AS max_value,
-         CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
-              AS DECIMAL(28,6)) AS sum_value
+         CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+              AS DECIMAL(28,9)) AS sum_value
   FROM events
 ),
 stacked AS (
@@ -6293,7 +6326,7 @@ SELECT column_name, n_rows, n_nulls, n_distinct,
        CASE WHEN column_name = 'value' THEN min_value END AS min_value,
        CASE WHEN column_name = 'value' THEN max_value END AS max_value,
        CASE WHEN column_name = 'value'
-            THEN CAST(sum_value AS DOUBLE) / nn_value END
+            THEN CAST(ROUND(sum_value, 2) AS DOUBLE) / nn_value END
            AS mean_value
 FROM stacked
 """
@@ -6587,10 +6620,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(F.col("ts")).alias("t"),
         "event_id",
-        F.round("value", 6).cast("decimal(18,6)").alias("x"),
+        # scale-9 summand round (3 guard digits — see q_phase_fold)
+        F.round("value", 9).cast("decimal(18,9)").alias("x"),
     )
     means = staged.groupBy("event_type").agg(
-        F.sum("x").cast("decimal(20,6)").alias("sx"),
+        F.sum("x").cast("decimal(24,9)").alias("sx"),
         F.count(F.lit(1)).alias("n"),
     )
     # DIVISION-FREE deviations: S_i = P_i - i*mean, so n*S_i =
@@ -6607,14 +6641,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrow = Window.partitionBy("event_type").orderBy("t", "event_id")
     run = (
         staged.join(F.broadcast(means), "event_type")
-        .withColumn("p_run", F.sum("x").over(wsum).cast("decimal(20,6)"))
+        .withColumn("p_run", F.sum("x").over(wsum).cast("decimal(24,9)"))
         .withColumn("i", F.row_number().over(wrow).cast("decimal(9,0)"))
         .withColumn(
             "abs_t",
             F.abs(
                 F.col("p_run") * F.col("n").cast("decimal(9,0)")
                 - F.col("i") * F.col("sx")
-            ).cast("decimal(31,6)"),
+            ).cast("decimal(35,9)"),
         )
         .select("event_type", "t", "n", "abs_t")
     )
@@ -6632,7 +6666,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.join(at, "event_type").select(
         "event_type",
         "n",
-        (F.col("max_t").cast("double") / F.col("n")).alias("max_cusum"),
+        # scale-2 round before the double cast: max_t is DECIMAL(35,9)
+        # whose unscaled value outgrows 2^53 (see q_promo_revenue)
+        (F.round("max_t", 2).cast("double") / F.col("n")).alias(
+            "max_cusum"
+        ),
         "t_at_max",
     )
 
@@ -6640,11 +6678,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUSUM_CHANGEPOINT = """
 WITH staged AS (
   SELECT event_type, epoch_us(ts) AS t, event_id,
-         CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+         CAST(round(value, 9) AS DECIMAL(18,9)) AS x
   FROM events
 ),
 means AS (
-  SELECT event_type, CAST(sum(x) AS DECIMAL(20,6)) AS sx,
+  SELECT event_type, CAST(sum(x) AS DECIMAL(24,9)) AS sx,
          count(*) AS n
   FROM staged GROUP BY event_type
 ),
@@ -6654,12 +6692,12 @@ run AS (
            CAST(SUM(x) OVER (PARTITION BY s.event_type
                              ORDER BY t, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS DECIMAL(20,6))
+                               AND CURRENT ROW) AS DECIMAL(24,9))
              * CAST(n AS DECIMAL(9,0))
            - CAST(row_number() OVER (PARTITION BY s.event_type
                                      ORDER BY t, event_id)
                   AS DECIMAL(9,0)) * sx
-         ) AS DECIMAL(31,6)) AS abs_t
+         ) AS DECIMAL(35,9)) AS abs_t
   FROM staged s JOIN means USING (event_type)
 ),
 mx AS (
@@ -6667,7 +6705,7 @@ mx AS (
   FROM run GROUP BY event_type
 )
 SELECT r.event_type, mx.n,
-       CAST(mx.max_t AS DOUBLE) / mx.n AS max_cusum,
+       CAST(ROUND(mx.max_t, 2) AS DOUBLE) / mx.n AS max_cusum,
        min(r.t) AS t_at_max
 FROM run r JOIN mx USING (event_type)
 WHERE r.abs_t = mx.max_t
@@ -6740,7 +6778,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(
         F.unix_micros("ts"), "event_id"
     )
-    ym = F.rint(F.col("value") * 1000).cast("long")
+    ym = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
     staged = ev.select(
         "event_type", "ts", "event_id", ym.alias("y")
     )
@@ -6783,7 +6821,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_AUTOCORRELATION = """
 WITH staged AS (
   SELECT event_type, ts, event_id,
-         CAST(round(value * 1000) AS BIGINT) AS y
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS y
   FROM events
 ),
 pairs AS (

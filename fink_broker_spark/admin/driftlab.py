@@ -1,0 +1,277 @@
+"""Driver-drift reproduction harness.
+
+Round 4 proved a blind spot: every query passed the repo's parity suite
+on the COMMITTED testdata, yet the external driver — which regenerates
+the synthetic lake between rounds (and may run a different DuckDB
+build) — found five value mismatches. The committed-data-only loop
+cannot see physical-layout drift. This module closes that gap:
+
+1. **Variant generation** — rewrite a source lake into adversarial
+   physical variants, deterministic per ``(seed, layout)``:
+
+   - ``micros``   — byte-faithful rewrite (control: the committed layout)
+   - ``nanos``    — every timestamp column becomes parquet
+     TIMESTAMP(NANOS) with seeded sub-microsecond jitter (truncates
+     away at µs, so a correctly-normalizing engine returns identical
+     results; an engine that casts the nanosAsLong BIGINT arrival
+     reinterprets ns as seconds — the exact r04 ``max_concurrency``
+     failure). Documents' text gains unicode/odd-whitespace suffixes
+     on a seeded subset of rows (tokenizer-regex parity stress).
+   - ``boundary`` — float ``value``/price columns snapped onto
+     rounding half-boundaries at the scales the queries round at
+     (``x.xxxxx5`` at scale 6 and exact ``.5`` halves): any
+     terminal-ROUND-of-double or decimal-division construct that
+     differs between engines lights up (the r04 ``phase_fold``
+     class).
+
+2. **Parity sweep** — the same repr-hash compare the external driver
+   runs (vanilla SparkSession vs DuckDB views), pointed at a variant
+   directory, over all registered queries or a subset.
+
+CLI::
+
+    python -m fink_broker_spark.admin.driftlab \
+        --sf /root/testdata/sf0.001 --out /tmp/driftlab \
+        --seeds 1 2 3 --layouts nanos boundary [--queries a,b,c]
+
+Exit code 0 iff every (seed, layout, query) cell matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+LAKE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: queries whose oracle pins an absolute committed-testdata path — they
+#: cannot be checked against a relocated variant lake
+PATH_PINNED = frozenset({"file_provenance"})
+
+#: unicode / odd-whitespace suffixes appended to a seeded subset of
+#: document texts in the ``nanos`` layout (NBSP, combining marks, CJK,
+#: tabs/multi-space — the characters tokenizer regexes disagree on
+#: first)
+_TEXT_SUFFIXES = (
+    " café naïve",
+    "\t tabbed\t twice ",
+    "  nbsp bound ",
+    " 日本語 αβγ",
+    "  double  spaced  ",
+)
+
+
+def _rng_ints(seed: int, tag: str, n: int, mod: int):
+    """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
+    variant content depends only on (seed, tag, row index)."""
+    import numpy as np
+
+    h = int.from_bytes(
+        hashlib.md5(f"{seed}:{tag}".encode()).digest()[:8], "big"
+    )
+    rs = np.random.RandomState(h % (2**32))
+    return rs.randint(0, mod, size=n)
+
+
+def generate_variant(
+    src_sf_dir: str, out_dir: str, seed: int, layout: str
+) -> str:
+    """Write the variant lake for ``(seed, layout)``; returns its dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dest = os.path.join(out_dir, f"seed{seed}_{layout}")
+    os.makedirs(dest, exist_ok=True)
+    for name in LAKE_TABLES:
+        t = pq.read_table(os.path.join(src_sf_dir, f"{name}.parquet"))
+        cols = {}
+        for field in t.schema:
+            col = t.column(field.name)
+            if layout == "nanos" and pa.types.is_timestamp(field.type):
+                us = col.cast(pa.timestamp("us")).cast(pa.int64())
+                jit = pa.array(
+                    _rng_ints(seed, f"{name}.{field.name}", len(t), 1000),
+                    type=pa.int64(),
+                )
+                ns = pc.add(pc.multiply(us, pa.scalar(1000)), jit)
+                cols[field.name] = ns.cast(pa.timestamp("ns"))
+            elif (
+                layout == "nanos"
+                and name == "documents"
+                and field.name == "text"
+            ):
+                # unicode/whitespace stress on ~20% of rows
+                pick = _rng_ints(seed, "textpick", len(t), 5)
+                texts = col.to_pylist()
+                texts = [
+                    (
+                        x + _TEXT_SUFFIXES[i % len(_TEXT_SUFFIXES)]
+                        if x is not None and pick[i] == 0
+                        else x
+                    )
+                    for i, x in enumerate(texts)
+                ]
+                cols[field.name] = pa.array(texts, type=field.type)
+            elif (
+                layout == "boundary"
+                and pa.types.is_float64(field.type)
+            ):
+                # snap onto rounding half-boundaries: 1/3 of rows to
+                # x.xxxxx5 (scale-6 half), 1/3 to exact .5 halves,
+                # rest unchanged
+                pick = _rng_ints(seed, f"bpick.{name}.{field.name}", len(t), 3)
+                v = col.to_numpy(zero_copy_only=False).copy()
+                finite = np.isfinite(v)
+                sel6 = (pick == 0) & finite
+                v[sel6] = np.round(v[sel6], 5) + 5e-7
+                sel5 = (pick == 1) & finite
+                v[sel5] = np.floor(v[sel5]) + 0.5
+                cols[field.name] = pa.array(v, type=field.type)
+            else:
+                cols[field.name] = col
+        out = pa.table(
+            {n: cols[n] for n in t.schema.names},
+            schema=pa.schema(
+                [
+                    pa.field(f.name, cols[f.name].type, f.nullable)
+                    for f in t.schema
+                ]
+            ),
+        )
+        pq.write_table(
+            out, os.path.join(dest, f"{name}.parquet"), version="2.6"
+        )
+    return dest
+
+
+def _canon_hash(rows, cols) -> str:
+    """The external driver's repr-hash: column-name-sorted tuples,
+    row-sorted reprs, md5."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    m = hashlib.md5()
+    for r in sorted(tuple(repr(r[i]) for i in idx) for r in rows):
+        m.update(repr(r).encode())
+    return m.hexdigest()
+
+
+def run_parity(
+    sf_dir: str,
+    query_names=None,
+    spark=None,
+    entry_module=None,
+) -> dict[str, str]:
+    """Driver-sim parity sweep over ``sf_dir``.
+
+    Returns name → ``"ok"`` | ``"MISMATCH"`` | ``"rows-only:N"`` |
+    ``"error: ..."``. Pass ``query_names`` to restrict; path-pinned
+    queries are always skipped.
+    """
+    import duckdb
+
+    if entry_module is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import __spark_entry__ as entry_module
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in LAKE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries = entry_module.queries()
+    oracles = entry_module.oracle_sql()
+    names = list(query_names) if query_names else list(queries)
+    results: dict[str, str] = {}
+    for name in names:
+        if name in PATH_PINNED:
+            continue
+        try:
+            df = queries[name](spark, sf_dir)
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001 — harness must report, not die
+            results[name] = f"error: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        sql = oracles.get(name)
+        if not sql:
+            results[name] = f"rows-only:{len(srows)}"
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"error: oracle: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        ok = _canon_hash(srows, df.columns) == _canon_hash(drows, dcols)
+        results[name] = "ok" if ok else "MISMATCH"
+    return results
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--sf", default="/root/testdata/sf0.001")
+    p.add_argument("--out", default="/tmp/driftlab")
+    p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
+    p.add_argument(
+        "--layouts", nargs="+", default=["nanos", "boundary"],
+        choices=["micros", "nanos", "boundary"],
+    )
+    p.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset (default: every registered query)",
+    )
+    args = p.parse_args(argv)
+    subset = args.queries.split(",") if args.queries else None
+    bad = 0
+    for seed in args.seeds:
+        for layout in args.layouts:
+            dest = generate_variant(args.sf, args.out, seed, layout)
+            res = run_parity(dest, subset)
+            n_ok = sum(v == "ok" for v in res.values())
+            n_ro = sum(v.startswith("rows-only") for v in res.values())
+            issues = {
+                k: v
+                for k, v in res.items()
+                if v != "ok" and not v.startswith("rows-only")
+            }
+            print(
+                f"[seed={seed} layout={layout}] ok={n_ok} "
+                f"rows-only={n_ro} issues={len(issues)}"
+            )
+            for k, v in issues.items():
+                print(f"  {k}: {v}")
+                bad += 1
+    print("DRIFTLAB:", "CLEAN" if bad == 0 else f"{bad} ISSUES")
+    return 0 if bad == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,13 +35,16 @@ from pyspark.sql.functions import pandas_udf
 def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
     """Quantity-weighted mean price, exact-integer inside.
 
-    ``price`` carries 2-decimal currency values; ``np.rint`` recovers
-    the exact cent integer (float error is ~1e-10 off any .5 tie, and
-    rint's half-even matches the oracle's cast rounding for the
-    integer-valued quantities).
+    ``price`` carries 2-decimal currency values; ``floor(x + 0.5)``
+    recovers the cent integer through the SAME IEEE tree the oracle
+    uses — convention-free on .5 ties, unlike rint (half-even) vs
+    DuckDB round (half-away), which split engines when a value sits
+    exactly on a half (driftlab 'boundary' layout regression).
     """
-    cents = np.rint(price.to_numpy(dtype="float64") * 100.0).astype("int64")
-    q = np.rint(qty.to_numpy(dtype="float64")).astype("int64")
+    cents = np.floor(
+        price.to_numpy(dtype="float64") * 100.0 + 0.5
+    ).astype("int64")
+    q = np.floor(qty.to_numpy(dtype="float64") + 0.5).astype("int64")
     den = int(q.sum()) * 100
     if den == 0:
         return float("nan")
