@@ -160,7 +160,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1995-03-15'
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+ORDER BY revenue DESC, epoch_us(o_orderdate) ASC, l_orderkey ASC
 LIMIT 10
 """
 
@@ -3236,10 +3236,12 @@ WITH o AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_order_key
   FROM orders GROUP BY 1, 2
 )
-SELECT e.event_id, e.user_id, e.ts,
-       o.o_orderdate AS last_order_date, o.last_order_key
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       CAST(o.o_orderdate AS TIMESTAMP) AS last_order_date,
+       o.last_order_key
 FROM events e
-ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey
+  AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
 """
 
 

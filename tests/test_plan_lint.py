@@ -92,3 +92,45 @@ def test_linter_catches_each_smell(spark):
     assert not lint_plan(topk)
     local_sorted = big_a.repartitionByRange(4, "a").sortWithinPartitions("a")
     assert not lint_plan(local_sorted)
+
+
+#: raw timestamp columns of the lake: ordering on these in an oracle is
+#: a latent red once the driver regenerates TIMESTAMP(NANOS) parquet —
+#: DuckDB would order by nanoseconds while the Spark side orders by the
+#: load_table-normalized microseconds. Order by epoch_us(col) instead.
+_RAW_TS_COLS = (
+    "ts",
+    "o_orderdate",
+    "l_shipdate",
+    "l_commitdate",
+    "l_receiptdate",
+)
+
+
+def test_oracles_never_order_by_raw_timestamps():
+    """Every ORDER BY in every oracle (window or terminal) must use
+    epoch_us(<ts>) — never the bare timestamp column. r04's
+    event_transitions red was exactly this asymmetry; this lint makes
+    the sweep permanent."""
+    import re
+
+    bad: list[str] = []
+    for name, sql in entrymod.oracle_sql().items():
+        for m in re.finditer(r"ORDER\s+BY", sql, re.IGNORECASE):
+            clause = sql[m.end() : m.end() + 200]
+            # epoch_us(ts) etc. vanish with their parens; what remains
+            # exposes any BARE timestamp column in the ordering
+            flat = re.sub(r"\w+\s*\([^()]*\)", "", clause)
+            # stop at clause terminators so trailing SELECT text in the
+            # 200-char window cannot false-positive
+            flat = re.split(
+                r"\bROWS\b|\bRANGE\b|\bLIMIT\b|\)|\n\s*\n", flat
+            )[0]
+            for col in _RAW_TS_COLS:
+                if re.search(rf"(^|[\s,(.]){col}\b", flat):
+                    bad.append(f"{name}: ORDER BY …{clause[:60]!r}")
+                    break
+    assert not bad, (
+        "oracles ordering by a raw timestamp column (use epoch_us): "
+        + "; ".join(bad)
+    )
