@@ -3233,15 +3233,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ASOF_JOIN = """
 WITH o AS (
-  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_order_key
+  -- group at MICROSECOND granularity, matching the Spark side's
+  -- load_table-normalized o_orderdate: grouping on the raw (possibly
+  -- nanosecond) timestamp would keep sub-µs-distinct duplicates as
+  -- separate rows whose epoch_us ties make the ASOF pick arbitrary
+  SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+         MAX(o_orderkey) AS last_order_key
   FROM orders GROUP BY 1, 2
 )
 SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-       CAST(o.o_orderdate AS TIMESTAMP) AS last_order_date,
+       make_timestamp(o.od_us) AS last_order_date,
        o.last_order_key
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey
-  AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+  AND o.od_us <= epoch_us(e.ts)
 """
 
 
@@ -5869,8 +5874,11 @@ def q_interpolate_ephemeris(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated at its exact timestamp, per user. Union+window plan:
     ONE shuffle on the key, no join, O(1) window state per row (the
     running bracketing sample), clamped (not extrapolated) outside the
-    reference range. Per-row double interpolation is order-free;
-    rounded to 6 decimals for the hash."""
+    reference range. Per-row double interpolation is order-free; the
+    hash compares the RAW double (driftlab boundary-layout evidence:
+    a terminal decimal(18,6) cast splits engines when a clamped row
+    returns an endpoint sitting on a scale-6 half — Spark rounds the
+    exact binary expansion HALF_UP, DuckDB rounds with float ops)."""
     from fink_broker_spark.operators.timeseries import interpolate_at
 
     ev = load_table(spark, sf_dir, "events")
@@ -5886,8 +5894,10 @@ def q_interpolate_ephemeris(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         # raw double: the interp op tree is IDENTICAL on both sides
         # (exact integer-µs operands → correctly-rounded IEEE ops), so
-        # the doubles are bit-equal; a terminal round(double, 6) is the
-        # engine-splitting construct the verify discipline bans
+        # the doubles are bit-equal; BOTH terminal round(double, 6)
+        # AND a decimal(18,6) cast are engine-splitting on
+        # half-boundary data (driftlab boundary layout: clamped rows
+        # surface endpoint values on scale-6 halves)
         F.col("interp_value"),
     )
 
@@ -6873,11 +6883,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle trick. Support cut bounds the edge set; all counts exact.
 
     Output: triangles per anchor node (lowest id) plus the global
-    total as anchor NULL. Physical strategy is the size-gated
-    broadcast regime of ``ext/graph.py`` (small support-cut edge set
-    ships to every task); ``triangle_count_merge`` runs the same
-    logical query through the sort-merge regime — the 100 TB path
-    once the graph densifies."""
+    total as anchor NULL. Physical strategy is ``ext/graph.py``'s
+    ``auto`` regime: NO join hints — AQE re-plans from the true
+    runtime shuffle sizes and broadcasts the support-cut edge set
+    while it is small (a static Catalyst-stats gate would see the
+    pessimistic join-product estimate and never broadcast);
+    ``triangle_count_merge`` pins the forced sort-merge path — the
+    no-memory-ceiling regime once the graph densifies."""
     from fink_broker_spark.ext.graph import copurchase_edges, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -35,6 +35,16 @@ CLI::
         --seeds 1 2 3 --layouts nanos boundary [--queries a,b,c]
 
 Exit code 0 iff every (seed, layout, query) cell matches.
+
+Known coverage limit: the local DuckDB (1.0.0, pinned — no network
+installs here) truncates parquet TIMESTAMP(NANOS) to microseconds AT
+SCAN, so the ``nanos`` layout exercises the Spark-side ``nanosAsLong``
+arrival path but NOT a nanosecond-preserving oracle (DuckDB ≥ 1.1
+reads TIMESTAMP_NS natively). Oracle-side ns hazards are therefore
+covered statically instead: the ``test_plan_lint.py`` raw-timestamp
+ORDER BY lint, `epoch_us` symmetric keys, and CAST-AS-TIMESTAMP on
+every timestamp output. If a newer DuckDB ever lands in the
+environment, rerun this sweep under it.
 """
 
 from __future__ import annotations
@@ -44,18 +54,7 @@ import hashlib
 import os
 import sys
 
-LAKE_TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+from fink_broker_spark.sources.parquet import LAKE_TABLES
 
 #: queries whose oracle pins an absolute committed-testdata path — they
 #: cannot be checked against a relocated variant lake

@@ -46,11 +46,13 @@ EXACT_PERCENTILE_MAX_BYTES = 1 << 30
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for ``df`` (optimizer statistics — a
     driver-side metadata lookup, never a scan; at 100 TB this is the
-    only affordable gate)."""
+    only affordable gate). Reliable for a plain scan+filter input like
+    the percentile source (footer totals × selectivity); do NOT gate
+    aggregated/joined relations on it (see ``ext/graph.py``)."""
+    from fink_broker_spark.plans.partitioning import plan_size_bytes
+
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        return plan_size_bytes(df)
     except Exception:
         return -1
 

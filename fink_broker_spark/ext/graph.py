@@ -6,7 +6,7 @@ Triangle counting via compact-forward wedge closure (Schank & Wagner
 every edge low→high so each triangle is enumerated exactly once and
 wedge fan-out is bounded by forward out-degree.
 
-Two physical regimes, size-gated like the Bloom prefilter join:
+Three physical regimes:
 
 - **broadcast** — the oriented edge set ships to every task for both
   the wedge join and the closure semi-join. Right while the
@@ -15,29 +15,19 @@ Two physical regimes, size-gated like the Bloom prefilter join:
 - **merge** — both joins run as shuffled sort-merge on their keys
   (wedge on ``e1.v = e2.u``; closure on ``(a, c)``): no single-task
   memory ceiling, the 100 TB path.
-
-``regime="auto"`` gates on Catalyst's size estimate for the edge
-relation — a driver-side metadata lookup, never a scan.
+- **auto** (default) — NO hints: AQE re-plans at runtime from the TRUE
+  post-shuffle sizes, converting sort-merge to broadcast when the
+  built edge relation is under the broadcast threshold. A static
+  Catalyst-stats gate is WRONG here — the pre-execution estimate for
+  an aggregated self-join relation is join-product-derived and wildly
+  pessimistic (353 MB for a few-KB edge set at sf0.001), so it would
+  never pick broadcast; only the runtime sizes know the truth.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-#: above this Catalyst estimate for the edge set, broadcasting it to
-#: every task (twice) is the breaking point — switch to sort-merge
-BROADCAST_EDGES_MAX_BYTES = 64 << 20
-
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's size estimate (optimizer statistics; no scan)."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return -1
 
 
 def copurchase_edges(
@@ -68,24 +58,17 @@ def copurchase_edges(
     )
 
 
-def triangle_closure(
-    edges: DataFrame,
-    regime: str = "auto",
-    broadcast_max_bytes: int = BROADCAST_EDGES_MAX_BYTES,
-) -> DataFrame:
+def triangle_closure(edges: DataFrame, regime: str = "auto") -> DataFrame:
     """All triangles (a < b < c) of an oriented ``(u, v)`` edge set.
 
-    ``regime``: ``"broadcast"`` | ``"merge"`` | ``"auto"`` (gate on the
-    Catalyst size estimate; unknown stats mean "assume big" → merge).
-    Both regimes produce identical rows — only the physical join
-    strategy differs (plan-asserted in tests).
+    ``regime``: ``"auto"`` (no hints — AQE picks broadcast vs
+    sort-merge from runtime shuffle sizes; the production default) |
+    ``"broadcast"`` | ``"merge"`` (forced, for plan tests and for
+    pinning the no-memory-ceiling path). All regimes produce identical
+    rows — only the physical join strategy differs (plan-asserted in
+    tests).
     """
-    if regime == "auto":
-        size = _plan_size_bytes(edges)
-        regime = (
-            "broadcast" if 0 <= size <= broadcast_max_bytes else "merge"
-        )
-    if regime not in ("broadcast", "merge"):
+    if regime not in ("auto", "broadcast", "merge"):
         raise ValueError(f"unknown regime {regime!r}")
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -93,7 +76,7 @@ def triangle_closure(
     if regime == "broadcast":
         e2 = F.broadcast(e2)
         ac = F.broadcast(ac)
-    else:
+    elif regime == "merge":
         e2 = e2.hint("shuffle_merge")
         ac = ac.hint("shuffle_merge")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
@@ -107,16 +90,12 @@ def triangle_closure(
     )
 
 
-def triangle_counts(
-    edges: DataFrame,
-    regime: str = "auto",
-    broadcast_max_bytes: int = BROADCAST_EDGES_MAX_BYTES,
-) -> DataFrame:
+def triangle_counts(edges: DataFrame, regime: str = "auto") -> DataFrame:
     """Per-anchor triangle counts plus the NULL-anchor grand total.
 
     The rollup gives both groupings in ONE aggregation — a union of two
     groupBys would re-execute the whole wedge/closure pipeline twice
     (anchor ids are never null, so the NULL row is unambiguous).
     """
-    closed = triangle_closure(edges, regime, broadcast_max_bytes)
+    closed = triangle_closure(edges, regime)
     return closed.rollup("a").agg(F.count(F.lit(1)).alias("n_triangles"))

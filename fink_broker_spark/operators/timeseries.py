@@ -170,8 +170,11 @@ def interpolate_at(
       ``first(..., ignorenulls=True)`` over unbounded-following;
 
     then compute ``prev + (next - prev) * (t - t_prev)/(t_next - t_prev)``
-    as per-row double math (round at the call site if oracle-hashing).
-    Timestamps difference in exact integer microseconds.
+    as per-row double math (oracle-hashing callers emit the RAW
+    double — both ``round(double, N)`` and a terminal DECIMAL cast
+    split engines at half-boundaries; the identical IEEE op tree over
+    exact integer-µs operands is bit-equal on both). Timestamps
+    difference in exact integer microseconds.
     """
     o = obs.select(
         F.col(key_col).alias("k"),

@@ -431,6 +431,12 @@ def test_triangle_regimes_agree_and_plan_differs(spark):
     merge_plan = plan(triangle_closure(edges, "merge"))
     assert "SortMergeJoin" in merge_plan
     assert "BroadcastHashJoin" not in merge_plan
+    # auto = no hints: AQE re-plans from TRUE runtime sizes and converts
+    # to broadcast on this tiny edge set (a static Catalyst-stats gate
+    # would see a pessimistic join-product estimate and never broadcast)
+    auto_df = triangle_closure(edges, "auto")
+    auto_df.collect()
+    assert "BroadcastHashJoin" in plan(auto_df)
     # counts rollup: per-anchor rows + NULL grand total
     counts = {
         r.a: r.n_triangles for r in triangle_counts(edges, "merge").collect()
