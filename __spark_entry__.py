@@ -7082,6 +7082,284 @@ FROM contrib GROUP BY window_end
 """
 
 
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-bucketed arm
+    assignment (md5-hex → integer parity — the cross-engine hash the
+    parity discipline prescribes; xxhash64 has no DuckDB twin), per-user
+    conversion (any ``purchase`` event), then the two-proportion z.
+
+    Scale shape: ONE per-user aggregate (the only shuffle) + a single
+    4-counter global aggregate (map-side combinable); the z itself is
+    driver-scale scalar math. The z is emitted as a RAW double from an
+    IDENTICAL IEEE op tree over the four exact integer counters — every
+    op (÷ × + − sqrt) is correctly rounded, so the doubles are bit-equal
+    across engines; no transcendentals anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = any HIGH-VALUE purchase: with ~66 events/user almost
+    # every user has *some* purchase, which degenerates p→1 and se→0
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 990.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+            "converted",
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    p = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        # lazy CASE guards the degenerate p∈{0,1} corpus (se = 0) on
+        # both engines — tiny lakes can have zero conversions
+        F.when(se > F.lit(0.0), (p_a - p_b) / se)
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )
+
+
+ORACLE_AB_TEST_ZSCORE = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 990.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 2 AS arm,
+         converted
+  FROM per_user
+), agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS x_a,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS x_b
+  FROM armed
+), derived AS (
+  SELECT n_a, x_a, n_b, x_b,
+         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE))) AS se
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       p_a, p_b,
+       CASE WHEN se > 0.0 THEN (p_a - p_b) / se ELSE 0.0 END AS z_score
+FROM derived
+"""
+
+
+def q_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest strictly-increasing run of daily
+    revenue per order priority. Day key is exact integral µs-epoch
+    division (symmetric with the oracle's ``epoch_us // 86400000000`` —
+    never a raw-timestamp ordering); revenue compares as EXACT decimal
+    sums, so the > flag can never split engines. The island id is the
+    classic running count of run-breaks; everything downstream is
+    integer arithmetic.
+
+    Scale shape: one (priority, day) aggregate collapses the fact table
+    to ≤ |priorities| × |days| rows, after which the windows run over a
+    tiny keyed sequence — window state is O(1) and the partition count
+    is the priority cardinality ONLY for the collapsed table, not the
+    fact table (contrast max_concurrency's chunked sweep, which must
+    window the uncollapsed event stream)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("day"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.partitionBy("priority").orderBy("day")
+    flagged = daily.select(
+        "priority",
+        "day",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1).otherwise(0).alias("inc"),
+    )
+    sid = F.sum(F.lit(1) - F.col("inc")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_run = (
+        flagged.select("priority", "inc", sid.alias("sid"))
+        .groupBy("priority", "sid")
+        .agg(F.sum("inc").alias("n_inc"))
+    )
+    return per_run.groupBy("priority").agg(
+        (F.max("n_inc") + F.lit(1)).alias("longest_run"),
+        (F.sum("n_inc") + F.count(F.lit(1))).alias("n_days"),
+    )
+
+
+ORACLE_STREAK_DETECTION = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,9))) AS rev
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT priority, day,
+         CASE WHEN rev > lag(rev) OVER (PARTITION BY priority ORDER BY day)
+              THEN 1 ELSE 0 END AS inc
+  FROM daily
+), runs AS (
+  SELECT priority, inc,
+         SUM(1 - inc) OVER (PARTITION BY priority ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+  FROM flagged
+), per_run AS (
+  SELECT priority, sid, SUM(inc) AS n_inc FROM runs GROUP BY 1, 2
+)
+SELECT priority,
+       CAST(MAX(n_inc) + 1 AS BIGINT) AS longest_run,
+       CAST(SUM(n_inc) + COUNT(*) AS BIGINT) AS n_days
+FROM per_run GROUP BY 1
+"""
+
+
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise lift
+    p(xy) / (p(x)·p(y)) — the PMI ranking WITHOUT the log (lift is
+    monotone in PMI, so ranking is identical and no transcendental ever
+    touches the hash; emitting ln() would be the bm25 r04 red all over
+    again). The lift is ONE double division of two exact BIGINT
+    products, a single correctly-rounded IEEE op — bit-equal across
+    engines.
+
+    Scale shape: tokenize once per branch with in-array HOFs (the only
+    shuffles are the two count aggregates), unigram side broadcast into
+    the bigram side twice (vocab ≪ corpus), 1-row totals broadcast,
+    TakeOrdered top-k — no global sort materialization. The BIGINT
+    product n_xy·N² overflows around N≈3e7 tokens; the 100 TB path
+    ranks by the equivalent double product instead (monotonicity is all
+    top-k needs) — driver scales stay integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda x: F.length(x) >= 2,
+    )
+    d = docs.select(toks.alias("t"))
+    uni = d.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_tokens"))
+    bigrams = d.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("x"), F.element_at("t", i + 2).alias("y")
+                ),
+            )
+        ).alias("b")
+    ).select("b.x", "b.y")
+    btot = bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    bc = (
+        bigrams.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    joined = (
+        bc.join(F.broadcast(uc.withColumnRenamed("w", "x")
+                .withColumnRenamed("n_w", "n_x")), "x")
+        .join(F.broadcast(uc.withColumnRenamed("w", "y")
+                .withColumnRenamed("n_w", "n_y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    lift = (
+        (F.col("n_xy") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
+        / (F.col("n_bigrams") * F.col("n_x") * F.col("n_y")).cast("double")
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "n_xy",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )
+
+
+ORACLE_COLLOCATION_LIFT = """
+WITH toksarr AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> length(x) >= 2) AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM toksarr
+), uc AS (
+  SELECT w, COUNT(*) AS n_w FROM uni GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n_tokens FROM uni
+), bgf AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                               i -> struct_pack(x := t[i], y := t[i+1]))) AS b
+  FROM toksarr
+), bpair AS (
+  SELECT b.x AS x, b.y AS y FROM bgf
+), btot AS (
+  SELECT COUNT(*) AS n_bigrams FROM bpair
+), bc AS (
+  SELECT x, y, COUNT(*) AS n_xy FROM bpair GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT bc.x || ' ' || bc.y AS bigram, bc.n_xy,
+       CAST(bc.n_xy * tot.n_tokens * tot.n_tokens AS DOUBLE)
+         / CAST(btot.n_bigrams * ux.n_w * uy.n_w AS DOUBLE) AS lift
+FROM bc
+JOIN uc ux ON ux.w = bc.x
+JOIN uc uy ON uy.w = bc.y
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY lift DESC, bigram LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7233,6 +7511,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count_merge": q_triangle_count_merge,
     "max_concurrency": q_max_concurrency,
     "rolling_active_users": q_rolling_active_users,
+    "ab_test_zscore": q_ab_test_zscore,
+    "streak_detection": q_streak_detection,
+    "collocation_lift": q_collocation_lift,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7395,6 +7676,9 @@ _ORACLES: dict[str, str] = {
     "triangle_count_merge": ORACLE_TRIANGLE_COUNT,
     "max_concurrency": ORACLE_MAX_CONCURRENCY,
     "rolling_active_users": ORACLE_ROLLING_ACTIVE_USERS,
+    "ab_test_zscore": ORACLE_AB_TEST_ZSCORE,
+    "streak_detection": ORACLE_STREAK_DETECTION,
+    "collocation_lift": ORACLE_COLLOCATION_LIFT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -46,6 +46,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "
         "broadcast",
     ),
+    "collocation_lift": (
+        {"broadcast_nested_loop_join"},
+        "1-row (n_tokens, n_bigrams) corpus-totals aggregates broadcast "
+        "into the lift scorer",
+    ),
 }
 
 
