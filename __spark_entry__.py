@@ -7360,6 +7360,265 @@ ORDER BY lift DESC, bigram LIMIT 20
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the co-purchase graph in EXACT
+    fixed-point integer arithmetic (``ext/graph.py:pagerank_fixedpoint``
+    — ranks are BIGINT 1e-9 units; every step is integral DIV, so the
+    iterative float-sum nondeterminism that normally makes PageRank
+    unhashable never exists). Top-20 by rank with node-id tiebreak.
+
+    The oracle unrolls the same three iterations as nested CTEs —
+    genuinely iterative algorithms CAN be oracle-checked when each
+    step is exact integer algebra."""
+    from fink_broker_spark.ext.graph import copurchase_edges, pagerank_fixedpoint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    pr = pagerank_fixedpoint(edges, iters=3)
+    return pr.orderBy(F.desc("rank_units"), "node").limit(20)
+
+
+ORACLE_PAGERANK = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, 1000000000 // n AS ru FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst AS node, SUM(r.ru // d.d) AS s
+  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT nodes.node,
+         150000000 // n + (85 * COALESCE(c1.s, 0)) // 100 AS ru
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(r.ru // d.d) AS s
+  FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r2 AS (
+  SELECT nodes.node,
+         150000000 // n + (85 * COALESCE(c2.s, 0)) // 100 AS ru
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+),
+c3 AS (
+  SELECT e.dst AS node, SUM(r.ru // d.d) AS s
+  FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r3 AS (
+  SELECT nodes.node,
+         150000000 // n + (85 * COALESCE(c3.s, 0)) // 100 AS ru
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node
+)
+SELECT node, CAST(ru AS BIGINT) AS rank_units
+FROM r3 ORDER BY rank_units DESC, node LIMIT 20
+"""
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop and ≤2-hop reachable-set sizes per node on the
+    co-purchase graph (``ext/graph.py:khop_reach``): frontier expansion
+    as ONE hop-boundary self-join + distinct — never an all-pairs
+    product. Top-20 by 2-hop reach, node tiebreak; integer-exact."""
+    from fink_broker_spark.ext.graph import copurchase_edges, khop_reach
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    return khop_reach(edges).orderBy(F.desc("n_2hop"), "node").limit(20)
+
+
+ORACLE_KHOP_REACH = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+),
+one AS (SELECT src AS node, dst AS nb FROM edges),
+two AS (
+  SELECT a.src AS node, b.dst AS nb
+  FROM edges a JOIN edges b ON a.dst = b.src
+  WHERE b.dst <> a.src
+),
+reach AS (
+  SELECT DISTINCT node, nb FROM (
+    SELECT * FROM one UNION ALL SELECT * FROM two
+  )
+),
+n2 AS (SELECT node, COUNT(*) AS n_2hop FROM reach GROUP BY 1),
+n1 AS (
+  SELECT node, COUNT(*) AS n_1hop
+  FROM (SELECT DISTINCT node, nb FROM one) GROUP BY 1
+)
+SELECT n1.node, n1.n_1hop, n2.n_2hop
+FROM n1 JOIN n2 ON n1.node = n2.node
+ORDER BY n_2hop DESC, n1.node LIMIT 20
+"""
+
+
+def q_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via distributed bitmap indexes: user-segment
+    membership packed into word-bucketed BIGINT bitmaps (word =
+    id DIV 32, bit = id MOD 32 — bits 0–31 only, so the sign bit never
+    participates and two's-complement ``bit_count`` semantics can't
+    diverge), ONE ``bit_or`` aggregate per word, then popcount algebra
+    for |A|, |B|, |A∩B| and the exact Jaccard. The bitmap is the
+    100 TB shape: the shuffle carries |users|/32 words, not |users|
+    rows, and intersection is bitwise AND instead of a join (same
+    word-bucketed design as the sharded Bloom build in
+    ``functions/sketches.py``, but exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    words = seg.select(
+        "event_type",
+        F.expr("user_id DIV 32").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("bit"),
+    )
+    bm = words.groupBy("word").agg(
+        F.bit_or(
+            F.when(F.col("event_type") == "purchase", F.col("bit"))
+        ).alias("ba"),
+        F.bit_or(F.when(F.col("event_type") == "click", F.col("bit"))).alias(
+            "bb"
+        ),
+    )
+    agg = bm.agg(
+        F.sum(F.bit_count(F.coalesce("ba", F.lit(0)))).alias("n_a"),
+        F.sum(F.bit_count(F.coalesce("bb", F.lit(0)))).alias("n_b"),
+        F.sum(
+            F.bit_count(
+                F.coalesce("ba", F.lit(0)).bitwiseAND(
+                    F.coalesce("bb", F.lit(0))
+                )
+            )
+        ).alias("n_both"),
+    )
+    denom = (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(
+            denom > F.lit(0.0), F.col("n_both").cast("double") / denom
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
+ORACLE_BITMAP_SEGMENTS = """
+WITH seg AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('purchase', 'click')
+), words AS (
+  SELECT event_type, user_id // 32 AS word,
+         (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bit
+  FROM seg
+), bm AS (
+  SELECT word,
+         bit_or(CASE WHEN event_type = 'purchase' THEN bit END) AS ba,
+         bit_or(CASE WHEN event_type = 'click' THEN bit END) AS bb
+  FROM words GROUP BY 1
+), agg AS (
+  SELECT SUM(bit_count(COALESCE(ba, 0))) AS n_a,
+         SUM(bit_count(COALESCE(bb, 0))) AS n_b,
+         SUM(bit_count(COALESCE(ba, 0) & COALESCE(bb, 0))) AS n_both
+  FROM bm
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CASE WHEN CAST(n_a + n_b - n_both AS DOUBLE) > 0.0
+            THEN CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)
+            ELSE 0.0 END AS jaccard
+FROM agg
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing with α = 1/2 over the trailing 8 observations per
+    user. α = 1/2 is chosen deliberately: every weight 2⁻ᵏ is a power
+    of two, so each ``value·2⁻ᵏ`` product is EXACT (pure exponent
+    shift, no mantissa rounding) and the normalizer 255/128 is exactly
+    representable — the whole expression is a fixed left-to-right IEEE
+    tree that both engines evaluate bit-identically. Rows with fewer
+    than 8 trailing observations are excluded so the normalizer is a
+    constant (varying denominators would need per-row weight sums).
+    Ordering is the symmetric (µs-epoch, event_id) key — never raw ts.
+
+    Scale: ONE window over the user partition (8 bounded lags of O(1)
+    state); the user-id modulus is output thinning, pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), "event_id"
+    )
+    lags = [F.col("value")] + [
+        F.lag("value", k).over(w) for k in range(1, 8)
+    ]
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
+    num = lags[0]
+    for term, wt in zip(lags[1:], weights[1:]):
+        num = num + term * F.lit(wt)
+    return (
+        ev.filter(F.col("user_id") % 20 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (num / F.lit(1.9921875)).alias("ewma"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 8)
+        .drop("rn")
+    )
+
+
+ORACLE_EWMA_SMOOTH = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+         lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+         lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
+         lag(value, 7) OVER w AS v7,
+         row_number() OVER w AS rn
+  FROM events
+  WHERE user_id % 20 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, event_id, value,
+       (value + v1 * 0.5 + v2 * 0.25 + v3 * 0.125 + v4 * 0.0625
+        + v5 * 0.03125 + v6 * 0.015625 + v7 * 0.0078125)
+       / 1.9921875 AS ewma
+FROM seq WHERE rn >= 8
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7514,6 +7773,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test_zscore": q_ab_test_zscore,
     "streak_detection": q_streak_detection,
     "collocation_lift": q_collocation_lift,
+    "pagerank": q_pagerank,
+    "khop_reach": q_khop_reach,
+    "bitmap_segments": q_bitmap_segments,
+    "ewma_smooth": q_ewma_smooth,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7679,6 +7942,10 @@ _ORACLES: dict[str, str] = {
     "ab_test_zscore": ORACLE_AB_TEST_ZSCORE,
     "streak_detection": ORACLE_STREAK_DETECTION,
     "collocation_lift": ORACLE_COLLOCATION_LIFT,
+    "pagerank": ORACLE_PAGERANK,
+    "khop_reach": ORACLE_KHOP_REACH,
+    "bitmap_segments": ORACLE_BITMAP_SEGMENTS,
+    "ewma_smooth": ORACLE_EWMA_SMOOTH,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -99,3 +99,90 @@ def triangle_counts(edges: DataFrame, regime: str = "auto") -> DataFrame:
     """
     closed = triangle_closure(edges, regime)
     return closed.rollup("a").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Directed (src, dst) view of an oriented (u < v) edge set — both
+    directions, so degree/propagation operators see the undirected
+    graph."""
+    return edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+
+#: PageRank fixed-point scale: ranks are BIGINT units of 1e-9
+PAGERANK_UNIT = 1_000_000_000
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT fixed-point integer arithmetic
+    (damping 0.85, rank = BIGINT units of 1e-9).
+
+    Why integer: float PageRank sums contributions in nondeterministic
+    order — cross-engine (and cross-run) hash parity dies. Here every
+    step is integral: contribution = ``rank DIV degree``, damped rank =
+    ``0.15·UNIT DIV N + (85·Σcontrib) DIV 100`` — both engines truncate
+    positives identically, so 3 iterations are reproducible bit-for-bit
+    anywhere (Page et al. 1999; fixed-point trick standard in e.g.
+    Pregel integer aggregations).
+
+    Scale shape: per iteration ONE join of the rank table with the
+    (degree-annotated) edge list on ``src`` + ONE dst-keyed sum — both
+    shuffles on the node key, so a pre-partitioned edge list is reused
+    by AQE across iterations; rank state is |nodes| rows, never
+    collected to the driver. ``iters`` is small and fixed (unrolled
+    into one plan) — the checkpointed-loop variant for deep iteration
+    is ``ext/dedup.py``'s pointer-jumping pattern.
+    """
+    sym = symmetrize(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", "n", F.expr(f"{PAGERANK_UNIT} DIV n").alias("ru")
+    )
+    ed = sym.join(deg, "src")
+    for _ in range(iters):
+        contrib = (
+            ed.join(
+                ranks.select(F.col("node").alias("src"), "ru"), "src"
+            )
+            .select(F.col("dst").alias("node"), F.expr("ru DIV d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        base_units = 15 * PAGERANK_UNIT // 100
+        ranks = (
+            nodes.crossJoin(F.broadcast(n1))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"{base_units} DIV n + (85 * coalesce(s, 0)) DIV 100"
+                ).alias("ru"),
+            )
+        )
+    return ranks.select("node", F.col("ru").alias("rank_units"))
+
+
+def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
+    """Per-node 1-hop and ≤2-hop reachable-set sizes (exact, distinct).
+
+    The 2-hop set is ONE self-join on the hop boundary + a distinct —
+    never an all-pairs product; fan-out is Σ d(v)² over neighbors,
+    the standard frontier-expansion cost. Integer-exact everywhere.
+    """
+    sym = symmetrize(edges)
+    one = sym.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+    two = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("nb"))
+    )
+    if exclude_self:
+        two = two.filter(F.col("nb") != F.col("node"))
+    reach = one.unionAll(two).distinct()
+    n2 = reach.groupBy("node").agg(F.count(F.lit(1)).alias("n_2hop"))
+    n1 = one.distinct().groupBy("node").agg(F.count(F.lit(1)).alias("n_1hop"))
+    return n1.join(n2, "node")

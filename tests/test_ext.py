@@ -469,3 +469,40 @@ def test_grouped_percentiles_size_gate(spark):
     for g in e:
         assert a[g][0] == pytest.approx(e[g][0], abs=2.0)
         assert a[g][1] == pytest.approx(e[g][1], abs=2.0)
+
+
+def test_pagerank_fixedpoint_conservation_and_determinism(spark):
+    """Integer fixed-point PageRank: rank mass stays ≤ UNIT (truncating
+    DIV only loses mass, never creates it), high-degree hubs outrank
+    leaves, and two runs are bit-identical (the whole point of the
+    fixed-point formulation)."""
+    from fink_broker_spark.ext.graph import PAGERANK_UNIT, pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        # star around 1 plus a 2-3-4 triangle: 1 is the hub
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (3, 4)],
+        "u long, v long",
+    )
+    r1 = {r.node: r.rank_units for r in pagerank_fixedpoint(edges, 3).collect()}
+    r2 = {r.node: r.rank_units for r in pagerank_fixedpoint(edges, 3).collect()}
+    assert r1 == r2
+    assert sum(r1.values()) <= PAGERANK_UNIT
+    # damping keeps every rank at least the teleport floor
+    assert all(v >= (15 * PAGERANK_UNIT // 100) // len(r1) for v in r1.values())
+    assert r1[1] == max(r1.values())
+    assert r1[5] == min(r1.values())
+
+
+def test_khop_reach_counts(spark):
+    """2-hop reach on a path graph 1-2-3-4-5: middle node sees all
+    others within 2 hops; endpoints see exactly two."""
+    from fink_broker_spark.ext.graph import khop_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r.node: (r.n_1hop, r.n_2hop) for r in khop_reach(edges).collect()}
+    assert got[3] == (2, 4)
+    assert got[1] == (1, 2)
+    assert got[5] == (1, 2)
+    assert got[2] == (2, 3)

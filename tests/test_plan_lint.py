@@ -51,6 +51,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row (n_tokens, n_bigrams) corpus-totals aggregates broadcast "
         "into the lift scorer",
     ),
+    "pagerank": (
+        {"broadcast_nested_loop_join"},
+        "1-row node-count aggregate broadcast into every iteration's "
+        "teleport term",
+    ),
 }
 
 
