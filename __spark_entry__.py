@@ -7619,6 +7619,243 @@ FROM seq WHERE rn >= 8
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration min-label propagation (synchronous BFS-min,
+    3 rounds) over the co-purchase graph — the fixed-depth twin of
+    ``ext/dedup.py``'s full pointer-jumping connected components:
+    label(v) ← min(label(v), min over neighbors). Every step is
+    integer MIN algebra, so 3 unrolled rounds oracle exactly (the
+    full-depth variant needs the checkpointed loop and is attested by
+    ``dedup_groups``). Output: community sizes at depth 3.
+
+    Scale: per round ONE src-keyed join + ONE dst-keyed min — the same
+    shuffle pair as ``pagerank``; label state stays distributed."""
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sym = symmetrize(copurchase_edges(li, min_support=2))
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(3):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("community_size"))
+        .orderBy(F.desc("community_size"), "lbl")
+        .limit(20)
+    )
+
+
+ORACLE_LABEL_PROPAGATION = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+m1 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1
+),
+l1 AS (
+  SELECT l0.node, LEAST(l0.lbl, COALESCE(m1.nl, l0.lbl)) AS lbl
+  FROM l0 LEFT JOIN m1 ON m1.node = l0.node
+),
+m2 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1
+),
+l2 AS (
+  SELECT l1.node, LEAST(l1.lbl, COALESCE(m2.nl, l1.lbl)) AS lbl
+  FROM l1 LEFT JOIN m2 ON m2.node = l1.node
+),
+m3 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1
+),
+l3 AS (
+  SELECT l2.node, LEAST(l2.lbl, COALESCE(m3.nl, l2.lbl)) AS lbl
+  FROM l2 LEFT JOIN m3 ON m3.node = l2.node
+)
+SELECT lbl, COUNT(*) AS community_size
+FROM l3 GROUP BY 1
+ORDER BY community_size DESC, lbl LIMIT 20
+"""
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-count cosine similarity between documents via an
+    inverted-index join — the bag-of-words twin of the dense-embedding
+    near-dup family: pairs meet ONLY through shared terms (posting-list
+    equi-join), never an all-pairs product; high-DF terms are cut
+    RELATIVE to corpus size (df ≤ 5% of docs — an absolute cut would
+    silently empty the candidate set as the corpus grows) to bound
+    posting-list fan-out, the standard inverted-index guard. Dot products and norms are EXACT integer sums; the
+    cosine is the fixed tree dot/(sqrt(na)·sqrt(nb)) over those exact
+    operands — no transcendental. Top-20 pairs, (id_a, id_b) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"),
+        lambda x: F.length(x) >= 3,
+    )
+    tc = (
+        docs.select(F.col("doc_id"), F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        tc.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 20 <= F.col("n_docs"))
+    )
+    tcr = tc.join(F.broadcast(rare.select("w")), "w")
+    norms = tc.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    dots = (
+        tcr.alias("a")
+        .join(tcr.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (F.col("a.c") * F.col("b.c")).alias("p"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("p").alias("dot"))
+    )
+    cos = (
+        dots.join(
+            F.broadcast(norms.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n2").alias("na"))), "id_a"
+        )
+        .join(
+            F.broadcast(norms.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n2").alias("nb"))), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return cos.orderBy(F.desc("cosine"), "id_a", "id_b").limit(20)
+
+
+ORACLE_SPARSE_COSINE_PAIRS = """
+WITH tc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> length(x) >= 3)) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), rare AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS df FROM tc GROUP BY 1)
+  CROSS JOIN nd WHERE df * 20 <= n_docs
+), tcr AS (
+  SELECT tc.doc_id, tc.w, tc.c FROM tc JOIN rare USING (w)
+), norms AS (
+  SELECT doc_id, SUM(c * c) AS n2 FROM tc GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.c * b.c) AS dot
+  FROM tcr a JOIN tcr b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+ORDER BY cosine DESC, id_a, id_b LIMIT 20
+"""
+
+
+def q_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust-dispersion
+    twin of ``anomaly_scores``' mean/stddev. Two grouped median passes
+    through ``archive/statistics.py:grouped_percentiles``: the gate is
+    evaluated ONCE on the scan input and the SAME mode is passed to
+    both passes (the second pass's input is a join, whose Catalyst
+    estimate is join-product-derived and must not be gated on — the
+    ``ext/graph.py`` lesson). Exact mode at driver scale ≡ DuckDB
+    ``quantile_cont`` bit-for-bit (proved by ``percentiles``); above
+    the gate both passes swap to mergeable ``percentile_approx``.
+    |v − med| is one correctly-rounded subtraction of doubles — an
+    identical tree on both engines."""
+    from fink_broker_spark.archive.statistics import (
+        _plan_size_bytes,
+        EXACT_PERCENTILE_MAX_BYTES,
+        grouped_percentiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    size = _plan_size_bytes(ev)
+    mode = "exact" if 0 <= size <= EXACT_PERCENTILE_MAX_BYTES else "approx"
+    med = grouped_percentiles(
+        ev, ["event_type"], {"med": ("value", 0.5)}, mode=mode
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = grouped_percentiles(
+        dev, ["event_type"], {"mad": ("ad", 0.5)}, mode=mode
+    )
+    return (
+        med.join(mad, "event_type")
+        .select("event_type", "med", "mad")
+    )
+
+
+ORACLE_MAD_SCORES = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type, ANY_VALUE(med) AS med,
+       quantile_cont(ad, 0.5) AS mad
+FROM dev GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7777,6 +8014,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "khop_reach": q_khop_reach,
     "bitmap_segments": q_bitmap_segments,
     "ewma_smooth": q_ewma_smooth,
+    "label_propagation": q_label_propagation,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "mad_scores": q_mad_scores,
     "line_dedup": q_line_dedup,
     "dedup_keep_best": q_dedup_keep_best,
     "grouped_agg_udaf": q_grouped_agg_udaf,
@@ -7946,6 +8186,9 @@ _ORACLES: dict[str, str] = {
     "khop_reach": ORACLE_KHOP_REACH,
     "bitmap_segments": ORACLE_BITMAP_SEGMENTS,
     "ewma_smooth": ORACLE_EWMA_SMOOTH,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "sparse_cosine_pairs": ORACLE_SPARSE_COSINE_PAIRS,
+    "mad_scores": ORACLE_MAD_SCORES,
     "line_dedup": ORACLE_LINE_DEDUP,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "grouped_agg_udaf": ORACLE_GROUPED_AGG_UDAF,

@@ -56,6 +56,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row node-count aggregate broadcast into every iteration's "
         "teleport term",
     ),
+    "sparse_cosine_pairs": (
+        {"broadcast_nested_loop_join"},
+        "1-row doc-count aggregate broadcast into the relative "
+        "document-frequency cut",
+    ),
 }
 
 
