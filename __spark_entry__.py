@@ -7856,6 +7856,237 @@ FROM dev GROUP BY event_type
 """
 
 
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: for
+    each FK relation, total rows and orphan rows (FK values with no
+    parent). ONE left join + conditional count per relation — the
+    anti-join reformulated as a flag sum so row total and orphan count
+    come from a single pass (two separate aggregates would scan the
+    fact twice). Dimensions are unhinted: AQE broadcasts the small
+    ones and shuffle-joins the big ones at 100 TB. Integer-exact."""
+
+    def rel(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str):
+        d = dim.select(F.col(pk).alias("k")).distinct().withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            fact.select(F.col(fk).alias("k"))
+            .join(d, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        rel("orders.custkey", o, "o_custkey", cu, "c_custkey"),
+        rel("lineitem.partkey", li, "l_partkey", pa, "p_partkey"),
+        rel("lineitem.suppkey", li, "l_suppkey", su, "s_suppkey"),
+        rel("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+        rel("customer.nationkey", cu, "c_nationkey", na, "n_nationkey"),
+        rel("events.user_id", ev, "user_id", cu, "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE_FK_ORPHANS = """
+SELECT 'orders.custkey' AS relation, COUNT(*) AS n_rows,
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END) AS n_orphans
+FROM orders f LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d
+  ON f.o_custkey = d.k
+UNION ALL
+SELECT 'lineitem.partkey', COUNT(*),
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+FROM lineitem f LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) d
+  ON f.l_partkey = d.k
+UNION ALL
+SELECT 'lineitem.suppkey', COUNT(*),
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+FROM lineitem f LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) d
+  ON f.l_suppkey = d.k
+UNION ALL
+SELECT 'lineitem.orderkey', COUNT(*),
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+FROM lineitem f LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) d
+  ON f.l_orderkey = d.k
+UNION ALL
+SELECT 'customer.nationkey', COUNT(*),
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+FROM customer f LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) d
+  ON f.c_nationkey = d.k
+UNION ALL
+SELECT 'events.user_id', COUNT(*),
+       SUM(CASE WHEN d.k IS NULL THEN 1 ELSE 0 END)
+FROM events f LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) d
+  ON f.user_id = d.k
+"""
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — period-over-period time
+    intelligence. Month keys are exact integers from the normalized
+    timestamp (year/month are sub-µs-jitter-immune, unlike raw-ts
+    ordering); monthly revenue is an exact decimal sum ROUNDED TO
+    SCALE 2 BEFORE the double cast (the wide-decimal rule: a scale-9
+    monthly sum's unscaled value can outgrow 2^53, where DuckDB
+    double-rounds); the YoY match is an equi-join on (year−1, month) —
+    never a 12-row lag, which silently pairs wrong months across gaps.
+    Growth is one (r−p)/p tree over the exactly-rounded doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        monthly.join(prev, ["yr", "mo"])
+        .select(
+            "yr",
+            "mo",
+            "rev",
+            "prev_rev",
+            (
+                (F.col("rev") - F.col("prev_rev")) / F.col("prev_rev")
+            ).alias("growth"),
+        )
+    )
+
+
+ORACLE_YOY_GROWTH = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,9))), 2)
+              AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT m.yr, m.mo, m.rev, p.rev AS prev_rev,
+       (m.rev - p.rev) / p.rev AS growth
+FROM monthly m JOIN monthly p ON m.yr = p.yr + 1 AND m.mo = p.mo
+"""
+
+
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence: event_type × md5-parity arm
+    contingency table. The cell grid is the CROSS of the two margins
+    (observed-only cells would silently drop zero cells and bias χ²);
+    expected counts and per-cell terms are doubles from exact integer
+    margins through one fixed tree, each term decimal(18,9)-rounded
+    before the EXACT sum (the order-free float-sum discipline), and
+    the 10-term scale-9 sum casts narrowly to double. Everything is
+    two tiny aggregates + a margins cross join — driver-scale math on
+    top of ONE fact-table pass."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    obs = base.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rowm = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("rt"))
+    colm = base.groupBy("arm").agg(F.count(F.lit(1)).alias("ct"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        rowm.crossJoin(colm)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "arm"], "left")
+        .select(
+            "event_type",
+            "arm",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "rt",
+            "ct",
+            "n",
+        )
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+    ) / e
+    return (
+        cells.select(
+            "n",
+            term.cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("n")
+        .agg(F.sum("t").cast("double").alias("chi2"))
+        .select(
+            F.col("n").alias("n_events"),
+            F.lit(4).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+ORACLE_CHISQ_INDEPENDENCE = """
+WITH base AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 2 AS arm
+  FROM events
+), obs AS (
+  SELECT event_type, arm, COUNT(*) AS o FROM base GROUP BY 1, 2
+), rowm AS (
+  SELECT event_type, COUNT(*) AS rt FROM base GROUP BY 1
+), colm AS (
+  SELECT arm, COUNT(*) AS ct FROM base GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n FROM base
+), cells AS (
+  SELECT rowm.event_type, colm.arm, COALESCE(obs.o, 0) AS o,
+         rowm.rt, colm.ct, tot.n
+  FROM rowm CROSS JOIN colm CROSS JOIN tot
+  LEFT JOIN obs ON obs.event_type = rowm.event_type
+              AND obs.arm = colm.arm
+), terms AS (
+  SELECT n,
+         CAST(((CAST(o AS DOUBLE)
+                - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+              AS DECIMAL(18,9)) AS t
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n_events, 4 AS dof,
+       CAST(SUM(t) AS DOUBLE) AS chi2
+FROM terms GROUP BY n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8024,6 +8255,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_pairs": q_basket_pairs,
     "resample_fill": q_resample_fill,
     "regression_trend": q_regression_trend,
+    "fk_orphans": q_fk_orphans,
+    "yoy_growth": q_yoy_growth,
+    "chisq_independence": q_chisq_independence,
 }
 
 _ORACLES: dict[str, str] = {
@@ -8197,6 +8431,9 @@ _ORACLES: dict[str, str] = {
     "basket_pairs": ORACLE_BASKET_PAIRS,
     "resample_fill": ORACLE_RESAMPLE_FILL,
     "regression_trend": ORACLE_REGRESSION_TREND,
+    "fk_orphans": ORACLE_FK_ORPHANS,
+    "yoy_growth": ORACLE_YOY_GROWTH,
+    "chisq_independence": ORACLE_CHISQ_INDEPENDENCE,
 }
 
 

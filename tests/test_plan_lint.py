@@ -61,6 +61,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "chisq_independence": (
+        {"broadcast_nested_loop_join"},
+        "contingency grid = cross of the two margin aggregates "
+        "(|event_type| x |arm| x 1-row total, a handful of rows) — the "
+        "fact table itself is scanned once, never cross-joined",
+    ),
 }
 
 
