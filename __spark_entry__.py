@@ -8087,6 +8087,406 @@ FROM terms GROUP BY n
 """
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount) from ONE fact pass: every
+    measure integerizes to exact cents (``floor(x*100+0.5)`` — the
+    identical-IEEE-tree rule), the 10 moment sums accumulate as exact
+    DECIMAL(38,0)/HUGEINT partials (per-row products fit int64; sums
+    don't, so the cast happens per-row BEFORE the sum), and each
+    correlation is the regression_trend fixed tree — scale-0
+    decimal→double casts (single rounding both engines), double
+    multiply, sqrt. Native ``F.corr`` accumulates in float and is not
+    hash-stable; this decomposition is. At 100 TB: one scan, 10
+    mergeable numbers of aggregation state, 3-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(c):
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+    t = li.select(
+        cents("l_quantity").alias("q"),
+        cents("l_extendedprice").alias("p"),
+        cents("l_discount").alias("d"),
+    )
+
+    def s2(a, b, name):
+        return F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
+            name
+        )
+
+    g = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        s2("q", "q", "sqq"),
+        s2("p", "p", "spp"),
+        s2("d", "d", "sdd"),
+        s2("q", "p", "sqp"),
+        s2("q", "d", "sqd"),
+        s2("p", "d", "spd"),
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    def corr(sa, sb, sab, saa, sbb):
+        num = (big("n") * big(sab) - big(sa) * big(sb)).cast("double")
+        da = (big("n") * big(saa) - big(sa) * big(sa)).cast("double")
+        db = (big("n") * big(sbb) - big(sb) * big(sb)).cast("double")
+        return num / F.sqrt(da * db)
+
+    pairs = [
+        ("quantity_price", corr("sq", "sp", "sqp", "sqq", "spp")),
+        ("quantity_discount", corr("sq", "sd", "sqd", "sqq", "sdd")),
+        ("price_discount", corr("sp", "sd", "spd", "spp", "sdd")),
+    ]
+    out = None
+    for name, expr in pairs:
+        row = g.select(
+            F.lit(name).alias("pair"), F.col("n"), expr.alias("corr")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+ORACLE_CORR_MATRIX = """
+WITH t AS (
+  SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+), g AS (
+  SELECT count(*) AS n, SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
+         SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+  FROM t
+)
+SELECT 'quantity_price' AS pair, n,
+       CAST(n * sqp - sq * sp AS DOUBLE)
+         / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                * CAST(n * spp - sp * sp AS DOUBLE)) AS corr
+FROM g
+UNION ALL
+SELECT 'quantity_discount', n,
+       CAST(n * sqd - sq * sd AS DOUBLE)
+         / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                * CAST(n * sdd - sd * sd AS DOUBLE))
+FROM g
+UNION ALL
+SELECT 'price_discount', n,
+       CAST(n * spd - sp * sd AS DOUBLE)
+         / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
+                * CAST(n * sdd - sd * sd AS DOUBLE))
+FROM g
+"""
+
+
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue inequality per nation —
+    the rank-weighted formulation G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    with xᵢ ascending. Revenue integerizes to exact cents per order
+    BEFORE the customer sum (long arithmetic end-to-end), the rank is
+    a row_number over the symmetric (rev_cents, custkey) key — fully
+    deterministic, no timestamp ordering — and the Gini is one double
+    division of scale-0-cast exact operands. Plan: one orders
+    aggregate (|customers| rows), one small join to customer for the
+    nation key, one |customers|-row window per nation, one final
+    25-row aggregate. At 100 TB the only fact-table shuffle is the
+    per-customer sum; everything after runs on dimension-sized data."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    ranked = (
+        rev.join(
+            F.broadcast(
+                cu.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(na.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("n_name", "o_custkey", "rev_cents")
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(
+                    "rev_cents", "o_custkey"
+                )
+            ),
+        )
+    )
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("ssum"),
+        F.sum(F.col("i") * F.col("rev_cents")).alias("siw"),
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (
+        F.lit(2) * big("siw") - (big("n_customers") + 1) * big("ssum")
+    ).cast("double")
+    den = (big("n_customers") * big("ssum")).cast("double")
+    return g.select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        (num / den).alias("gini"),
+    )
+
+
+ORACLE_GINI_BY_NATION = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT n.n_name, r.o_custkey, r.rev_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.n_name ORDER BY r.rev_cents, r.o_custkey
+         ) AS i
+  FROM rev r
+  JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), g AS (
+  SELECT n_name, count(*) AS n_customers, SUM(rev_cents) AS ssum,
+         SUM(i * rev_cents) AS siw
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name AS nation, n_customers,
+       CAST(2 * siw - (n_customers + 1) * ssum AS DOUBLE)
+         / CAST(n_customers * ssum AS DOUBLE) AS gini
+FROM g
+"""
+
+
+def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over real intervals): each
+    order spans [order day, last ship day]; per customer, overlapping
+    or touching spans merge into islands. The classic two-window
+    decomposition — a running MAX of interval ends over the
+    (start, orderkey)-ordered history marks island breaks, a running
+    SUM of breaks numbers the islands — then one aggregate per
+    (customer, island) and one per customer. All keys are exact epoch
+    days (sub-µs-jitter-immune); no timestamp ever reaches an ORDER
+    BY. Plan at 100 TB: one lineitem aggregate (per-order end), one
+    orders join, per-customer windows over |orders| rows — state is
+    one MAX + one SUM, bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def day(c):
+        return F.floor(
+            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
+        ).cast("long")
+
+    ends = (
+        li.select("l_orderkey", day("l_shipdate").alias("sday"))
+        .groupBy("l_orderkey")
+        .agg(F.max("sday").alias("end_day"))
+    )
+    iv = o.select(
+        "o_custkey", "o_orderkey", day("o_orderdate").alias("start_day")
+    ).join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy("start_day", "o_orderkey")
+    prev_max_end = F.max("end_day").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "o_custkey",
+        "o_orderkey",
+        "start_day",
+        "end_day",
+        F.when(
+            prev_max_end.isNull()
+            | (F.col("start_day") > prev_max_end + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn("island", F.sum("brk").over(w))
+    isl = marked.groupBy("o_custkey", "island").agg(
+        F.min("start_day").alias("s"),
+        F.max("end_day").alias("e"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        isl.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("covered_days"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_islands",
+            "n_orders",
+            "covered_days",
+        )
+    )
+
+
+ORACLE_INTERVAL_ISLANDS = """
+WITH ends AS (
+  SELECT l_orderkey,
+         MAX(CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT))
+           AS end_day
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT o.o_custkey, o.o_orderkey,
+         CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT)
+           AS start_day,
+         e.end_day
+  FROM orders o JOIN ends e ON o.o_orderkey = e.l_orderkey
+), marked AS (
+  SELECT o_custkey, o_orderkey, start_day, end_day,
+         CASE WHEN MAX(end_day) OVER (
+                  PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+              OR start_day > MAX(end_day) OVER (
+                  PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+), islands AS (
+  SELECT o_custkey, start_day, end_day,
+         SUM(brk) OVER (
+           PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM marked
+), isl AS (
+  SELECT o_custkey, island, MIN(start_day) AS s, MAX(end_day) AS e,
+         count(*) AS n_orders
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey AS custkey, count(*) AS n_islands,
+       SUM(n_orders) AS n_orders, SUM(e - s + 1) AS covered_days
+FROM isl GROUP BY o_custkey
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    corpus max order day), frequency (order count), monetary (exact
+    cents) → quintile scores with full deterministic tiebreaks (the
+    metric THEN custkey — ntile is ANSI-identical across engines only
+    when the ordering is total). A native global ``ntile`` would
+    single-partition-sort |customers| rows, so each score runs through
+    ``operators/ranking.bucketed_ntile`` — the deterministic two-phase
+    bucket-offset ranking (monotone bucket expr → |buckets|-row offset
+    table → bucket-partitioned row_number + ANSI tile formula) that
+    hash-matches the oracle's native NTILE while keeping per-task
+    state bounded by one bucket's population. Descending metrics rank
+    via the negated key. Plan: one orders aggregate, a 1-row corpus
+    max broadcast, three bucket-joins over dimension-sized data — the
+    fact table shuffles once. Integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def day(c):
+        return F.floor(
+            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
+        ).cast("long")
+
+    per = (
+        o.select(
+            "o_custkey",
+            day("o_orderdate").alias("oday"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("oday").alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    mx = per.agg(F.max("last_day").alias("corpus_max"))
+    base = per.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        (F.col("corpus_max") - F.col("last_day")).alias("recency_days"),
+        "freq",
+        "monetary_cents",
+    )
+    from fink_broker_spark.operators.ranking import bucketed_ntile
+
+    ck = F.col("o_custkey")
+    scored = bucketed_ntile(
+        base, F.col("recency_days"), ck, 5, "r_score"
+    )
+    scored = bucketed_ntile(scored, -F.col("freq"), ck, 5, "f_score")
+    scored = bucketed_ntile(
+        scored,
+        -F.col("monetary_cents"),
+        ck,
+        5,
+        "m_score",
+        bucket_width=100_000,
+    )
+    return scored.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "freq",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT))
+           AS last_day,
+         count(*) AS freq,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), base AS (
+  SELECT o_custkey,
+         (SELECT MAX(last_day) FROM per) - last_day AS recency_days,
+         freq, monetary_cents
+  FROM per
+), scored AS (
+  SELECT o_custkey AS custkey, recency_days, freq, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+           AS m_score
+  FROM base
+)
+SELECT custkey, recency_days, freq, monetary_cents, r_score, f_score,
+       m_score,
+       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         || '-' || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8258,6 +8658,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_orphans": q_fk_orphans,
     "yoy_growth": q_yoy_growth,
     "chisq_independence": q_chisq_independence,
+    "corr_matrix": q_corr_matrix,
+    "gini_by_nation": q_gini_by_nation,
+    "interval_islands": q_interval_islands,
+    "rfm_segments": q_rfm_segments,
 }
 
 _ORACLES: dict[str, str] = {
@@ -8434,6 +8838,10 @@ _ORACLES: dict[str, str] = {
     "fk_orphans": ORACLE_FK_ORPHANS,
     "yoy_growth": ORACLE_YOY_GROWTH,
     "chisq_independence": ORACLE_CHISQ_INDEPENDENCE,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "gini_by_nation": ORACLE_GINI_BY_NATION,
+    "interval_islands": ORACLE_INTERVAL_ISLANDS,
+    "rfm_segments": ORACLE_RFM_SEGMENTS,
 }
 
 

@@ -636,3 +636,56 @@ def test_funnel_walk_edge_semantics(spark):
             for r in em.q_funnel_conversion(spark, d).collect()
         }
     assert out == {0: 1, 1: 3, 2: 1, 3: 1}
+
+
+def test_bucketed_ntile_matches_native(spark):
+    """The distributed bucket-offset ntile must equal a native global
+    NTILE for every (n, direction, width) shape — including n < buckets
+    (every row its own tile), duplicate keys broken by the tiebreak,
+    negative keys (descending metrics), and coarse buckets."""
+    from pyspark.sql import Window
+
+    from fink_broker_spark.operators.ranking import bucketed_ntile
+
+    import random
+
+    rnd = random.Random(7)
+    for n, width in [(3, 1), (17, 1), (1000, 1), (1000, 37)]:
+        rows = [(i, rnd.randrange(-50, 50) * 13) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r.id: r.t
+            for r in bucketed_ntile(
+                df, F.col("v"), F.col("id"), 5, "t", bucket_width=width
+            ).collect()
+        }
+        want = {
+            r.id: r.t
+            for r in df.select(
+                "id",
+                F.ntile(5)
+                .over(Window.orderBy("v", "id"))
+                .alias("t"),
+            ).collect()
+        }
+        assert got == want, (n, width)
+    # descending metric via negated key
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(40)], "id long, v long"
+    )
+    got = {
+        r.id: r.t
+        for r in bucketed_ntile(
+            df, -F.col("v"), F.col("id"), 4, "t"
+        ).collect()
+    }
+    want = {
+        r.id: r.t
+        for r in df.select(
+            "id",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("v").desc(), "id"))
+            .alias("t"),
+        ).collect()
+    }
+    assert got == want

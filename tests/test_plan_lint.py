@@ -61,6 +61,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "rfm_segments": (
+        {"broadcast_nested_loop_join"},
+        "1-row corpus-max-day aggregate broadcast into the recency "
+        "metric; the ntile itself is the distributed bucket-offset "
+        "ranking, not a global window",
+    ),
     "chisq_independence": (
         {"broadcast_nested_loop_join"},
         "contingency grid = cross of the two margin aggregates "
