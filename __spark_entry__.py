@@ -8487,6 +8487,318 @@ FROM scored
 """
 
 
+#: Benford's-law expected first-digit frequencies log10(1 + 1/d) as
+#: shortest-repr double literals — embedded verbatim in BOTH the Spark
+#: plan and the oracle SQL so the two engines compare against the
+#: bit-identical constant (a per-engine log10() call could differ by
+#: 1 ulp).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/data-quality screen. The first significant digit comes from
+    the STRING of the floored integer part (never ``log10`` of a
+    double — transcendental binning is banned by the parity
+    discipline); expected frequencies are pinned double literals
+    (identical bits both engines); observed share and deviation are
+    single double divisions of exact integer counts. The digit grid is
+    a 9-row literal table LEFT-joined to observed counts so digits
+    with zero observations still report. One fact pass, 9-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = None
+    for d, lit in _BENFORD.items():
+        row = spark.range(1).select(
+            F.lit(d).alias("digit"),
+            F.expr(f"CAST({lit} AS DOUBLE)").alias("expected"),
+        )
+        grid = row if grid is None else grid.unionAll(row)
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("share"),
+            "expected",
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+                - F.col("expected")
+            ).alias("deviation"),
+        )
+    )
+
+
+ORACLE_BENFORD_DIGITS = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), grid AS (
+  {grid}
+), tot AS (
+  SELECT SUM(n) AS total FROM obs
+)
+SELECT g.digit, COALESCE(o.n, 0) AS n,
+       CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+         AS share,
+       g.expected,
+       CAST(COALESCE(o.n, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+         - g.expected AS deviation
+FROM grid g LEFT JOIN obs o ON g.digit = o.digit CROSS JOIN tot t
+""".format(
+    grid="\n  UNION ALL\n  ".join(
+        f"SELECT {d} AS digit, CAST({lit} AS DOUBLE) AS expected"
+        for d, lit in _BENFORD.items()
+    )
+)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of extended price weighted by quantity,
+    per return flag — the classic cumulative-weight construction: rows
+    order by (cents, orderkey, linenumber) inside each group, a
+    running SUM accumulates integer weights, and the median is the
+    MIN value whose doubled cumulative weight reaches the group total.
+    Everything is exact integer arithmetic; the only windows are
+    group-partitioned with a single SUM of state. At 100 TB the group
+    key is low-cardinality (3 flags) — the same shape the chunked
+    max_concurrency sweep handles; here the window input is the raw
+    fact table, so the scale path would pre-aggregate per (flag,
+    cents) first (noted, driver scale keeps the direct form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # pre-aggregate per (flag, cents): collapses the fact table to the
+    # value grid BEFORE any window — the 100 TB form of cumulative
+    # weighting (ties in cents merge, so the cumulative sums and the
+    # threshold row are unchanged)
+    g = t.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    win = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w")
+        .over(
+            Window.partitionBy("l_returnflag").orderBy(
+                F.lit(1)
+            ).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("total_w").alias("total_weight"),
+        )
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag, cents, SUM(w) AS w
+  FROM t GROUP BY l_returnflag, cents
+), cum AS (
+  SELECT l_returnflag, cents,
+         SUM(w) OVER (
+           PARTITION BY l_returnflag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+  FROM g
+)
+SELECT l_returnflag, MIN(cents) AS wmedian_cents,
+       MAX(total_w) AS total_weight
+FROM cum WHERE 2 * cumw >= total_w
+GROUP BY l_returnflag
+"""
+
+
+def q_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-improved customers: revenue rank in the latest order year
+    vs the year before, per customer present in both. Ranks are exact
+    global ROW_NUMBERs (revenue DESC, custkey tiebreak) computed per
+    year by ``operators/ranking.bucketed_rank`` — the bucket-offset
+    plan, NOT a 2-partition window (a per-year window would funnel
+    every customer through two sequential partitions at 100 TB). The
+    reference years derive from the data (max order year), so the
+    query is layout-regeneration-proof. Integer-exact end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    ymax = rev.agg(F.max("yr").alias("ymax"))
+    both = rev.crossJoin(F.broadcast(ymax)).filter(
+        (F.col("yr") == F.col("ymax")) | (F.col("yr") == F.col("ymax") - 1)
+    )
+    from fink_broker_spark.operators.ranking import bucketed_rank
+
+    def ranked(year_side):
+        sub = both.filter(F.col("yr") == year_side).select(
+            "o_custkey", "rev_cents"
+        )
+        return bucketed_rank(
+            sub,
+            -F.col("rev_cents"),
+            F.col("o_custkey"),
+            "rnk",
+            bucket_width=100_000,
+        )
+    cur = ranked(F.col("ymax")).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("rev_cents").alias("rev_cur"),
+        F.col("rnk").alias("rank_cur"),
+    )
+    prev = ranked(F.col("ymax") - 1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("rev_cents").alias("rev_prev"),
+        F.col("rnk").alias("rank_prev"),
+    )
+    return cur.join(prev, "custkey").select(
+        "custkey",
+        "rev_prev",
+        "rev_cur",
+        "rank_prev",
+        "rank_cur",
+        (F.col("rank_prev") - F.col("rank_cur")).alias("rank_gain"),
+    )
+
+
+ORACLE_RANK_DELTA = """
+WITH rev AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1, 2
+), ym AS (
+  SELECT MAX(yr) AS ymax FROM rev
+), cur AS (
+  SELECT o_custkey AS custkey, rev_cents AS rev_cur,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey)
+           AS rank_cur
+  FROM rev, ym WHERE yr = ymax
+), prev AS (
+  SELECT o_custkey AS custkey, rev_cents AS rev_prev,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey)
+           AS rank_prev
+  FROM rev, ym WHERE yr = ymax - 1
+)
+SELECT c.custkey, p.rev_prev, c.rev_cur, p.rank_prev, c.rank_cur,
+       p.rank_prev - c.rank_cur AS rank_gain
+FROM cur c JOIN prev p ON c.custkey = p.custkey
+"""
+
+
+def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov test of day-of-week uniformity over event
+    times. The weekday is pure integer arithmetic (epoch-day mod 7 —
+    never an engine ``dayofweek``, whose basis differs between Spark
+    and DuckDB), the empirical CDF is a 7-row cumulative window over
+    exact counts, and the statistic is a MAX of absolute differences —
+    order-free, so no float-sum discipline is even needed. One fact
+    aggregate, 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)) % 7
+    ).cast("int")
+    counts = ev.select(dow.alias("dow")).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("dow")
+    cum = counts.select(
+        "dow",
+        F.sum("n").over(w).alias("cumn"),
+        F.sum("n")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    diff = F.abs(
+        F.col("cumn").cast("double") / F.col("total").cast("double")
+        - (F.col("dow") + 1).cast("double") / F.lit(7.0)
+    )
+    return cum.groupBy("total").agg(F.max(diff).alias("ks_stat")).select(
+        F.col("total").alias("n_events"), "ks_stat"
+    )
+
+
+ORACLE_KS_UNIFORMITY = """
+WITH counts AS (
+  SELECT CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7
+              AS INT) AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT dow,
+         SUM(n) OVER (ORDER BY dow
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumn,
+         SUM(n) OVER () AS total
+  FROM counts
+)
+SELECT total AS n_events,
+       MAX(ABS(CAST(cumn AS DOUBLE) / CAST(total AS DOUBLE)
+               - CAST(dow + 1 AS DOUBLE) / 7.0)) AS ks_stat
+FROM cum GROUP BY total
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8662,6 +8974,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_by_nation": q_gini_by_nation,
     "interval_islands": q_interval_islands,
     "rfm_segments": q_rfm_segments,
+    "benford_digits": q_benford_digits,
+    "weighted_median": q_weighted_median,
+    "rank_delta": q_rank_delta,
+    "ks_uniformity": q_ks_uniformity,
 }
 
 _ORACLES: dict[str, str] = {
@@ -8842,6 +9158,10 @@ _ORACLES: dict[str, str] = {
     "gini_by_nation": ORACLE_GINI_BY_NATION,
     "interval_islands": ORACLE_INTERVAL_ISLANDS,
     "rfm_segments": ORACLE_RFM_SEGMENTS,
+    "benford_digits": ORACLE_BENFORD_DIGITS,
+    "weighted_median": ORACLE_WEIGHTED_MEDIAN,
+    "rank_delta": ORACLE_RANK_DELTA,
+    "ks_uniformity": ORACLE_KS_UNIFORMITY,
 }
 
 

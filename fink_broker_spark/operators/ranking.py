@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_ntile", "ntile_from_position"]
+__all__ = ["bucketed_ntile", "bucketed_rank", "ntile_from_position"]
 
 
 def ntile_from_position(pos: Column, n: Column, buckets: int) -> Column:
@@ -59,22 +59,30 @@ def ntile_from_position(pos: Column, n: Column, buckets: int) -> Column:
     )
 
 
-def bucketed_ntile(
+def bucketed_rank(
     df: DataFrame,
     key: Column,
     tiebreak: Column,
-    buckets: int,
     out: str,
     bucket_width: int = 1,
 ) -> DataFrame:
-    """Append ``out`` = exact global NTILE(buckets) ordered by
-    ``(key ASC, tiebreak ASC)`` — computed distributed (see module
-    docstring). ``key`` must be an integral Column; for descending
-    metrics pass the negated metric. ``bucket_width`` coarsens the
-    bucket id for high-cardinality keys (bucket = floor(key/width));
-    width 1 means bucket = key. The tiebreak must make the total order
-    unique, else ntile itself is underdetermined.
-    """
+    """Append ``out`` = exact global 1-based ROW_NUMBER ordered by
+    ``(key ASC, tiebreak ASC)``, computed with the bucket-offset plan
+    (module docstring) instead of a single-partition sort. With a
+    unique tiebreak this equals RANK/DENSE_RANK too. ``key`` must be
+    integral; negate it for descending order."""
+    ranked = _positioned(df, key, tiebreak, bucket_width)
+    return ranked.withColumn(out, F.col("__pos")).drop(
+        "__b", "__k", "__off", "__n", "__pos"
+    )
+
+
+def _positioned(
+    df: DataFrame, key: Column, tiebreak: Column, bucket_width: int
+) -> DataFrame:
+    """Shared bucket-offset core: returns df + __b/__k/__off/__n/__pos
+    where __pos is the exact global 1-based position and __n the total
+    row count."""
     # floor-division via double: |key| is far below 2^53 for every
     # integerized metric here, so the quotient is exact and monotone
     # (DIV truncates toward zero and would fold negatives onto bucket 0)
@@ -94,9 +102,29 @@ def bucketed_ntile(
         ).alias("__n"),
     )
     wloc = Window.partitionBy("__b").orderBy(F.col("__k"), tiebreak)
-    pos = F.col("__off") + F.row_number().over(wloc)
-    return (
-        rows.join(F.broadcast(offsets), "__b")
-        .withColumn(out, ntile_from_position(pos, F.col("__n"), buckets))
-        .drop("__b", "__k", "__off", "__n", "__cnt")
+    return rows.join(F.broadcast(offsets), "__b").withColumn(
+        "__pos", F.col("__off") + F.row_number().over(wloc)
     )
+
+
+def bucketed_ntile(
+    df: DataFrame,
+    key: Column,
+    tiebreak: Column,
+    buckets: int,
+    out: str,
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Append ``out`` = exact global NTILE(buckets) ordered by
+    ``(key ASC, tiebreak ASC)`` — computed distributed (see module
+    docstring). ``key`` must be an integral Column; for descending
+    metrics pass the negated metric. ``bucket_width`` coarsens the
+    bucket id for high-cardinality keys (bucket = floor(key/width));
+    width 1 means bucket = key. The tiebreak must make the total order
+    unique, else ntile itself is underdetermined.
+    """
+    ranked = _positioned(df, key, tiebreak, bucket_width)
+    return ranked.withColumn(
+        out,
+        ntile_from_position(F.col("__pos"), F.col("__n"), buckets),
+    ).drop("__b", "__k", "__off", "__n", "__pos")
