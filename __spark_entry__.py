@@ -8089,16 +8089,19 @@ FROM terms GROUP BY n
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over the lineitem measures
-    (quantity, extendedprice, discount) from ONE fact pass: every
-    measure integerizes to exact cents (``floor(x*100+0.5)`` — the
-    identical-IEEE-tree rule), the 10 moment sums accumulate as exact
-    DECIMAL(38,0)/HUGEINT partials (per-row products fit int64; sums
-    don't, so the cast happens per-row BEFORE the sum), and each
-    correlation is the regression_trend fixed tree — scale-0
-    decimal→double casts (single rounding both engines), double
-    multiply, sqrt. Native ``F.corr`` accumulates in float and is not
-    hash-stable; this decomposition is. At 100 TB: one scan, 10
-    mergeable numbers of aggregation state, 3-row output."""
+    (quantity, extendedprice, discount), two-pass centered form.
+    Pass 1: exact integer count + cents sums (sub-2⁵³, safe
+    everywhere). Pass 2: per-row deviations in per-measure NORMALIZED
+    units (fixed literal divisors — correlation is scale-invariant, so
+    normalizing keeps every term O(1)-O(10³) and every decimal sum's
+    unscaled value far below 2⁵³), each cross/self product rounded to
+    decimal(18,7) BEFORE the exact sum, then r = fixed double tree.
+    The one-pass n·Σxy − Σx·Σy form was REJECTED: its price-variance
+    operand reaches 82 bits and DuckDB's int128→double conversion is
+    not correctly rounded above ~2⁶⁴ (measured) — wide exact integers
+    must never terminal-cast. Native ``F.corr`` accumulates in float
+    and is not hash-stable; this decomposition is. At 100 TB: two
+    scans, 7 mergeable aggregation numbers, 3-row output."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def cents(c):
@@ -8109,38 +8112,45 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_extendedprice").alias("p"),
         cents("l_discount").alias("d"),
     )
-
-    def s2(a, b, name):
-        return F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(
-            name
-        )
-
-    g = t.agg(
+    m = t.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("sq"),
         F.sum("p").alias("sp"),
         F.sum("d").alias("sd"),
-        s2("q", "q", "sqq"),
-        s2("p", "p", "spp"),
-        s2("d", "d", "sdd"),
-        s2("q", "p", "sqp"),
-        s2("q", "d", "sqd"),
-        s2("p", "d", "spd"),
+    )
+    # per-measure normalizers keep deviations O(1)-O(10): quantity in
+    # tens, price in $10k units, discount in tenths of a cent-unit
+    NORM = {"q": 1000.0, "p": 1000000.0, "d": 10.0}
+
+    def dev(c):
+        return F.col(c).cast("double") / F.lit(NORM[c]) - (
+            F.col("s" + c).cast("double") / F.col("n").cast("double")
+        ) / F.lit(NORM[c])
+
+    def term(a, b, name):
+        return F.sum(
+            (dev(a) * dev(b)).cast("decimal(18,7)")
+        ).alias(name)
+
+    g = t.crossJoin(F.broadcast(m)).agg(
+        F.max("n").alias("n"),
+        term("q", "p", "cqp"),
+        term("q", "d", "cqd"),
+        term("p", "d", "cpd"),
+        term("q", "q", "vq"),
+        term("p", "p", "vp"),
+        term("d", "d", "vd"),
     )
 
-    def big(c):
-        return F.col(c).cast("decimal(38,0)")
-
-    def corr(sa, sb, sab, saa, sbb):
-        num = (big("n") * big(sab) - big(sa) * big(sb)).cast("double")
-        da = (big("n") * big(saa) - big(sa) * big(sa)).cast("double")
-        db = (big("n") * big(sbb) - big(sb) * big(sb)).cast("double")
-        return num / F.sqrt(da * db)
+    def corr(cab, va, vb):
+        return F.col(cab).cast("double") / F.sqrt(
+            F.col(va).cast("double") * F.col(vb).cast("double")
+        )
 
     pairs = [
-        ("quantity_price", corr("sq", "sp", "sqp", "sqq", "spp")),
-        ("quantity_discount", corr("sq", "sd", "sqd", "sqq", "sdd")),
-        ("price_discount", corr("sp", "sd", "spd", "spp", "sdd")),
+        ("quantity_price", corr("cqp", "vq", "vp")),
+        ("quantity_discount", corr("cqd", "vq", "vd")),
+        ("price_discount", corr("cpd", "vp", "vd")),
     ]
     out = None
     for name, expr in pairs:
@@ -8157,28 +8167,60 @@ WITH t AS (
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
          CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
   FROM lineitem
-), g AS (
-  SELECT count(*) AS n, SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
-         SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(d * d) AS sdd,
-         SUM(q * p) AS sqp, SUM(q * d) AS sqd, SUM(p * d) AS spd
+), m AS (
+  SELECT count(*) AS n, SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd
   FROM t
+), g AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST((CAST(q AS DOUBLE) / 1000.0
+                   - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0)
+                  * (CAST(p AS DOUBLE) / 1000000.0
+                     - (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                       / 1000000.0)
+                  AS DECIMAL(18,7))) AS cqp,
+         SUM(CAST((CAST(q AS DOUBLE) / 1000.0
+                   - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0)
+                  * (CAST(d AS DOUBLE) / 10.0
+                     - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) / 10.0)
+                  AS DECIMAL(18,7))) AS cqd,
+         SUM(CAST((CAST(p AS DOUBLE) / 1000000.0
+                   - (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1000000.0)
+                  * (CAST(d AS DOUBLE) / 10.0
+                     - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) / 10.0)
+                  AS DECIMAL(18,7))) AS cpd,
+         SUM(CAST((CAST(q AS DOUBLE) / 1000.0
+                   - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0)
+                  * (CAST(q AS DOUBLE) / 1000.0
+                     - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0)
+                  AS DECIMAL(18,7))) AS vq,
+         SUM(CAST((CAST(p AS DOUBLE) / 1000000.0
+                   - (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1000000.0)
+                  * (CAST(p AS DOUBLE) / 1000000.0
+                     - (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                       / 1000000.0)
+                  AS DECIMAL(18,7))) AS vp,
+         SUM(CAST((CAST(d AS DOUBLE) / 10.0
+                   - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) / 10.0)
+                  * (CAST(d AS DOUBLE) / 10.0
+                     - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) / 10.0)
+                  AS DECIMAL(18,7))) AS vd
+  FROM t CROSS JOIN m
 )
 SELECT 'quantity_price' AS pair, n,
-       CAST(n * sqp - sq * sp AS DOUBLE)
-         / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
-                * CAST(n * spp - sp * sp AS DOUBLE)) AS corr
+       CAST(cqp AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vp AS DOUBLE)) AS corr
 FROM g
 UNION ALL
 SELECT 'quantity_discount', n,
-       CAST(n * sqd - sq * sd AS DOUBLE)
-         / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
-                * CAST(n * sdd - sd * sd AS DOUBLE))
+       CAST(cqd AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vd AS DOUBLE))
 FROM g
 UNION ALL
 SELECT 'price_discount', n,
-       CAST(n * spd - sp * sd AS DOUBLE)
-         / sqrt(CAST(n * spp - sp * sp AS DOUBLE)
-                * CAST(n * sdd - sd * sd AS DOUBLE))
+       CAST(cpd AS DOUBLE)
+         / sqrt(CAST(vp AS DOUBLE) * CAST(vd AS DOUBLE))
 FROM g
 """
 
@@ -8799,6 +8841,294 @@ FROM cum GROUP BY total
 """
 
 
+def q_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index: supplier
+    revenue concentration within each nation, H = Σ(sᵢ/Σsⱼ)². Each
+    share divides exact sub-2⁵³ integers in DOUBLE (bit-identical both
+    engines), the squared term rounds to decimal(18,9) BEFORE the sum
+    (order-free float-sum discipline), and the ≤1-magnitude decimal
+    sum casts narrowly to double. The Σsᵢ²/(Σsᵢ)² formulation was
+    deliberately REJECTED: its operands outgrow 2⁵³ and DuckDB's
+    int128→double conversion is not correctly rounded (measured 1-ulp
+    split at sf0.01) — wide exact integers must never terminal-cast.
+    Plan: one lineitem aggregate per supplier — the only fact shuffle
+    — then dimension-sized joins and a 25-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    per = (
+        li.select(
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("s"))
+        .join(
+            F.broadcast(
+                su.select("s_suppkey", "s_nationkey").join(
+                    F.broadcast(na.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    tot = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("s").alias("ssum"),
+    )
+    share = F.col("s").cast("double") / F.col("ssum").cast("double")
+    return (
+        per.join(F.broadcast(tot), "n_name")
+        .select(
+            "n_name",
+            "n_suppliers",
+            (share * share).cast("decimal(18,9)").alias("term"),
+        )
+        .groupBy("n_name", "n_suppliers")
+        .agg(F.sum("term").cast("double").alias("hhi"))
+        .select(F.col("n_name").alias("nation"), "n_suppliers", "hhi")
+    )
+
+
+ORACLE_HERFINDAHL_INDEX = """
+WITH per AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS s
+  FROM lineitem GROUP BY l_suppkey
+), tagged AS (
+  SELECT n.n_name, p.s
+  FROM per p
+  JOIN supplier su ON p.l_suppkey = su.s_suppkey
+  JOIN nation n ON su.s_nationkey = n.n_nationkey
+), tot AS (
+  SELECT n_name, count(*) AS n_suppliers, SUM(s) AS ssum
+  FROM tagged GROUP BY n_name
+), terms AS (
+  SELECT g.n_name, t.n_suppliers,
+         CAST((CAST(g.s AS DOUBLE) / CAST(t.ssum AS DOUBLE))
+              * (CAST(g.s AS DOUBLE) / CAST(t.ssum AS DOUBLE))
+              AS DECIMAL(18,9)) AS term
+  FROM tagged g JOIN tot t ON g.n_name = t.n_name
+)
+SELECT n_name AS nation, n_suppliers,
+       CAST(SUM(term) AS DOUBLE) AS hhi
+FROM terms GROUP BY n_name, n_suppliers
+"""
+
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: does the price distribution of
+    returned items ('R') differ from accepted ones ('A')? Ranking runs
+    on the (cents → n₁, n₂) VALUE GRID, not the rows: the tied-group
+    average rank is (cum_before + (t+1)/2), kept integral by doubling
+    (2·rank = 2·cum_before + t + 1), so the doubled rank sum R₁,
+    U₁ = R₁ − n₁(n₁+1), and the tie-correction Σ(t³−t) are ALL exact
+    DECIMAL(38,0)/HUGEINT integers. Only the final z-score is a fixed
+    double tree over scale-0 casts. Plan: one fact aggregate to the
+    value grid, one grid-ordered cumulative window (|distinct cents|
+    rows), a 1-row output — no per-row ranking ever happens."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("is1"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is1").alias("n1"),
+            F.sum(1 - F.col("is1")).alias("n2"),
+        )
+    )
+    w = Window.orderBy("cents")
+    grid = t.select(
+        "cents",
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("tt"),
+        (
+            F.sum(F.col("n1") + F.col("n2")).over(w)
+            - (F.col("n1") + F.col("n2"))
+        ).alias("cumb"),
+    )
+    agg = grid.agg(
+        F.sum("n1").alias("n1t"),
+        F.sum("n2").alias("n2t"),
+        F.sum(
+            (
+                F.col("n1") * (2 * F.col("cumb") + F.col("tt") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r1_2"),
+        F.sum(
+            (
+                F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")
+            ).cast("decimal(38,0)")
+        ).alias("tie3"),
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    u1_2 = big("r1_2") - big("n1t") * (big("n1t") + 1)
+    nn = big("n1t") + big("n2t")
+    a = (big("n1t") * big("n2t")).cast("double")
+    b = (nn + 1).cast("double")
+    c = F.col("tie3").cast("double")
+    d = nn.cast("double")
+    sigma = F.sqrt(a * (b - c / (d * (d - F.lit(1.0)))) / F.lit(12.0))
+    z = (u1_2.cast("double") / F.lit(2.0) - a / F.lit(2.0)) / sigma
+    return agg.select(
+        F.col("n1t").alias("n_returned"),
+        F.col("n2t").alias("n_accepted"),
+        u1_2.cast("long").alias("u1_doubled"),
+        z.alias("z_score"),
+    )
+
+
+ORACLE_MANNWHITNEY_U = """
+WITH t AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n2
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+  GROUP BY 1
+), grid AS (
+  SELECT cents, n1, n2, n1 + n2 AS tt,
+         SUM(n1 + n2) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (n1 + n2) AS cumb
+  FROM t
+), agg AS (
+  SELECT SUM(n1) AS n1t, SUM(n2) AS n2t,
+         SUM(n1 * (2 * cumb + tt + 1)) AS r1_2,
+         SUM(tt * tt * tt - tt) AS tie3
+  FROM grid
+)
+SELECT n1t AS n_returned, n2t AS n_accepted,
+       CAST(r1_2 - n1t * (n1t + 1) AS BIGINT) AS u1_doubled,
+       (CAST(r1_2 - n1t * (n1t + 1) AS DOUBLE) / 2.0
+        - CAST(n1t * n2t AS DOUBLE) / 2.0)
+       / sqrt(CAST(n1t * n2t AS DOUBLE)
+              * (CAST(n1t + n2t + 1 AS DOUBLE)
+                 - CAST(tie3 AS DOUBLE)
+                   / (CAST(n1t + n2t AS DOUBLE)
+                      * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
+              / 12.0) AS z_score
+FROM agg
+"""
+
+
+def q_out_of_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream ordering audit: across each user's event history
+    in event_id order, how often does the timestamp go backwards?
+    The lag runs per user (bounded window state) over the symmetric
+    integer pair (event_id, epoch µs) — the lag-ordering discipline
+    that keeps sub-µs layouts from reordering pairs between engines.
+    Output: global pair count, inversion count, inversion rate. One
+    fact shuffle on user_id; the final aggregate is 3 numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).select(
+        F.lag("us").over(w).alias("prev_us"),
+        F.col("us"),
+    )
+    pairs = t.filter(F.col("prev_us").isNotNull())
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("us") < F.col("prev_us"), 1).otherwise(0)
+        ).alias("n_inversions"),
+    ).select(
+        "n_pairs",
+        "n_inversions",
+        (
+            F.col("n_inversions").cast("double")
+            / F.col("n_pairs").cast("double")
+        ).alias("inversion_rate"),
+    )
+
+
+ORACLE_OUT_OF_ORDER_RATE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+         ) AS prev_us
+  FROM events
+), pairs AS (
+  SELECT * FROM t WHERE prev_us IS NOT NULL
+)
+SELECT count(*) AS n_pairs,
+       SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) AS n_inversions,
+       CAST(SUM(CASE WHEN us < prev_us THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS inversion_rate
+FROM pairs
+"""
+
+
+def q_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: every purchase's value credits the
+    event_type of the user's FIRST-ever event. The first touch is a
+    per-user ``first_value`` over the symmetric (epoch µs, event_id)
+    ordering; purchase values decimal(18,9)-round BEFORE the channel
+    sum (order-free float-sum discipline) and the total emits
+    ROUND(·,2)→double (wide-decimal rule). Plan: one user-partitioned
+    window (bounded state), one channel aggregate — two shuffles
+    total, both on data the fact scan already produced."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(_dec("value")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION_FIRST_TOUCH = """
+WITH tagged AS (
+  SELECT user_id, event_type, value,
+         FIRST_VALUE(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS first_touch
+  FROM events
+)
+SELECT first_touch, count(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2)
+            AS DOUBLE) AS attributed_value
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY first_touch
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8978,6 +9308,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median": q_weighted_median,
     "rank_delta": q_rank_delta,
     "ks_uniformity": q_ks_uniformity,
+    "herfindahl_index": q_herfindahl_index,
+    "mannwhitney_u": q_mannwhitney_u,
+    "out_of_order_rate": q_out_of_order_rate,
+    "attribution_first_touch": q_attribution_first_touch,
 }
 
 _ORACLES: dict[str, str] = {
@@ -9162,6 +9496,10 @@ _ORACLES: dict[str, str] = {
     "weighted_median": ORACLE_WEIGHTED_MEDIAN,
     "rank_delta": ORACLE_RANK_DELTA,
     "ks_uniformity": ORACLE_KS_UNIFORMITY,
+    "herfindahl_index": ORACLE_HERFINDAHL_INDEX,
+    "mannwhitney_u": ORACLE_MANNWHITNEY_U,
+    "out_of_order_rate": ORACLE_OUT_OF_ORDER_RATE,
+    "attribution_first_touch": ORACLE_ATTRIBUTION_FIRST_TOUCH,
 }
 
 

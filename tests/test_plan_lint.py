@@ -61,6 +61,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "corr_matrix": (
+        {"broadcast_nested_loop_join"},
+        "1-row count/sum moment aggregate broadcast into the "
+        "centered second pass",
+    ),
     "benford_digits": (
         {"broadcast_nested_loop_join"},
         "1-row observed-total aggregate broadcast into the 9-row "
