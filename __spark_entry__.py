@@ -9129,6 +9129,171 @@ GROUP BY first_touch
 """
 
 
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the structural
+    companion to pagerank/triangle_count over the SAME support-cut
+    edge set (``ext/graph.py:copurchase_edges``). Two integer
+    aggregates: per-node degree, then nodes-per-degree. Output is the
+    degree histogram (|distinct degrees| rows) — the first thing a
+    100 TB graph job inspects before choosing broadcast vs shuffle
+    regimes for closure/propagation. Integer-exact end-to-end."""
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sym = symmetrize(copurchase_edges(li, min_support=2))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("degree", "n_nodes")
+    )
+
+
+ORACLE_DEGREE_STATS = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT u AS src FROM pairs UNION ALL SELECT v FROM pairs
+), deg AS (
+  SELECT src, count(*) AS degree FROM sym GROUP BY src
+)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index of order revenue across all
+    years: index_m = 12·rev_m / Σrev. Revenue integerizes to exact
+    cents; the index is one double division of exact sub-2⁵³ operands
+    (12·rev_m ≤ ~2⁴⁸ at sf1). The month key is integer-exact from the
+    normalized timestamp. One fact aggregate to 12 rows; the total is
+    a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.month("o_orderdate").alias("mo"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("mo")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    tot = monthly.agg(F.sum("rev_cents").alias("total_cents"))
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        "rev_cents",
+        (
+            (F.lit(12) * F.col("rev_cents")).cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("seasonal_index"),
+    )
+
+
+ORACLE_SEASONALITY_INDEX = """
+WITH monthly AS (
+  SELECT month(o_orderdate) AS mo,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT SUM(rev_cents) AS total_cents FROM monthly
+)
+SELECT mo, rev_cents,
+       CAST(12 * rev_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+         AS seasonal_index
+FROM monthly CROSS JOIN tot
+"""
+
+
+def q_source_quality_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus composition matrix over documents: per (source, lang)
+    cell — doc count, exact mean length (double division of integer
+    sums), and the cell's share within its source (a source-partitioned
+    total attached by broadcast join, never a window over the corpus).
+    The training-data-mixture view a 100 TB curation run starts from.
+    One fact aggregate; everything downstream is |sources×langs|-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    per_source = cell.groupBy("source").agg(
+        F.sum("n_docs").alias("source_docs")
+    )
+    return cell.join(F.broadcast(per_source), "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        (
+            F.col("sum_chars").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("mean_chars"),
+        (
+            F.col("n_docs").cast("double")
+            / F.col("source_docs").cast("double")
+        ).alias("share_of_source"),
+    )
+
+
+ORACLE_SOURCE_QUALITY_MATRIX = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS n_docs, SUM(n_chars) AS sum_chars
+  FROM documents GROUP BY source, lang
+), per_source AS (
+  SELECT source, SUM(n_docs) AS source_docs FROM cell GROUP BY source
+)
+SELECT c.source, c.lang, c.n_docs,
+       CAST(c.sum_chars AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
+         AS mean_chars,
+       CAST(c.n_docs AS DOUBLE) / CAST(p.source_docs AS DOUBLE)
+         AS share_of_source
+FROM cell c JOIN per_source p ON c.source = p.source
+"""
+
+
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two magnitude histogram of order totals — the
+    log-scale distribution sketch without any floating log: the bucket
+    is the BIT LENGTH of the exact integer cents (length of the base-2
+    string — Spark ``conv(x,10,2)``, DuckDB ``bin(x)``; identical
+    pure-integer semantics), so engines can never disagree. Emits each
+    bucket's row count and exact cents range covered. One fact
+    aggregate, ~15-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    t = o.select(
+        F.length(F.conv(cents.cast("string"), 10, 2)).alias("bits"),
+        cents.alias("cents"),
+    )
+    return t.groupBy("bits").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+ORACLE_LOG2_HISTOGRAM = """
+WITH t AS (
+  SELECT length(bin(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)))
+           AS bits,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bits, count(*) AS n_orders, MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM t GROUP BY bits
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9312,6 +9477,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mannwhitney_u": q_mannwhitney_u,
     "out_of_order_rate": q_out_of_order_rate,
     "attribution_first_touch": q_attribution_first_touch,
+    "degree_stats": q_degree_stats,
+    "seasonality_index": q_seasonality_index,
+    "source_quality_matrix": q_source_quality_matrix,
+    "log2_histogram": q_log2_histogram,
 }
 
 _ORACLES: dict[str, str] = {
@@ -9500,6 +9669,10 @@ _ORACLES: dict[str, str] = {
     "mannwhitney_u": ORACLE_MANNWHITNEY_U,
     "out_of_order_rate": ORACLE_OUT_OF_ORDER_RATE,
     "attribution_first_touch": ORACLE_ATTRIBUTION_FIRST_TOUCH,
+    "degree_stats": ORACLE_DEGREE_STATS,
+    "seasonality_index": ORACLE_SEASONALITY_INDEX,
+    "source_quality_matrix": ORACLE_SOURCE_QUALITY_MATRIX,
+    "log2_histogram": ORACLE_LOG2_HISTOGRAM,
 }
 
 

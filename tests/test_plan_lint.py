@@ -61,6 +61,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "seasonality_index": (
+        {"broadcast_nested_loop_join"},
+        "1-row annual-total aggregate broadcast into the 12-row "
+        "monthly table",
+    ),
     "corr_matrix": (
         {"broadcast_nested_loop_join"},
         "1-row count/sum moment aggregate broadcast into the "
