@@ -9294,6 +9294,274 @@ FROM t GROUP BY bits
 """
 
 
+def q_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order→last-ship latency per priority,
+    computed on the (priority, latency-day) VALUE GRID — the
+    distributed exact-quantile pattern: one fact aggregate collapses
+    rows to the grid, a grid-sized cumulative window ranks values, and
+    each quantile is a conditional MIN under a pure-integer threshold
+    predicate (2·cum ≥ n, 10·cum ≥ 9n, 100·cum ≥ 99n — no ceil, no
+    float). Unlike native exact ``percentile`` (unbounded per-group
+    state — the documented percentiles scale-killer), per-task state
+    here is one count per distinct latency value. Integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def day(c):
+        return F.floor(
+            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
+        ).cast("long")
+
+    ship = (
+        li.select("l_orderkey", day("l_shipdate").alias("sday"))
+        .groupBy("l_orderkey")
+        .agg(F.max("sday").alias("last_ship"))
+    )
+    lat = (
+        o.select(
+            "o_orderkey", "o_orderpriority", day("o_orderdate").alias("od")
+        )
+        .join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            (F.col("last_ship") - F.col("od")).alias("days"),
+        )
+    )
+    grid = lat.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days")
+    cum = grid.select(
+        "o_orderpriority",
+        "days",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("days"))
+        ).alias("p90_days"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("days"))
+        ).alias("p99_days"),
+    )
+
+
+ORACLE_GRID_QUANTILES = """
+WITH ship AS (
+  SELECT l_orderkey,
+         MAX(CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT))
+           AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT o.o_orderpriority,
+         s.last_ship
+           - CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT)
+           AS days
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+), grid AS (
+  SELECT o_orderpriority, days, count(*) AS cnt
+  FROM lat GROUP BY o_orderpriority, days
+), cum AS (
+  SELECT o_orderpriority, days,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM grid
+)
+SELECT o_orderpriority, MAX(n) AS n_orders,
+       MIN(CASE WHEN 2 * cum >= n THEN days END) AS p50_days,
+       MIN(CASE WHEN 10 * cum >= 9 * n THEN days END) AS p90_days,
+       MIN(CASE WHEN 100 * cum >= 99 * n THEN days END) AS p99_days
+FROM cum GROUP BY o_orderpriority
+"""
+
+
+def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: days between consecutive orders per
+    customer (lag over the symmetric (day, orderkey) order), then the
+    corpus-wide gap count, exact double mean, and exact grid median
+    (same conditional-MIN construction as grid_quantiles — no global
+    sort, no unbounded percentile state). 1-row output."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def day(c):
+        return F.floor(
+            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
+        ).cast("long")
+
+    w = Window.partitionBy("o_custkey").orderBy("oday", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey", "o_orderkey", day("o_orderdate").alias("oday")
+        )
+        .select(
+            "o_custkey",
+            (F.col("oday") - F.lag("oday").over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    grid = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.orderBy("gap")
+    cum = grid.select(
+        "gap",
+        F.sum("cnt").over(wg).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        (F.col("gap") * F.col("cnt")).alias("wsum"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        (
+            F.sum("wsum").cast("double") / F.max("n").cast("double")
+        ).alias("mean_gap_days"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("gap"))
+        ).alias("median_gap_days"),
+    )
+
+
+ORACLE_REPEAT_INTERVAL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+           AS oday
+  FROM orders
+), gaps AS (
+  SELECT oday - LAG(oday) OVER (
+           PARTITION BY o_custkey ORDER BY oday, o_orderkey
+         ) AS gap
+  FROM ordered
+), g2 AS (
+  SELECT gap FROM gaps WHERE gap IS NOT NULL
+), grid AS (
+  SELECT gap, count(*) AS cnt FROM g2 GROUP BY gap
+), cum AS (
+  SELECT gap,
+         SUM(cnt) OVER (ORDER BY gap
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n,
+         gap * cnt AS wsum
+  FROM grid
+)
+SELECT MAX(n) AS n_gaps,
+       CAST(SUM(wsum) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+         AS mean_gap_days,
+       MIN(CASE WHEN 2 * cum >= n THEN gap END) AS median_gap_days
+FROM cum
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per source: per-document
+    TTR = |distinct tokens| / |tokens| — both pure per-row integer
+    reductions over the shared tokenizer (``functions/text.py``), no
+    token shuffle at all — then the source-level mean with the float
+    discipline (each TTR is a double division of exact ints, rounded
+    to decimal(18,9) before the exact sum). Map-only until a
+    |sources|-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    from fink_broker_spark.functions.text import tokens_expr
+
+    toks = tokens_expr("text")
+    t = d.filter(
+        F.length(F.trim(F.lower(F.col("text")))) > 0
+    ).select(
+        "source",
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        )
+        .cast("decimal(18,9)")
+        .alias("ttr"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("ttr").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_ttr"),
+    )
+
+
+ORACLE_LEXICAL_DIVERSITY = r"""
+WITH t AS (
+  SELECT source,
+         CAST(CAST(length(list_distinct(
+                  string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+              / CAST(length(
+                  string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE)
+              AS DECIMAL(18,9)) AS ttr
+  FROM documents
+  WHERE length(trim(lower(text))) > 0
+)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(ttr) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_ttr
+FROM t GROUP BY source
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode the vectors,
+    integerize each float component to exact nano-units with the
+    identical-IEEE ``floor(x·1e9 + 0.5)`` tree (float sums are
+    order-dependent; a double→decimal CAST is also unsafe here —
+    Spark rounds the SHORTEST-REPR digits while DuckDB rounds the
+    exact binary expansion, and non-decimal-clean floats split the
+    engines: measured one 1e-9 quantum divergence in 140k components
+    at sf0.1), sum exact longs, and emit one fixed double tree per
+    component. The SemDeDup/k-means support operator in
+    oracle-checkable form. One shuffle keyed (label, pos); output
+    |labels|×dim rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(
+            F.col("val").cast("double") * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_nano"),
+    )
+    return t.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum("v_nano").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000_000.0)
+        ).alias("centroid_val"),
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH t AS (
+  SELECT label, CAST(i AS INTEGER) AS pos,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000000.0
+                    + 0.5) AS BIGINT) AS v_nano
+  FROM embeddings, range(0, 4096) r(i)
+  WHERE i < len(embedding)
+)
+SELECT label, pos, count(*) AS n_vectors,
+       CAST(SUM(v_nano) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         / 1000000000.0 AS centroid_val
+FROM t GROUP BY label, pos
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9481,6 +9749,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonality_index": q_seasonality_index,
     "source_quality_matrix": q_source_quality_matrix,
     "log2_histogram": q_log2_histogram,
+    "grid_quantiles": q_grid_quantiles,
+    "repeat_interval": q_repeat_interval,
+    "lexical_diversity": q_lexical_diversity,
+    "label_centroids": q_label_centroids,
 }
 
 _ORACLES: dict[str, str] = {
@@ -9673,6 +9945,10 @@ _ORACLES: dict[str, str] = {
     "seasonality_index": ORACLE_SEASONALITY_INDEX,
     "source_quality_matrix": ORACLE_SOURCE_QUALITY_MATRIX,
     "log2_histogram": ORACLE_LOG2_HISTOGRAM,
+    "grid_quantiles": ORACLE_GRID_QUANTILES,
+    "repeat_interval": ORACLE_REPEAT_INTERVAL,
+    "lexical_diversity": ORACLE_LEXICAL_DIVERSITY,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
 }
 
 
