@@ -7267,17 +7267,16 @@ def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(xy) / (p(x)·p(y)) — the PMI ranking WITHOUT the log (lift is
     monotone in PMI, so ranking is identical and no transcendental ever
     touches the hash; emitting ln() would be the bm25 r04 red all over
-    again). The lift is ONE double division of two exact BIGINT
-    products, a single correctly-rounded IEEE op — bit-equal across
-    engines.
+    again). The lift is a fixed tree of double products over the five
+    exact sub-2⁵³ count operands — every factor casts to double FIRST,
+    so no intermediate ever overflows BIGINT (the former
+    n_xy·N² integer product aborts both engines around N≈3e7 corpus
+    tokens) and both engines evaluate the identical IEEE sequence.
 
     Scale shape: tokenize once per branch with in-array HOFs (the only
     shuffles are the two count aggregates), unigram side broadcast into
     the bigram side twice (vocab ≪ corpus), 1-row totals broadcast,
-    TakeOrdered top-k — no global sort materialization. The BIGINT
-    product n_xy·N² overflows around N≈3e7 tokens; the 100 TB path
-    ranks by the equivalent double product instead (monotonicity is all
-    top-k needs) — driver scales stay integer-exact."""
+    TakeOrdered top-k — no global sort materialization."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower("text"), "[^a-z]+"),
@@ -7312,8 +7311,13 @@ def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(btot))
     )
     lift = (
-        (F.col("n_xy") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
-        / (F.col("n_bigrams") * F.col("n_x") * F.col("n_y")).cast("double")
+        F.col("n_xy").cast("double")
+        * F.col("n_tokens").cast("double")
+        * F.col("n_tokens").cast("double")
+    ) / (
+        F.col("n_bigrams").cast("double")
+        * F.col("n_x").cast("double")
+        * F.col("n_y").cast("double")
     )
     return (
         joined.select(
@@ -7350,8 +7354,10 @@ WITH toksarr AS (
   HAVING COUNT(*) >= 5
 )
 SELECT bc.x || ' ' || bc.y AS bigram, bc.n_xy,
-       CAST(bc.n_xy * tot.n_tokens * tot.n_tokens AS DOUBLE)
-         / CAST(btot.n_bigrams * ux.n_w * uy.n_w AS DOUBLE) AS lift
+       (CAST(bc.n_xy AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)
+        * CAST(tot.n_tokens AS DOUBLE))
+         / (CAST(btot.n_bigrams AS DOUBLE) * CAST(ux.n_w AS DOUBLE)
+            * CAST(uy.n_w AS DOUBLE)) AS lift
 FROM bc
 JOIN uc ux ON ux.w = bc.x
 JOIN uc uy ON uy.w = bc.y
@@ -8038,16 +8044,22 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / e
     return (
         cells.select(
+            "event_type",
+            "arm",
             "n",
             term.cast("decimal(18,9)").alias("t"),
         )
         .groupBy("n")
-        .agg(F.sum("t").cast("double").alias("chi2"))
-        .select(
-            F.col("n").alias("n_events"),
-            F.lit(4).alias("dof"),
-            "chi2",
+        .agg(
+            F.sum("t").cast("double").alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1)
+                * (F.countDistinct("arm") - 1)
+            )
+            .cast("int")
+            .alias("dof"),
         )
+        .select(F.col("n").alias("n_events"), "dof", "chi2")
     )
 
 
@@ -8072,7 +8084,7 @@ WITH base AS (
   LEFT JOIN obs ON obs.event_type = rowm.event_type
               AND obs.arm = colm.arm
 ), terms AS (
-  SELECT n,
+  SELECT event_type, arm, n,
          CAST(((CAST(o AS DOUBLE)
                 - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
                * (CAST(o AS DOUBLE)
@@ -8081,7 +8093,9 @@ WITH base AS (
               AS DECIMAL(18,9)) AS t
   FROM cells
 )
-SELECT CAST(n AS BIGINT) AS n_events, 4 AS dof,
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT arm) - 1) AS INT) AS dof,
        CAST(SUM(t) AS DOUBLE) AS chi2
 FROM terms GROUP BY n
 """
@@ -8147,18 +8161,19 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(va).cast("double") * F.col(vb).cast("double")
         )
 
-    pairs = [
-        ("quantity_price", corr("cqp", "vq", "vp")),
-        ("quantity_discount", corr("cqd", "vq", "vd")),
-        ("price_discount", corr("cpd", "vp", "vd")),
-    ]
-    out = None
-    for name, expr in pairs:
-        row = g.select(
-            F.lit(name).alias("pair"), F.col("n"), expr.alias("corr")
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    # one aggregate row unpivoted with stack — a 3-way union of the
+    # same aggregate would replicate the whole two-pass subplan
+    scored = g.select(
+        "n",
+        corr("cqp", "vq", "vp").alias("c1"),
+        corr("cqd", "vq", "vd").alias("c2"),
+        corr("cpd", "vp", "vd").alias("c3"),
+    )
+    return scored.selectExpr(
+        "stack(3, 'quantity_price', c1, 'quantity_discount', c2, "
+        "'price_discount', c3) AS (pair, corr)",
+        "n",
+    ).select("pair", "n", "corr")
 
 
 ORACLE_CORR_MATRIX = """
@@ -8571,13 +8586,21 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    grid = None
-    for d, lit in _BENFORD.items():
-        row = spark.range(1).select(
-            F.lit(d).alias("digit"),
-            F.expr(f"CAST({lit} AS DOUBLE)").alias("expected"),
-        )
-        grid = row if grid is None else grid.unionAll(row)
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("digit"),
+                        F.expr(f"CAST({lit} AS DOUBLE)").alias(
+                            "expected"
+                        ),
+                    )
+                    for d, lit in _BENFORD.items()
+                ]
+            )
+        ).alias("g")
+    ).select("g.digit", "g.expected")
     tot = obs.agg(F.sum("n").alias("total"))
     return (
         grid.join(obs, "digit", "left")
@@ -8796,8 +8819,16 @@ def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dow = (
         F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)) % 7
     ).cast("int")
-    counts = ev.select(dow.alias("dow")).groupBy("dow").agg(
+    observed = ev.select(dow.alias("dow")).groupBy("dow").agg(
         F.count(F.lit(1)).alias("n")
+    )
+    # full 0..6 grid: an EMPTY weekday is still a CDF evaluation point
+    # (skipping it understates the max deviation)
+    counts = (
+        spark.range(7)
+        .select(F.col("id").cast("int").alias("dow"))
+        .join(observed, "dow", "left")
+        .select("dow", F.coalesce("n", F.lit(0)).alias("n"))
     )
     w = Window.orderBy("dow")
     cum = counts.select(
@@ -8821,11 +8852,14 @@ def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KS_UNIFORMITY = """
-WITH counts AS (
+WITH observed AS (
   SELECT CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) % 7
               AS INT) AS dow,
          count(*) AS n
   FROM events GROUP BY 1
+), counts AS (
+  SELECT CAST(r.range AS INT) AS dow, COALESCE(o.n, 0) AS n
+  FROM range(0, 7) r LEFT JOIN observed o ON r.range = o.dow
 ), cum AS (
   SELECT dow,
          SUM(n) OVER (ORDER BY dow

@@ -134,13 +134,20 @@ def generate_variant(
                 # x.xxxxx5 (scale-6 half), 1/3 to exact .5 halves,
                 # rest unchanged
                 pick = _rng_ints(seed, f"bpick.{name}.{field.name}", len(t), 3)
+                # preserve the null mask: to_numpy turns nulls into NaN
+                # and pa.array(ndarray) would bake them in as NaN rows,
+                # zeroing null counts AND hard-erroring DuckDB's
+                # NaN→DECIMAL casts in the oracle sweep
+                null_mask = np.asarray(col.is_null())
                 v = col.to_numpy(zero_copy_only=False).copy()
-                finite = np.isfinite(v)
+                finite = np.isfinite(v) & ~null_mask
                 sel6 = (pick == 0) & finite
                 v[sel6] = np.round(v[sel6], 5) + 5e-7
                 sel5 = (pick == 1) & finite
                 v[sel5] = np.floor(v[sel5]) + 0.5
-                cols[field.name] = pa.array(v, type=field.type)
+                cols[field.name] = pa.array(
+                    v, type=field.type, mask=null_mask
+                )
             else:
                 cols[field.name] = col
         out = pa.table(

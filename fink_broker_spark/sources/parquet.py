@@ -74,7 +74,11 @@ def _timestamp_columns(path: str) -> tuple[tuple[str, str], ...]:
                 out.append((field.name, field.type.unit))
     except Exception:
         # no pyarrow / exotic layout: fall back to dtype-only handling
-        pass
+        # for THIS call, but never cache the failure — a transient
+        # footer-read error must not permanently disable the
+        # ns-as-bigint normalization (the r04 red class) for the
+        # process lifetime
+        return ()
     _TS_COLS_CACHE[path] = tuple(out)
     return _TS_COLS_CACHE[path]
 
