@@ -9596,6 +9596,279 @@ FROM t GROUP BY label, pos
 """
 
 
+def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join
+    (``operators/relational.py:nearest_asof_join``): each order picks
+    the SAME customer's event closest in time — either side, |Δt| tie
+    → earlier — via the single-shuffle union construction (one
+    key-partitioned sort feeding a backward ``last(ignorenulls)`` AND
+    a forward ``first(ignorenulls)``; never a per-key cross product).
+    Events pre-collapse to one row per (user, µs) (max event_id) so
+    the match is engine-deterministic. Times are exact epoch µs;
+    Δt is an exact integer."""
+    from fink_broker_spark.operators.relational import nearest_asof_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("eus"),
+            "event_id",
+        )
+        .groupBy("user_id", "eus")
+        .agg(F.max("event_id").alias("eid"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate")).alias("ous"),
+    )
+    out = nearest_asof_join(
+        o,
+        ev,
+        left_on="o_custkey",
+        right_on="user_id",
+        left_time="ous",
+        right_time="eus",
+        right_values=["eid"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("eid").alias("nearest_event_id"),
+        F.col("__match_dt").alias("dt_us"),
+    ).filter(F.col("nearest_event_id").isNotNull())
+
+
+ORACLE_NEAREST_EVENT = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS eus, MAX(event_id) AS eid
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ous
+  FROM orders
+), u AS (
+  SELECT o_custkey AS k, ous AS t, 1 AS side, o_orderkey,
+         CAST(NULL AS BIGINT) AS eus, CAST(NULL AS BIGINT) AS eid
+  FROM o
+  UNION ALL
+  SELECT user_id, eus, 0, NULL, eus, eid FROM ev
+), w AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN side = 0 THEN eus END IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY t, side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_t,
+         LAST_VALUE(CASE WHEN side = 0 THEN eid END IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY t, side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_id,
+         FIRST_VALUE(CASE WHEN side = 0 THEN eus END IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY t, side
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_t,
+         FIRST_VALUE(CASE WHEN side = 0 THEN eid END IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY t, side
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_id
+  FROM u
+), picked AS (
+  SELECT o_orderkey, k AS o_custkey,
+         CASE WHEN next_t IS NULL
+                OR (prev_t IS NOT NULL
+                    AND ABS(prev_t - t) <= ABS(next_t - t))
+              THEN prev_id ELSE next_id END AS nearest_event_id,
+         CASE WHEN next_t IS NULL
+                OR (prev_t IS NOT NULL
+                    AND ABS(prev_t - t) <= ABS(next_t - t))
+              THEN prev_t - t ELSE next_t - t END AS dt_us
+  FROM w WHERE side = 1
+)
+SELECT * FROM picked WHERE nearest_event_id IS NOT NULL
+"""
+
+
+def q_window_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window dedup, the oracled batch twin of the streaming
+    ``dropDuplicatesWithinWatermark`` (whose keep-first-ARRIVED output
+    is inherently rows-only): keep the EARLIEST event per (user,
+    event_type, hour bucket) with the symmetric (µs, event_id)
+    tiebreak — fully data-deterministic, so it hash-checks. One
+    min_by aggregate on the dedup key; at 100 TB this is the log
+    compaction pass before archival. Emits survivor counts per type
+    plus total survivors to keep the output dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    kept = (
+        ev.select(
+            "user_id",
+            "event_type",
+            us.alias("us"),
+            "event_id",
+            F.floor(us / F.lit(3_600_000_000)).cast("long").alias("hr"),
+        )
+        .groupBy("user_id", "event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_dups").alias("n_raw"),
+        F.sum(F.col("n_dups") - 1).alias("n_dropped"),
+    )
+
+
+ORACLE_WINDOW_DEDUP_BATCH = """
+WITH kept AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+         count(*) AS n_dups
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, count(*) AS n_kept, SUM(n_dups) AS n_raw,
+       SUM(n_dups - 1) AS n_dropped
+FROM kept GROUP BY event_type
+"""
+
+
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mode (most frequent event_type, ties → lexicographically
+    first) and its share of the user's events — the grouped-mode
+    operator. Two aggregates + one user-partitioned rank window over
+    the (user, type) count table (dimension-sized, bounded state);
+    the share divides exact integers in double."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    tot = Window.partitionBy("user_id")
+    return (
+        cnt.select(
+            "user_id",
+            "event_type",
+            "n",
+            F.row_number().over(w).alias("rn"),
+            F.sum("n").over(tot).alias("n_total"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_modal"),
+            "n_total",
+            (
+                F.col("n").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("modal_share"),
+        )
+    )
+
+
+ORACLE_MODAL_EVENT_TYPE = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn,
+         SUM(n) OVER (PARTITION BY user_id) AS n_total
+  FROM cnt
+)
+SELECT user_id, event_type AS modal_type, n AS n_modal, n_total,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS modal_share
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_region_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution rollup: revenue per nation with its
+    share of the region and of the world — percent-of-parent at two
+    levels via broadcast-joined parent aggregates (never a window over
+    the fact table). Revenue is exact cents; each share is one double
+    division of exact sub-2⁵³ operands. One fact aggregate keyed by
+    nation; everything above runs on the 25/5/1-row dimension tables."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    nk = (
+        cu.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                na.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(re.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name", "r_name")
+    )
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(F.broadcast(nk), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    per_region = rev.groupBy("r_name").agg(
+        F.sum("rev_cents").alias("region_cents")
+    )
+    world = rev.agg(F.sum("rev_cents").alias("world_cents"))
+    return (
+        rev.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(world))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "rev_cents",
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("region_cents").cast("double")
+            ).alias("share_of_region"),
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("world_cents").cast("double")
+            ).alias("share_of_world"),
+        )
+    )
+
+
+ORACLE_REGION_SHARE_ROLLUP = """
+WITH nk AS (
+  SELECT c.c_custkey, n.n_name, r.r_name
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), rev AS (
+  SELECT nk.r_name, nk.n_name,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM orders o JOIN nk ON o.o_custkey = nk.c_custkey
+  GROUP BY 1, 2
+), per_region AS (
+  SELECT r_name, SUM(rev_cents) AS region_cents FROM rev GROUP BY 1
+), world AS (
+  SELECT SUM(rev_cents) AS world_cents FROM rev
+)
+SELECT rev.r_name AS region, rev.n_name AS nation, rev.rev_cents,
+       CAST(rev.rev_cents AS DOUBLE) / CAST(p.region_cents AS DOUBLE)
+         AS share_of_region,
+       CAST(rev.rev_cents AS DOUBLE) / CAST(w.world_cents AS DOUBLE)
+         AS share_of_world
+FROM rev JOIN per_region p ON rev.r_name = p.r_name CROSS JOIN world w
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9787,6 +10060,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeat_interval": q_repeat_interval,
     "lexical_diversity": q_lexical_diversity,
     "label_centroids": q_label_centroids,
+    "nearest_event": q_nearest_event,
+    "window_dedup_batch": q_window_dedup_batch,
+    "modal_event_type": q_modal_event_type,
+    "region_share_rollup": q_region_share_rollup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -9983,6 +10260,10 @@ _ORACLES: dict[str, str] = {
     "repeat_interval": ORACLE_REPEAT_INTERVAL,
     "lexical_diversity": ORACLE_LEXICAL_DIVERSITY,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "nearest_event": ORACLE_NEAREST_EVENT,
+    "window_dedup_batch": ORACLE_WINDOW_DEDUP_BATCH,
+    "modal_event_type": ORACLE_MODAL_EVENT_TYPE,
+    "region_share_rollup": ORACLE_REGION_SHARE_ROLLUP,
 }
 
 

@@ -180,6 +180,89 @@ def asof_join(
     )
 
 
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """Nearest-neighbor as-of join: attach, to every left row, the
+    right row of the same key whose time is CLOSEST (either side);
+    ties in |Δt| go to the earlier (backward) match. Appends, for each
+    ``v`` in ``right_values``, the chosen ``v`` plus ``__match_dt``
+    (right_time − left_time, may be negative) — the bidirectional
+    generalization of :func:`asof_join` for feature joins where the
+    nearest observation matters, not only the latest-before.
+
+    Same single-shuffle plan as ``asof_join`` — union with a side
+    marker, one (key)-partitioned sort, then BOTH a running
+    ``last(ignorenulls)`` (backward candidate, inclusive at equal
+    times because right rows sort first) and a running
+    ``first(ignorenulls)`` over the forward frame (strictly-after
+    candidate — an equal-time right sorts before the left row and so
+    never appears forward). One exchange feeds both window directions.
+    Callers needing cross-engine determinism must pre-collapse right
+    rows to one per (key, time).
+    """
+    lcols = left.columns
+    marker = F.lit(None)
+    r = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_time).alias("__t"),
+            *[F.col(c) for c in right_values],
+        ).alias("__rv"),
+        *[marker.cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None)
+        .cast(
+            r.schema["__rv"].dataType
+        )
+        .alias("__rv"),
+        *lcols,
+    )
+    wb = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = r.unionByName(l).select(
+        "*",
+        F.last("__rv", ignorenulls=True).over(wb).alias("__prev"),
+        F.first("__rv", ignorenulls=True).over(wf).alias("__next"),
+    )
+    prev_dt = F.col("__prev.__t") - F.col("__ts")
+    next_dt = F.col("__next.__t") - F.col("__ts")
+    use_prev = F.col("__next").isNull() | (
+        F.col("__prev").isNotNull()
+        & (F.abs(prev_dt) <= F.abs(next_dt))
+    )
+    chosen = F.when(use_prev, F.col("__prev")).otherwise(F.col("__next"))
+    return (
+        filled.filter(F.col("__side") == 1)
+        .withColumn("__ch", chosen)
+        .select(
+            *lcols,
+            *[F.col(f"__ch.{c}").alias(c) for c in right_values],
+            (F.col("__ch.__t") - F.col("__ts")).alias("__match_dt"),
+        )
+    )
+
+
 def select_with_defaults(
     df: DataFrame, wanted: dict[str, tuple[str, object]]
 ) -> DataFrame:

@@ -689,3 +689,43 @@ def test_bucketed_ntile_matches_native(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_nearest_asof_join_semantics(spark):
+    """Edge semantics: equal-time match counts as backward (dt=0);
+    |dt| ties choose the earlier match; one-sided keys fall back to
+    the only side; keys with no right rows yield nulls."""
+    from fink_broker_spark.operators.relational import nearest_asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100),  # right at 100 (equal) and 150 -> dt 0
+            (2, 100),  # rights at 90 and 110 -> tie, earlier wins (-10)
+            (3, 100),  # right only at 170 -> forward (+70)
+            (4, 100),  # right only at 30 -> backward (-70)
+            (5, 100),  # no rights at all -> nulls
+        ],
+        "k long, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, 11), (1, 150, 12),
+            (2, 90, 21), (2, 110, 22),
+            (3, 170, 31),
+            (4, 30, 41),
+        ],
+        "k long, rt long, rid long",
+    )
+    out = {
+        r["k"]: (r["rid"], r["__match_dt"])
+        for r in nearest_asof_join(
+            left, right, "k", "k", "t", "rt", ["rid"]
+        ).collect()
+    }
+    assert out == {
+        1: (11, 0),
+        2: (21, -10),
+        3: (31, 70),
+        4: (41, -70),
+        5: (None, None),
+    }
