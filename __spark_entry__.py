@@ -9869,6 +9869,276 @@ FROM rev JOIN per_region p ON rev.r_name = p.r_name CROSS JOIN world w
 """
 
 
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance — the inventory recurrence
+    b_t = max(0, b_{t-1} + Δ_t) that LOOKS like it needs an imperative
+    loop (each step depends on the clamped previous step) but has the
+    exact closed form b_t = p_t − min(0, min_{s≤t} p_s) over the raw
+    prefix sums p — so it compiles to TWO stacked windows (running SUM,
+    then running MIN of it) with bounded state, no applyInPandas, no
+    recursion. Stock moves: returns ('R') add quantity, shipments
+    subtract, ordered by the symmetric (ship µs, orderkey, linenumber)
+    key per part. Emits per-part final clamped balance, the worst raw
+    drawdown, and move count. Integer-exact; windows partition on
+    p_partkey (high-cardinality key — scale-safe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moves = li.select(
+        "l_partkey",
+        F.unix_micros(F.col("l_shipdate")).alias("us"),
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(
+            -F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+        )
+        .alias("delta"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "us", "l_orderkey", "l_linenumber"
+    )
+    pref = moves.select(
+        "l_partkey",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p"),
+    )
+    # final balance needs the LAST prefix (= the plain delta sum) and
+    # the worst prefix — both per-part aggregates
+    stats = pref.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.min("p").alias("min_prefix"),
+    )
+    last_p = moves.groupBy("l_partkey").agg(
+        F.sum("delta").alias("final_prefix")
+    )
+    return stats.join(last_p, "l_partkey").select(
+        F.col("l_partkey").alias("partkey"),
+        "n_moves",
+        "min_prefix",
+        (
+            F.col("final_prefix")
+            - F.least(F.lit(0), F.col("min_prefix"))
+        ).alias("final_balance"),
+    )
+
+
+ORACLE_CLAMPED_BALANCE = """
+WITH moves AS (
+  SELECT l_partkey, epoch_us(l_shipdate) AS us, l_orderkey,
+         l_linenumber,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+              ELSE -CAST(FLOOR(l_quantity + 0.5) AS BIGINT) END AS delta
+  FROM lineitem
+), pref AS (
+  SELECT l_partkey,
+         SUM(delta) OVER (PARTITION BY l_partkey
+             ORDER BY us, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM moves
+), stats AS (
+  SELECT l_partkey, count(*) AS n_moves, MIN(p) AS min_prefix
+  FROM pref GROUP BY l_partkey
+), last_p AS (
+  SELECT l_partkey, SUM(delta) AS final_prefix
+  FROM moves GROUP BY l_partkey
+)
+SELECT s.l_partkey AS partkey, s.n_moves, s.min_prefix,
+       l.final_prefix - LEAST(0, s.min_prefix) AS final_balance
+FROM stats s JOIN last_p l ON s.l_partkey = l.l_partkey
+"""
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clamp price cents into the
+    exact [p01, p99] grid quantiles (the grid_quantiles construction —
+    conditional MIN under integer thresholds, bounded state), then the
+    clamped mean over exact integers. Reports the clip counts too.
+    Two passes over the value grid, one broadcast of the 3-row bounds
+    table back onto the grid — the fact table shuffles once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    grid = t.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = grid.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    bounds = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(100 * F.col("cum") >= F.col("n"), F.col("cents"))
+        ).alias("p01"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("cents"))
+        ).alias("p99"),
+    )
+    clamped = grid.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "cnt",
+        F.greatest(
+            F.col("p01"), F.least(F.col("p99"), F.col("cents"))
+        ).alias("c"),
+        (F.col("cents") < F.col("p01")).cast("long").alias("lo"),
+        (F.col("cents") > F.col("p99")).cast("long").alias("hi"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("lo") * F.col("cnt")).alias("n_clipped_low"),
+        F.sum(F.col("hi") * F.col("cnt")).alias("n_clipped_high"),
+        (
+            F.sum(F.col("c") * F.col("cnt")).cast("double")
+            / F.sum("cnt").cast("double")
+            / F.lit(100.0)
+        ).alias("winsorized_mean"),
+    )
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), grid AS (
+  SELECT l_returnflag, cents, count(*) AS cnt
+  FROM t GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM grid
+), bounds AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN 100 * cum >= n THEN cents END) AS p01,
+         MIN(CASE WHEN 100 * cum >= 99 * n THEN cents END) AS p99
+  FROM cum GROUP BY l_returnflag
+), clamped AS (
+  SELECT g.l_returnflag, g.cnt,
+         GREATEST(b.p01, LEAST(b.p99, g.cents)) AS c,
+         CASE WHEN g.cents < b.p01 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN g.cents > b.p99 THEN 1 ELSE 0 END AS hi
+  FROM grid g JOIN bounds b ON g.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag, SUM(cnt) AS n_rows,
+       SUM(lo * cnt) AS n_clipped_low,
+       SUM(hi * cnt) AS n_clipped_high,
+       CAST(SUM(c * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) / 100.0
+         AS winsorized_mean
+FROM clamped GROUP BY l_returnflag
+"""
+
+
+def q_basket_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket novelty: per order, the fraction of items the customer
+    has never bought before — first-occurrence flags computed as ONE
+    (customer, part) aggregate (the item's first order by the
+    symmetric (order day, orderkey) pair) joined back to the items, so
+    no per-order cumulative set is ever materialized. Emits the
+    per-order novelty distribution aggregated by order sequence number
+    (1st, 2nd, … order of each customer) — the 'do customers explore
+    or repeat' curve. Integer-exact until terminal double divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def day(c):
+        return F.floor(
+            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
+        ).cast("long")
+
+    items = li.select("l_orderkey", "l_partkey").join(
+        o.select(
+            "o_orderkey", "o_custkey", day("o_orderdate").alias("od")
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    first_buy = items.groupBy("o_custkey", "l_partkey").agg(
+        F.min(F.struct("od", "l_orderkey")).alias("first")
+    )
+    flagged = items.join(
+        first_buy, ["o_custkey", "l_partkey"]
+    ).select(
+        "o_custkey",
+        "l_orderkey",
+        "od",
+        F.when(
+            (F.col("first.od") == F.col("od"))
+            & (F.col("first.l_orderkey") == F.col("l_orderkey")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per_order = flagged.groupBy("o_custkey", "l_orderkey", "od").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("is_new").alias("n_new"),
+    )
+    seq = per_order.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("od", "l_orderkey")
+        )
+        .alias("order_seq"),
+    )
+    return seq.groupBy("order_seq").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").alias("n_items"),
+        F.sum("n_new").alias("n_new"),
+        (
+            F.sum("n_new").cast("double")
+            / F.sum("n_items").cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+ORACLE_BASKET_NOVELTY = """
+WITH items AS (
+  SELECT o.o_custkey, l.l_orderkey, l.l_partkey,
+         CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT)
+           AS od
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), first_buy AS (
+  SELECT o_custkey, l_partkey,
+         MIN(od * 10000000000 + l_orderkey) AS first_key
+  FROM items GROUP BY 1, 2
+), flagged AS (
+  SELECT i.o_custkey, i.l_orderkey, i.od,
+         CASE WHEN i.od * 10000000000 + i.l_orderkey = f.first_key
+              THEN 1 ELSE 0 END AS is_new
+  FROM items i
+  JOIN first_buy f
+    ON i.o_custkey = f.o_custkey AND i.l_partkey = f.l_partkey
+), per_order AS (
+  SELECT o_custkey, l_orderkey, od, count(*) AS n_items,
+         SUM(is_new) AS n_new
+  FROM flagged GROUP BY 1, 2, 3
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY od, l_orderkey) AS order_seq
+  FROM per_order
+)
+SELECT order_seq, count(*) AS n_orders, SUM(n_items) AS n_items,
+       SUM(n_new) AS n_new,
+       CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_items) AS DOUBLE)
+         AS novelty_rate
+FROM seq GROUP BY order_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10064,6 +10334,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_dedup_batch": q_window_dedup_batch,
     "modal_event_type": q_modal_event_type,
     "region_share_rollup": q_region_share_rollup,
+    "clamped_balance": q_clamped_balance,
+    "winsorized_stats": q_winsorized_stats,
+    "basket_novelty": q_basket_novelty,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10264,6 +10537,9 @@ _ORACLES: dict[str, str] = {
     "window_dedup_batch": ORACLE_WINDOW_DEDUP_BATCH,
     "modal_event_type": ORACLE_MODAL_EVENT_TYPE,
     "region_share_rollup": ORACLE_REGION_SHARE_ROLLUP,
+    "clamped_balance": ORACLE_CLAMPED_BALANCE,
+    "winsorized_stats": ORACLE_WINSORIZED_STATS,
+    "basket_novelty": ORACLE_BASKET_NOVELTY,
 }
 
 
