@@ -10139,6 +10139,267 @@ FROM seq GROUP BY order_seq
 """
 
 
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of two event-type daily series (purchase vs
+    error) at lags 0-3 — the bivariate companion of autocorrelation.
+    The fact table collapses ONCE to the (day, n_purchase, n_error)
+    grid; each lag pairs the grid with its lag-shifted self via a
+    day-window lag (grid-sized, bounded); the correlation uses the
+    exact integer moment sums + fixed double tree (operands peak well
+    below 2⁶³ — daily counts are small). Missing days count as zero
+    via a dense day spine from the observed range."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            day.alias("d"),
+            (F.col("event_type") == "purchase")
+            .cast("long")
+            .alias("isp"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("isp").alias("np"),
+            F.sum(1 - F.col("isp")).alias("ne"),
+        )
+    )
+    span = daily.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    spine = span.select(
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("np", F.lit(0)).alias("np"),
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+    )
+    w = Window.orderBy("d")
+    out = None
+    for lag in [0, 1, 2, 3]:
+        paired = dense.select(
+            "np",
+            F.lag("ne", lag).over(w).alias("nel"),
+        ).filter(F.col("nel").isNotNull())
+        g = paired.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("np").alias("sx"),
+            F.sum("nel").alias("sy"),
+            F.sum(F.col("np") * F.col("np")).alias("sxx"),
+            F.sum(F.col("nel") * F.col("nel")).alias("syy"),
+            F.sum(F.col("np") * F.col("nel")).alias("sxy"),
+        )
+
+        def big(c):
+            return F.col(c).cast("decimal(38,0)")
+
+        num = (big("n") * big("sxy") - big("sx") * big("sy")).cast(
+            "double"
+        )
+        dx = (big("n") * big("sxx") - big("sx") * big("sx")).cast(
+            "double"
+        )
+        dy = (big("n") * big("syy") - big("sy") * big("sy")).cast(
+            "double"
+        )
+        row = g.select(
+            F.lit(lag).alias("lag"),
+            F.col("n").alias("n_days"),
+            (num / F.sqrt(dx * dy)).alias("xcorr"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+ORACLE_CROSS_CORRELATION = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY 1
+), span AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily
+), spine AS (
+  SELECT unnest(generate_series(dmin, dmax)) AS d FROM span
+), dense AS (
+  SELECT s.d, COALESCE(x.np, 0) AS np, COALESCE(x.ne, 0) AS ne
+  FROM spine s LEFT JOIN daily x ON s.d = x.d
+), lagged AS (
+  SELECT l.lag, d.np,
+         LAG(d.ne, l.lag) OVER (PARTITION BY l.lag ORDER BY d.d) AS nel
+  FROM dense d CROSS JOIN (SELECT unnest([0,1,2,3]) AS lag) l
+), g AS (
+  SELECT lag, count(*) AS n, SUM(np) AS sx, SUM(nel) AS sy,
+         SUM(np * np) AS sxx, SUM(nel * nel) AS syy,
+         SUM(np * nel) AS sxy
+  FROM lagged WHERE nel IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, n AS n_days,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+FROM g
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, variance/mean of daily counts) per
+    event type — Poisson-ness diagnostic: F≈1 is Poisson arrivals,
+    F≫1 is bursty. Exact integer moment sums over the (type, day)
+    grid (operands ≤~2⁵⁰ — inside the safe single-conversion zone),
+    sample variance with the n−1 divisor in one fixed double tree."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (
+        F.col("s2").cast("double") - nd * mean * mean
+    ) / (nd - F.lit(1.0))
+    return g.select(
+        "event_type",
+        "n_days",
+        mean.alias("mean_daily"),
+        (var / mean).alias("fano_factor"),
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, count(*) AS n_days, SUM(n) AS s1,
+         SUM(n * n) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+       ((CAST(s2 AS DOUBLE)
+         - CAST(n_days AS DOUBLE)
+           * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        / (CAST(n_days AS DOUBLE) - 1.0))
+       / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano_factor
+FROM g
+"""
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by price dispersion (coefficient of variation of
+    sale price) among parts sold ≥10 times — exact integer cents
+    moments per part (n·Σx² peaks ~2⁵⁷ at sf1, inside the measured
+    safe single-conversion zone), sample CV in one fixed double tree,
+    TakeOrdered top-k with partkey tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    g = (
+        t.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)")
+                * F.col("c").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (big("n") * big("s2") - big("s1") * big("s1")).cast("double")
+    den = (big("n") * (big("n") - 1)).cast("double")
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    cv = F.sqrt(num / den) / mean
+    return (
+        g.select(
+            F.col("l_partkey").alias("partkey"),
+            "n",
+            cv.alias("cv"),
+        )
+        .orderBy(F.desc("cv"), "partkey")
+        .limit(20)
+    )
+
+
+ORACLE_PRICE_DISPERSION = """
+WITH t AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), g AS (
+  SELECT l_partkey, count(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM t GROUP BY l_partkey HAVING count(*) >= 10
+)
+SELECT l_partkey AS partkey, n,
+       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE))
+         / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cv
+FROM g ORDER BY cv DESC, partkey LIMIT 20
+"""
+
+
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution: line count per order → orders
+    per basket size, with each size's share. Two integer aggregates +
+    a 1-row total broadcast — the order-composition profile every
+    co-occurrence operator's Σ|basket|² cost model starts from."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket")
+    )
+    dist = per.groupBy("basket").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = dist.agg(F.sum("n_orders").alias("total"))
+    return dist.crossJoin(F.broadcast(tot)).select(
+        "basket",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.col("total").cast("double")
+        ).alias("share"),
+    )
+
+
+ORACLE_BASKET_SIZE_DIST = """
+WITH per AS (
+  SELECT l_orderkey, count(*) AS basket FROM lineitem GROUP BY 1
+), dist AS (
+  SELECT basket, count(*) AS n_orders FROM per GROUP BY basket
+), tot AS (
+  SELECT SUM(n_orders) AS total FROM dist
+)
+SELECT basket, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM dist CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10337,6 +10598,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clamped_balance": q_clamped_balance,
     "winsorized_stats": q_winsorized_stats,
     "basket_novelty": q_basket_novelty,
+    "cross_correlation": q_cross_correlation,
+    "burstiness": q_burstiness,
+    "price_dispersion": q_price_dispersion,
+    "basket_size_dist": q_basket_size_dist,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10540,6 +10805,10 @@ _ORACLES: dict[str, str] = {
     "clamped_balance": ORACLE_CLAMPED_BALANCE,
     "winsorized_stats": ORACLE_WINSORIZED_STATS,
     "basket_novelty": ORACLE_BASKET_NOVELTY,
+    "cross_correlation": ORACLE_CROSS_CORRELATION,
+    "burstiness": ORACLE_BURSTINESS,
+    "price_dispersion": ORACLE_PRICE_DISPERSION,
+    "basket_size_dist": ORACLE_BASKET_SIZE_DIST,
 }
 
 

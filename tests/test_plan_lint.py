@@ -61,6 +61,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "basket_size_dist": (
+        {"broadcast_nested_loop_join"},
+        "1-row distribution-total aggregate broadcast into the "
+        "~20-row size table",
+    ),
     "region_share_rollup": (
         {"broadcast_nested_loop_join"},
         "1-row world-total aggregate broadcast into the 25-row "
