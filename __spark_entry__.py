@@ -10400,6 +10400,197 @@ FROM dist CROSS JOIN tot
 """
 
 
+def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed revenue per nation with a one-year half-life —
+    recency-weighted scoring WITHOUT a transcendental: the weight
+    2^-(age_years) makes every scaled term cents·2^(span−age) an exact
+    BIGINT (span ≤ ~8 years keeps the scaled sum < 2⁵³), so the
+    aggregate is exact integer arithmetic and the final score is one
+    exact division by a power of two. The reference year is
+    data-derived (max order year — regeneration-proof). One fact
+    aggregate; the nation attach is a broadcast join."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    base = o.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    span = base.agg(
+        F.max("yr").alias("ymax"), F.min("yr").alias("ymin")
+    )
+    nk = cu.select("c_custkey", "c_nationkey").join(
+        F.broadcast(na.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    scaled = (
+        base.crossJoin(F.broadcast(span))
+        .join(F.broadcast(nk), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "n_name",
+            "ymax",
+            "ymin",
+            F.expr(
+                "cents * shiftleft(CAST(1 AS BIGINT), "
+                "CAST(yr - ymin AS INT))"
+            ).alias("term"),
+        )
+    )
+    g = scaled.groupBy("n_name", "ymax", "ymin").agg(
+        F.sum("term").alias("scaled_sum"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return g.select(
+        F.col("n_name").alias("nation"),
+        "n_orders",
+        F.expr(
+            "CAST(scaled_sum AS DOUBLE) "
+            "/ CAST(shiftleft(CAST(1 AS BIGINT), "
+            "CAST(ymax - ymin AS INT)) AS DOUBLE) / 100.0"
+        ).alias("decayed_revenue"),
+    )
+
+
+ORACLE_DECAYED_REVENUE = """
+WITH base AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), span AS (
+  SELECT MAX(yr) AS ymax, MIN(yr) AS ymin FROM base
+), nk AS (
+  SELECT c.c_custkey, n.n_name
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+), g AS (
+  SELECT nk.n_name, s.ymax, s.ymin,
+         SUM(b.cents * (CAST(1 AS BIGINT) << (b.yr - s.ymin)))
+           AS scaled_sum,
+         count(*) AS n_orders
+  FROM base b CROSS JOIN span s
+  JOIN nk ON b.o_custkey = nk.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT n_name AS nation, n_orders,
+       CAST(scaled_sum AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << (ymax - ymin) AS DOUBLE)
+         / 100.0 AS decayed_revenue
+FROM g
+"""
+
+
+def q_cosupplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supplier graph: top-20 supplier pairs by number of common
+    parts — the inverted-index pair join (per-part supplier lists,
+    u < v orientation), never an all-pairs product; fan-out is
+    Σ|suppliers-per-part|², bounded by the densest part. Same edge
+    algebra as copurchase_edges on a different relation. Integer-exact
+    with (pair) tiebreak TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    )
+    pairs = (
+        a.join(b, "pk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_parts"))
+    )
+    return pairs.orderBy(
+        F.desc("common_parts"), "u", "v"
+    ).limit(20)
+
+
+ORACLE_COSUPPLIER_PAIRS = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+       count(*) AS common_parts
+FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+WHERE a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+ORDER BY common_parts DESC, u, v LIMIT 20
+"""
+
+
+def q_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: what share of total revenue do the
+    top-10% customers hold? Customers rank by exact cents revenue via
+    ``operators/ranking.bucketed_rank`` (bucket-offset plan — no
+    single-partition sort), the decile cut is the pure-integer ANSI
+    ntile condition (rank ≤ ceil via 10·rank ≤ n + ...; here simply
+    rank ≤ n DIV 10 — the exact top-10% count), and the share is one
+    double division of exact cents sums. 1-row output."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    from fink_broker_spark.operators.ranking import bucketed_rank
+
+    ranked = bucketed_rank(
+        rev,
+        -F.col("rev_cents"),
+        F.col("o_custkey"),
+        "rnk",
+        bucket_width=100_000,
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.sum("rev_cents").alias("total_cents"),
+            F.sum(
+                F.when(
+                    F.col("rnk") <= F.floor(F.col("n") / 10),
+                    F.col("rev_cents"),
+                ).otherwise(0)
+            ).alias("top_cents"),
+        )
+        .select(
+            "n_customers",
+            (
+                F.col("top_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+ORACLE_TOP_DECILE_SHARE = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, rev_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM rev
+)
+SELECT MAX(n) AS n_customers,
+       CAST(SUM(CASE WHEN rnk <= n // 10 THEN rev_cents ELSE 0 END)
+            AS DOUBLE)
+         / CAST(SUM(rev_cents) AS DOUBLE) AS top_decile_share
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10602,6 +10793,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness": q_burstiness,
     "price_dispersion": q_price_dispersion,
     "basket_size_dist": q_basket_size_dist,
+    "decayed_revenue": q_decayed_revenue,
+    "cosupplier_pairs": q_cosupplier_pairs,
+    "top_decile_share": q_top_decile_share,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10809,6 +11003,9 @@ _ORACLES: dict[str, str] = {
     "burstiness": ORACLE_BURSTINESS,
     "price_dispersion": ORACLE_PRICE_DISPERSION,
     "basket_size_dist": ORACLE_BASKET_SIZE_DIST,
+    "decayed_revenue": ORACLE_DECAYED_REVENUE,
+    "cosupplier_pairs": ORACLE_COSUPPLIER_PAIRS,
+    "top_decile_share": ORACLE_TOP_DECILE_SHARE,
 }
 
 

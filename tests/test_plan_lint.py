@@ -61,6 +61,16 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "decayed_revenue": (
+        {"broadcast_nested_loop_join"},
+        "1-row (ymin, ymax) span aggregate broadcast into the "
+        "decay-weight expression",
+    ),
+    "top_decile_share": (
+        {"broadcast_nested_loop_join"},
+        "1-row customer-count aggregate broadcast into the decile "
+        "cut condition",
+    ),
     "basket_size_dist": (
         {"broadcast_nested_loop_join"},
         "1-row distribution-total aggregate broadcast into the "

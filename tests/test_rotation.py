@@ -95,10 +95,13 @@ def test_live_wiring():
             ever_checked.update(json.load(fh).keys())
     never = [n for n in entry._QUERIES if n not in ever_checked]
     window = set(names[:50])
-    if len(never) <= 50:
-        missing = set(never) - window
+    # urgent = artifact-failed first, then never-checked; the window
+    # holds BOTH tiers, so the fit test must count their union
+    urgent = set(never) | set(read_ledger(REPO)[1])
+    if len(urgent) <= 50:
+        missing = urgent - window
         assert not missing, f"outside 50-row driver window: {missing}"
     else:
         # more urgent work than the window holds: every slot must go
-        # to a never-checked (or artifact-failed) query
-        assert all(n in never or n in read_ledger(REPO)[1] for n in window)
+        # to an urgent (never-checked or artifact-failed) query
+        assert all(n in urgent for n in window)
