@@ -69,6 +69,14 @@ def _dec(col, scale: int = 9):
     return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
 
 
+def _day(col):
+    """Exact epoch-day of a normalized timestamp column — the ONE
+    integer day key every calendar-bucketed query shares (oracle twin:
+    ``CAST(FLOOR(epoch_us(c) / 86400000000) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.unix_micros(c) / F.lit(86_400_000_000)).cast("long")
+
+
 # --------------------------------------------------------------------------
 # SURVEY §2.6/§2.4 — aggregation + filter/projection families
 # --------------------------------------------------------------------------
@@ -8267,11 +8275,9 @@ def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         rev.join(
-            F.broadcast(
-                cu.select("c_custkey", "c_nationkey").join(
-                    F.broadcast(na.select("n_nationkey", "n_name")),
-                    F.col("c_nationkey") == F.col("n_nationkey"),
-                )
+            cu.select("c_custkey", "c_nationkey").join(
+                F.broadcast(na.select("n_nationkey", "n_name")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -8345,18 +8351,13 @@ def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def day(c):
-        return F.floor(
-            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
-        ).cast("long")
-
     ends = (
-        li.select("l_orderkey", day("l_shipdate").alias("sday"))
+        li.select("l_orderkey", _day("l_shipdate").alias("sday"))
         .groupBy("l_orderkey")
         .agg(F.max("sday").alias("end_day"))
     )
     iv = o.select(
-        "o_custkey", "o_orderkey", day("o_orderdate").alias("start_day")
+        "o_custkey", "o_orderkey", _day("o_orderdate").alias("start_day")
     ).join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
     w = Window.partitionBy("o_custkey").orderBy("start_day", "o_orderkey")
     prev_max_end = F.max("end_day").over(
@@ -8455,15 +8456,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table shuffles once. Integer-exact."""
     o = load_table(spark, sf_dir, "orders")
 
-    def day(c):
-        return F.floor(
-            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
-        ).cast("long")
-
     per = (
         o.select(
             "o_custkey",
-            day("o_orderdate").alias("oday"),
+            _day("o_orderdate").alias("oday"),
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
             .cast("long")
             .alias("cents"),
@@ -8900,11 +8896,9 @@ def q_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum("cents").alias("s"))
         .join(
-            F.broadcast(
-                su.select("s_suppkey", "s_nationkey").join(
-                    F.broadcast(na.select("n_nationkey", "n_name")),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                )
+            su.select("s_suppkey", "s_nationkey").join(
+                F.broadcast(na.select("n_nationkey", "n_name")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
@@ -9341,19 +9335,14 @@ def q_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def day(c):
-        return F.floor(
-            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
-        ).cast("long")
-
     ship = (
-        li.select("l_orderkey", day("l_shipdate").alias("sday"))
+        li.select("l_orderkey", _day("l_shipdate").alias("sday"))
         .groupBy("l_orderkey")
         .agg(F.max("sday").alias("last_ship"))
     )
     lat = (
         o.select(
-            "o_orderkey", "o_orderpriority", day("o_orderdate").alias("od")
+            "o_orderkey", "o_orderpriority", _day("o_orderdate").alias("od")
         )
         .join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
@@ -9425,15 +9414,10 @@ def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort, no unbounded percentile state). 1-row output."""
     o = load_table(spark, sf_dir, "orders")
 
-    def day(c):
-        return F.floor(
-            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
-        ).cast("long")
-
     w = Window.partitionBy("o_custkey").orderBy("oday", "o_orderkey")
     gaps = (
         o.select(
-            "o_custkey", "o_orderkey", day("o_orderdate").alias("oday")
+            "o_custkey", "o_orderkey", _day("o_orderdate").alias("oday")
         )
         .select(
             "o_custkey",
@@ -9689,22 +9673,22 @@ SELECT * FROM picked WHERE nearest_event_id IS NOT NULL
 
 
 def q_window_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window dedup, the oracled batch twin of the streaming
-    ``dropDuplicatesWithinWatermark`` (whose keep-first-ARRIVED output
-    is inherently rows-only): keep the EARLIEST event per (user,
-    event_type, hour bucket) with the symmetric (µs, event_id)
-    tiebreak — fully data-deterministic, so it hash-checks. One
-    min_by aggregate on the dedup key; at 100 TB this is the log
-    compaction pass before archival. Emits survivor counts per type
-    plus total survivors to keep the output dimension-sized."""
+    """Tumbling-window dedup accounting, the oracled batch twin of the
+    streaming ``dropDuplicatesWithinWatermark`` (whose
+    keep-first-ARRIVED output is inherently rows-only): one survivor
+    per (user, event_type, hour bucket) — fully data-deterministic, so
+    it hash-checks. ONE aggregate on the dedup key counts each group's
+    raw rows; at 100 TB this is the log-compaction accounting pass
+    before archival. Emits survivor/raw/dropped counts per type to
+    keep the output dimension-sized (survivor IDs themselves would be
+    a min_by over the symmetric (µs, event_id) pair — not emitted
+    here)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     kept = (
         ev.select(
             "user_id",
             "event_type",
-            us.alias("us"),
-            "event_id",
             F.floor(us / F.lit(3_600_000_000)).cast("long").alias("hr"),
         )
         .groupBy("user_id", "event_type", "hr")
@@ -9816,7 +9800,7 @@ def q_region_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
-        .join(F.broadcast(nk), F.col("o_custkey") == F.col("c_custkey"))
+        .join(nk, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(F.sum("cents").alias("rev_cents"))
     )
@@ -9901,20 +9885,21 @@ def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = moves.select(
         "l_partkey",
+        "delta",
         F.sum("delta")
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("p"),
     )
-    # final balance needs the LAST prefix (= the plain delta sum) and
-    # the worst prefix — both per-part aggregates
+    # final prefix (= the plain delta sum), worst prefix, and move
+    # count all come from ONE per-part aggregate over the windowed
+    # frame — the window already shuffled on l_partkey, so no second
+    # fact scan or join
     stats = pref.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_moves"),
         F.min("p").alias("min_prefix"),
+        F.sum("delta").alias("final_prefix"),
     )
-    last_p = moves.groupBy("l_partkey").agg(
-        F.sum("delta").alias("final_prefix")
-    )
-    return stats.join(last_p, "l_partkey").select(
+    return stats.select(
         F.col("l_partkey").alias("partkey"),
         "n_moves",
         "min_prefix",
@@ -10054,14 +10039,9 @@ def q_basket_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    def day(c):
-        return F.floor(
-            F.unix_micros(F.col(c)) / F.lit(86_400_000_000)
-        ).cast("long")
-
     items = li.select("l_orderkey", "l_partkey").join(
         o.select(
-            "o_orderkey", "o_custkey", day("o_orderdate").alias("od")
+            "o_orderkey", "o_custkey", _day("o_orderdate").alias("od")
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
@@ -10113,11 +10093,11 @@ WITH items AS (
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), first_buy AS (
   SELECT o_custkey, l_partkey,
-         MIN(od * 10000000000 + l_orderkey) AS first_key
+         MIN(ROW(od, l_orderkey)) AS first_key
   FROM items GROUP BY 1, 2
 ), flagged AS (
   SELECT i.o_custkey, i.l_orderkey, i.od,
-         CASE WHEN i.od * 10000000000 + i.l_orderkey = f.first_key
+         CASE WHEN ROW(i.od, i.l_orderkey) = f.first_key
               THEN 1 ELSE 0 END AS is_new
   FROM items i
   JOIN first_buy f
@@ -10177,41 +10157,43 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("np", F.lit(0)).alias("np"),
         F.coalesce("ne", F.lit(0)).alias("ne"),
     )
+    # all four lag columns come from ONE pass over the single day
+    # window, then unpivot with stack — a per-lag unionAll would
+    # re-plan the fact collapse and spine four times (the corr_matrix
+    # lesson); grouping by lag also matches the oracle's GROUP BY
+    # semantics exactly (a lag with zero paired rows emits NO row)
     w = Window.orderBy("d")
-    out = None
-    for lag in [0, 1, 2, 3]:
-        paired = dense.select(
-            "np",
-            F.lag("ne", lag).over(w).alias("nel"),
-        ).filter(F.col("nel").isNotNull())
-        g = paired.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("np").alias("sx"),
-            F.sum("nel").alias("sy"),
-            F.sum(F.col("np") * F.col("np")).alias("sxx"),
-            F.sum(F.col("nel") * F.col("nel")).alias("syy"),
-            F.sum(F.col("np") * F.col("nel")).alias("sxy"),
-        )
+    lagged = dense.select(
+        "np",
+        F.col("ne").alias("ne0"),
+        F.lag("ne", 1).over(w).alias("ne1"),
+        F.lag("ne", 2).over(w).alias("ne2"),
+        F.lag("ne", 3).over(w).alias("ne3"),
+    )
+    paired = lagged.selectExpr(
+        "np",
+        "stack(4, 0, ne0, 1, ne1, 2, ne2, 3, ne3) AS (lag, nel)",
+    ).filter(F.col("nel").isNotNull())
+    g = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("np").alias("sx"),
+        F.sum("nel").alias("sy"),
+        F.sum(F.col("np") * F.col("np")).alias("sxx"),
+        F.sum(F.col("nel") * F.col("nel")).alias("syy"),
+        F.sum(F.col("np") * F.col("nel")).alias("sxy"),
+    )
 
-        def big(c):
-            return F.col(c).cast("decimal(38,0)")
+    def big(c):
+        return F.col(c).cast("decimal(38,0)")
 
-        num = (big("n") * big("sxy") - big("sx") * big("sy")).cast(
-            "double"
-        )
-        dx = (big("n") * big("sxx") - big("sx") * big("sx")).cast(
-            "double"
-        )
-        dy = (big("n") * big("syy") - big("sy") * big("sy")).cast(
-            "double"
-        )
-        row = g.select(
-            F.lit(lag).alias("lag"),
-            F.col("n").alias("n_days"),
-            (num / F.sqrt(dx * dy)).alias("xcorr"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    num = (big("n") * big("sxy") - big("sx") * big("sy")).cast("double")
+    dx = (big("n") * big("sxx") - big("sx") * big("sx")).cast("double")
+    dy = (big("n") * big("syy") - big("sy") * big("sy")).cast("double")
+    return g.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_days"),
+        (num / F.sqrt(dx * dy)).alias("xcorr"),
+    )
 
 
 ORACLE_CROSS_CORRELATION = """
@@ -10408,7 +10390,9 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is exact integer arithmetic and the final score is one
     exact division by a power of two. The reference year is
     data-derived (max order year — regeneration-proof). One fact
-    aggregate; the nation attach is a broadcast join."""
+    aggregate; the customer→nation attach is an unhinted equi-join
+    (AQE broadcasts it at driver scale, shuffle-joins it at 100 TB —
+    customer is SF-linear and must never be force-broadcast)."""
     o = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
@@ -10428,7 +10412,7 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scaled = (
         base.crossJoin(F.broadcast(span))
-        .join(F.broadcast(nk), F.col("o_custkey") == F.col("c_custkey"))
+        .join(nk, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "n_name",
             "ymax",
@@ -10439,8 +10423,11 @@ def q_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
+    # the scaled SUM grows with row count (every term carries up to
+    # 2^span) — accumulate in DECIMAL(38,0)/HUGEINT so no scale factor
+    # can wrap an int64 partial
     g = scaled.groupBy("n_name", "ymax", "ymin").agg(
-        F.sum("term").alias("scaled_sum"),
+        F.sum(F.col("term").cast("decimal(38,0)")).alias("scaled_sum"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return g.select(
