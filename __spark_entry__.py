@@ -10578,6 +10578,358 @@ FROM ranked
 """
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise lexical similarity between document sources: cosine
+    over each source's token-count vector via the inverted-index join
+    (posting lists keyed by token — the sparse_cosine_pairs algebra on
+    the source axis, |sources|² pairs max). Dots and norms are exact
+    integers through DECIMAL(38,0)/HUGEINT; the posting-list fan-out
+    is |sources| per token (sources are a bounded dimension — the
+    df-cut lever for unbounded axes lives in sparse_cosine_pairs).
+    Fixed sqrt tree, (pair) tiebreak top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    from fink_broker_spark.functions.text import tokens_expr
+
+    pruned = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = pruned.groupBy("source").agg(
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+        ).alias("norm2")
+    )
+    a = pruned.select(
+        "w", F.col("source").alias("sa"), F.col("n").alias("na")
+    )
+    b = pruned.select(
+        "w", F.col("source").alias("sb"), F.col("n").alias("nb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.col("na").cast("decimal(38,0)")
+                * F.col("nb").cast("decimal(38,0)")
+            ).alias("dot")
+        )
+    )
+    joined = (
+        dots.join(
+            norms.select(
+                F.col("source").alias("sa"), F.col("norm2").alias("n2a")
+            ),
+            "sa",
+        )
+        .join(
+            norms.select(
+                F.col("source").alias("sb"), F.col("norm2").alias("n2b")
+            ),
+            "sb",
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
+    return (
+        joined.select("sa", "sb", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "sa", "sb")
+        .limit(20)
+    )
+
+
+ORACLE_SOURCE_SIMILARITY = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+  WHERE length(trim(lower(text))) > 0
+), pruned AS (
+  SELECT source, w, count(*) AS n FROM tok GROUP BY 1, 2
+), norms AS (
+  SELECT source, SUM(n * n) AS norm2 FROM pruned GROUP BY source
+), dots AS (
+  SELECT a.source AS sa, b.source AS sb, SUM(a.n * b.n) AS dot
+  FROM pruned a JOIN pruned b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT d.sa, d.sb,
+       CAST(d.dot AS DOUBLE)
+         / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+         AS cosine
+FROM dots d
+JOIN norms na ON d.sa = na.source
+JOIN norms nb ON d.sb = nb.source
+ORDER BY cosine DESC, sa, sb LIMIT 20
+"""
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift within (user, hour) windows:
+    P(a,b together) / (P(a)·P(b)) over window occurrences. Pairs come
+    from the per-window distinct type set (≤|event types| per window —
+    bounded fan-out, never a fact self-join); all probabilities are
+    exact integer window counts; the lift is a fixed all-double tree
+    over sub-2⁵³ operands (the overflow-free collocation_lift
+    pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("hr"),
+            "event_type",
+        )
+        .distinct()
+    )
+    nwin = wt.select("user_id", "hr").distinct().agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    marg = wt.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = wt.select(
+        "user_id", "hr", F.col("event_type").alias("ta")
+    )
+    b = wt.select(
+        "user_id", "hr", F.col("event_type").alias("tb")
+    )
+    pairs = (
+        a.join(b, ["user_id", "hr"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("n_t").alias("n_a"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("n_t").alias("n_b"),
+                )
+            ),
+            "tb",
+        )
+        .crossJoin(F.broadcast(nwin))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_windows").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return joined.select(
+        "ta", "tb", "n_ab", lift.alias("lift")
+    )
+
+
+ORACLE_EVENT_COOCCURRENCE = """
+WITH wt AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+         event_type
+  FROM events
+), nwin AS (
+  SELECT count(*) AS n_windows
+  FROM (SELECT DISTINCT user_id, hr FROM wt)
+), marg AS (
+  SELECT event_type, count(*) AS n_t FROM wt GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+  FROM wt a
+  JOIN wt b ON a.user_id = b.user_id AND a.hr = b.hr
+           AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.n_ab,
+       (CAST(p.n_ab AS DOUBLE) * CAST(w.n_windows AS DOUBLE))
+         / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)) AS lift
+FROM pairs p
+JOIN marg ma ON p.ta = ma.event_type
+JOIN marg mb ON p.tb = mb.event_type
+CROSS JOIN nwin w
+"""
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: new / retained / churned users per
+    week — the standard activity-ledger decomposition (weekly grain:
+    the synthetic event stream spans ~a month, so months would give a
+    single row). The (user, week) activity grid is ONE fact collapse;
+    'new' compares against the user's first active week (a per-user
+    aggregate joined back), 'retained' checks presence in the previous
+    week via a self-join on (user, week−1), and 'churned' counts last
+    week's actives missing the next (anti-join reformulated as a
+    left-join flag). Integer-exact epoch-week codes."""
+    ev = load_table(spark, sf_dir, "events")
+    wcode = F.floor(_day("ts") / 7).cast("long")
+    um = ev.select("user_id", wcode.alias("m")).distinct()
+    first = um.groupBy("user_id").agg(F.min("m").alias("m0"))
+    prev = um.select(
+        "user_id", (F.col("m") + 1).alias("m"), F.lit(1).alias("was")
+    )
+    cur = (
+        um.join(first, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .select(
+            "m",
+            F.when(F.col("m") == F.col("m0"), 1).otherwise(0).alias(
+                "is_new"
+            ),
+            F.coalesce("was", F.lit(0)).alias("is_retained"),
+        )
+    )
+    nxt = um.select(
+        "user_id", (F.col("m") - 1).alias("m"), F.lit(1).alias("still")
+    )
+    churn = (
+        um.join(nxt, ["user_id", "m"], "left")
+        .select(
+            (F.col("m") + 1).alias("m"),
+            F.when(F.col("still").isNull(), 1).otherwise(0).alias(
+                "churned"
+            ),
+        )
+        .groupBy("m")
+        .agg(F.sum("churned").alias("n_churned"))
+    )
+    g = cur.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("is_new").alias("n_new"),
+        F.sum("is_retained").alias("n_retained"),
+    )
+    return (
+        g.join(churn, "m", "left")
+        .select(
+            "m",
+            "n_active",
+            "n_new",
+            "n_retained",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned_next"),
+        )
+    )
+
+
+ORACLE_GROWTH_ACCOUNTING = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                    / 7) AS BIGINT) AS m
+  FROM events
+), first AS (
+  SELECT user_id, MIN(m) AS m0 FROM um GROUP BY user_id
+), cur AS (
+  SELECT u.m,
+         CASE WHEN u.m = f.m0 THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained
+  FROM um u
+  JOIN first f ON u.user_id = f.user_id
+  LEFT JOIN um p ON p.user_id = u.user_id AND p.m = u.m - 1
+), churn AS (
+  SELECT u.m + 1 AS m,
+         SUM(CASE WHEN n.user_id IS NULL THEN 1 ELSE 0 END) AS n_churned
+  FROM um u
+  LEFT JOIN um n ON n.user_id = u.user_id AND n.m = u.m + 1
+  GROUP BY u.m + 1
+), g AS (
+  SELECT m, count(*) AS n_active, SUM(is_new) AS n_new,
+         SUM(is_retained) AS n_retained
+  FROM cur GROUP BY m
+)
+SELECT g.m, g.n_active, g.n_new, g.n_retained,
+       COALESCE(c.n_churned, 0) AS n_churned_next
+FROM g LEFT JOIN churn c ON g.m = c.m
+"""
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection on per-type daily count series:
+    a day is a peak when its count strictly exceeds both neighbors on
+    the dense day spine (missing days are zero — without the spine a
+    gap's neighbor would silently be a different date). Two bounded
+    lags per type partition; emits per-type peak counts and the
+    highest peak. Integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", _day("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = daily.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d"),
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    flagged = dense.select(
+        "event_type",
+        "n",
+        F.when(
+            (F.col("n") > F.coalesce(F.lag("n", 1).over(w), F.lit(0)))
+            & (
+                F.col("n")
+                > F.coalesce(F.lead("n", 1).over(w), F.lit(0))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_peak"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_peak").alias("n_peaks"),
+        F.max(
+            F.when(F.col("is_peak") == 1, F.col("n"))
+        ).alias("highest_peak"),
+    )
+
+
+ORACLE_PEAK_DETECTION = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily
+), spine AS (
+  SELECT t.event_type, unnest(generate_series(s.dmin, s.dmax)) AS d
+  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN span s
+), dense AS (
+  SELECT s.event_type, s.d, COALESCE(x.n, 0) AS n
+  FROM spine s
+  LEFT JOIN daily x ON s.event_type = x.event_type AND s.d = x.d
+), flagged AS (
+  SELECT event_type, n,
+         CASE WHEN n > COALESCE(LAG(n, 1) OVER (
+                          PARTITION BY event_type ORDER BY d), 0)
+               AND n > COALESCE(LEAD(n, 1) OVER (
+                          PARTITION BY event_type ORDER BY d), 0)
+              THEN 1 ELSE 0 END AS is_peak
+  FROM dense
+)
+SELECT event_type, SUM(is_peak) AS n_peaks,
+       MAX(CASE WHEN is_peak = 1 THEN n END) AS highest_peak
+FROM flagged GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10783,6 +11135,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_revenue": q_decayed_revenue,
     "cosupplier_pairs": q_cosupplier_pairs,
     "top_decile_share": q_top_decile_share,
+    "source_similarity": q_source_similarity,
+    "event_cooccurrence": q_event_cooccurrence,
+    "growth_accounting": q_growth_accounting,
+    "peak_detection": q_peak_detection,
 }
 
 _ORACLES: dict[str, str] = {
@@ -10993,6 +11349,10 @@ _ORACLES: dict[str, str] = {
     "decayed_revenue": ORACLE_DECAYED_REVENUE,
     "cosupplier_pairs": ORACLE_COSUPPLIER_PAIRS,
     "top_decile_share": ORACLE_TOP_DECILE_SHARE,
+    "source_similarity": ORACLE_SOURCE_SIMILARITY,
+    "event_cooccurrence": ORACLE_EVENT_COOCCURRENCE,
+    "growth_accounting": ORACLE_GROWTH_ACCOUNTING,
+    "peak_detection": ORACLE_PEAK_DETECTION,
 }
 
 

@@ -61,6 +61,15 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "event_cooccurrence": (
+        {"broadcast_nested_loop_join"},
+        "1-row window-count aggregate broadcast into the lift tree",
+    ),
+    "peak_detection": (
+        {"broadcast_nested_loop_join"},
+        "1-row (dmin, dmax) span aggregate broadcast into the "
+        "per-type day spine",
+    ),
     "decayed_revenue": (
         {"broadcast_nested_loop_join"},
         "1-row (ymin, ymax) span aggregate broadcast into the "
