@@ -10930,6 +10930,136 @@ FROM flagged GROUP BY event_type
 """
 
 
+def q_weekly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly KPI sheet over orders: order count, exact revenue,
+    average order value, and distinct customers per epoch week — the
+    reporting aggregate every scheduler materializes nightly. ONE
+    fact pass with map-side partials (count/sum/distinct share the
+    same grouping); AOV is a double division of exact cents. The
+    distinct-customer count is exact (per-week state bounded by
+    |customers|); the approx swap for wider horizons is
+    approx_cardinality's documented territory."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.floor(_day("o_orderdate") / 7).cast("long")
+    return (
+        o.select(
+            wk.alias("week"),
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "week",
+            "n_orders",
+            "n_customers",
+            "revenue_cents",
+            (
+                F.col("revenue_cents").cast("double")
+                / F.col("n_orders").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_order_value"),
+        )
+    )
+
+
+ORACLE_WEEKLY_KPIS = """
+WITH t AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(epoch_us(o_orderdate) / 86400000000)
+                         AS BIGINT) / 7) AS BIGINT) AS week,
+         o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT week, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       SUM(cents) AS revenue_cents,
+       CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+         AS avg_order_value
+FROM t GROUP BY week
+"""
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many EXACT duplicate
+    texts (md5 fingerprints) each pair of sources shares — the
+    dedup-family diagnostic that tells a corpus curator which sources
+    copy from each other. Per-fingerprint distinct source sets come
+    from one aggregate; pairs fan out per fingerprint (≤|sources|²,
+    bounded), never a document self-join. Integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(F.col("text")).alias("fp"), "source"
+    ).distinct()
+    a = fp.select("fp", F.col("source").alias("sa"))
+    b = fp.select("fp", F.col("source").alias("sb"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+ORACLE_CROSS_SOURCE_DUPS = """
+WITH fp AS (
+  SELECT DISTINCT md5(text) AS fp, source FROM documents
+)
+SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared_texts
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load profile per event type + each type's peak
+    hour: the hour is pure integer arithmetic ((epoch µs DIV 3600e6)
+    mod 24 — never an engine hour() whose timezone semantics could
+    differ), the profile is one (type, hour) aggregate, and the peak
+    hour is a rank-1 filter over the 24-row-per-type profile with a
+    deterministic (count DESC, hour ASC) tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)) % 24
+    ).cast("int")
+    prof = (
+        ev.select("event_type", hr.alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "hour"
+    )
+    return prof.select(
+        "event_type",
+        "hour",
+        "n",
+        (F.row_number().over(w) == 1).cast("int").alias("is_peak_hour"),
+    )
+
+
+ORACLE_HOURLY_PROFILE = """
+WITH prof AS (
+  SELECT event_type,
+         CAST(CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24
+              AS INT) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY n DESC, hour
+              ) = 1 THEN 1 ELSE 0 END AS INT) AS is_peak_hour
+FROM prof
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11139,6 +11269,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_cooccurrence": q_event_cooccurrence,
     "growth_accounting": q_growth_accounting,
     "peak_detection": q_peak_detection,
+    "weekly_kpis": q_weekly_kpis,
+    "cross_source_dups": q_cross_source_dups,
+    "hourly_profile": q_hourly_profile,
 }
 
 _ORACLES: dict[str, str] = {
@@ -11353,6 +11486,9 @@ _ORACLES: dict[str, str] = {
     "event_cooccurrence": ORACLE_EVENT_COOCCURRENCE,
     "growth_accounting": ORACLE_GROWTH_ACCOUNTING,
     "peak_detection": ORACLE_PEAK_DETECTION,
+    "weekly_kpis": ORACLE_WEEKLY_KPIS,
+    "cross_source_dups": ORACLE_CROSS_SOURCE_DUPS,
+    "hourly_profile": ORACLE_HOURLY_PROFILE,
 }
 
 
