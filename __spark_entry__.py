@@ -11060,6 +11060,247 @@ FROM prof
 """
 
 
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    while the cumulative share ≤ 80%, B ≤ 95%, C beyond. The running
+    revenue total over the DESC rank order comes from
+    ``operators/ranking.bucketed_prefix_sum`` — the distributed exact
+    prefix sum (bucket value sums → offset table → bucket-partitioned
+    running sum), so no single-partition window ever sees |parts|
+    rows. Class cuts are pure-integer comparisons (100·cum ≤ 80·total)
+    of exact cents. Emits per-class part counts and revenue shares."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    from fink_broker_spark.operators.ranking import bucketed_prefix_sum
+
+    with_cum = bucketed_prefix_sum(
+        rev,
+        -F.col("rev_cents"),
+        F.col("l_partkey"),
+        F.col("rev_cents"),
+        "cum_cents",
+        bucket_width=100_000,
+    )
+    tot = with_cum.agg(F.sum("rev_cents").alias("total_cents"))
+    classed = with_cum.crossJoin(F.broadcast(tot)).select(
+        "rev_cents",
+        "total_cents",
+        F.when(
+            100 * F.col("cum_cents") <= 80 * F.col("total_cents"), "A"
+        )
+        .when(
+            100 * F.col("cum_cents") <= 95 * F.col("total_cents"), "B"
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("class_cents"),
+        (
+            F.sum("rev_cents").cast("double")
+            / F.max("total_cents").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
+ORACLE_ABC_CLASSIFICATION = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+), cum AS (
+  SELECT l_partkey, rev_cents,
+         SUM(rev_cents) OVER (
+           ORDER BY rev_cents DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_cents,
+         SUM(rev_cents) OVER () AS total_cents
+  FROM rev
+), classed AS (
+  SELECT rev_cents, total_cents,
+         CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+              WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, count(*) AS n_parts, SUM(rev_cents) AS class_cents,
+       CAST(SUM(rev_cents) AS DOUBLE) / CAST(MAX(total_cents) AS DOUBLE)
+         AS revenue_share
+FROM classed GROUP BY abc_class
+"""
+
+
+def q_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order backlog: how many orders are OPEN (placed, not yet
+    fully shipped) on each calendar day — the interval-stabbing count
+    as a time series (max_concurrency's sweep generalized from the
+    peak to the whole curve). Orders become +1 events on the order
+    day and −1 on the last ship day; the day spine densifies gaps and
+    a running sum over the ~|days|-row delta series (tiny — days, not
+    orders) yields the curve. Emits month-level summaries (mean/peak
+    backlog) to keep the output bounded. Integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = (
+        li.select("l_orderkey", _day("l_shipdate").alias("sday"))
+        .groupBy("l_orderkey")
+        .agg(F.max("sday").alias("end_day"))
+    )
+    iv = o.select(
+        "o_orderkey", _day("o_orderdate").alias("start_day")
+    ).join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
+    deltas = (
+        iv.select(F.col("start_day").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            iv.select(
+                (F.col("end_day") + 1).alias("d"), F.lit(-1).alias("x")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("x").alias("delta"))
+    )
+    span = deltas.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    spine = span.select(
+        F.explode(F.sequence(F.col("dmin"), F.col("dmax"))).alias("d")
+    )
+    dense = spine.join(deltas, "d", "left").select(
+        "d", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = dense.select(
+        "d", F.sum("delta").over(w).alias("backlog")
+    )
+    mo = curve.select(
+        F.floor(F.col("d") / 30).cast("long").alias("period"),
+        "backlog",
+    )
+    return mo.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("backlog").alias("peak_backlog"),
+        F.sum("backlog").alias("backlog_day_sum"),
+    )
+
+
+ORACLE_DAILY_BACKLOG = """
+WITH ship AS (
+  SELECT l_orderkey,
+         MAX(CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT))
+           AS end_day
+  FROM lineitem GROUP BY l_orderkey
+), iv AS (
+  SELECT CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT)
+           AS start_day,
+         s.end_day
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+), deltas AS (
+  SELECT d, SUM(x) AS delta FROM (
+    SELECT start_day AS d, 1 AS x FROM iv
+    UNION ALL
+    SELECT end_day + 1, -1 FROM iv
+  ) GROUP BY d
+), span AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM deltas
+), spine AS (
+  SELECT unnest(generate_series(dmin, dmax)) AS d FROM span
+), dense AS (
+  SELECT s.d, COALESCE(x.delta, 0) AS delta
+  FROM spine s LEFT JOIN deltas x ON s.d = x.d
+), curve AS (
+  SELECT d,
+         SUM(delta) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS backlog
+  FROM dense
+)
+SELECT CAST(FLOOR(CAST(d AS DOUBLE) / 30) AS BIGINT) AS period,
+       count(*) AS n_days, MAX(backlog) AS peak_backlog,
+       SUM(backlog) AS backlog_day_sum
+FROM curve GROUP BY 1
+"""
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue deltas vs the
+    running peak — the peak-to-trough statistic over the daily
+    net-revenue series (returned items negative, like
+    clamped_balance's move algebra but globally): running sum, running
+    max of it, worst (peak − level). All exact integers on the
+    ~|days|-row daily series; 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.when(
+                F.col("l_returnflag") == "R",
+                -F.floor(
+                    F.col("l_extendedprice") * 100 + F.lit(0.5)
+                ).cast("long"),
+            )
+            .otherwise(
+                F.floor(
+                    F.col("l_extendedprice") * 100 + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    lvl = daily.select(
+        "d", F.sum("net").over(w).alias("level")
+    ).select(
+        "d", "level", F.max("level").over(w).alias("runpeak")
+    )
+    return lvl.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.col("runpeak") - F.col("level")).alias(
+            "max_drawdown_cents"
+        ),
+    )
+
+
+ORACLE_MAX_DRAWDOWN = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+           AS d,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN -CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)
+                  ELSE CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) END) AS net
+  FROM lineitem GROUP BY 1
+), lvl AS (
+  SELECT d,
+         SUM(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS level
+  FROM daily
+), pk AS (
+  SELECT d, level,
+         MAX(level) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runpeak
+  FROM lvl
+)
+SELECT count(*) AS n_days, MAX(runpeak - level) AS max_drawdown_cents
+FROM pk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11272,6 +11513,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_kpis": q_weekly_kpis,
     "cross_source_dups": q_cross_source_dups,
     "hourly_profile": q_hourly_profile,
+    "abc_classification": q_abc_classification,
+    "daily_backlog": q_daily_backlog,
+    "max_drawdown": q_max_drawdown,
 }
 
 _ORACLES: dict[str, str] = {
@@ -11489,6 +11733,9 @@ _ORACLES: dict[str, str] = {
     "weekly_kpis": ORACLE_WEEKLY_KPIS,
     "cross_source_dups": ORACLE_CROSS_SOURCE_DUPS,
     "hourly_profile": ORACLE_HOURLY_PROFILE,
+    "abc_classification": ORACLE_ABC_CLASSIFICATION,
+    "daily_backlog": ORACLE_DAILY_BACKLOG,
+    "max_drawdown": ORACLE_MAX_DRAWDOWN,
 }
 
 

@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_ntile", "bucketed_rank", "ntile_from_position"]
+__all__ = [
+    "bucketed_ntile",
+    "bucketed_prefix_sum",
+    "bucketed_rank",
+    "ntile_from_position",
+]
 
 
 def ntile_from_position(pos: Column, n: Column, buckets: int) -> Column:
@@ -104,6 +109,47 @@ def _positioned(
     wloc = Window.partitionBy("__b").orderBy(F.col("__k"), tiebreak)
     return rows.join(F.broadcast(offsets), "__b").withColumn(
         "__pos", F.col("__off") + F.row_number().over(wloc)
+    )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    key: Column,
+    tiebreak: Column,
+    value: Column,
+    out: str,
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Append ``out`` = exact inclusive prefix sum of ``value`` over
+    the global ``(key ASC, tiebreak ASC)`` order — the distributed
+    running total, same bucket-offset plan as ranking: per-bucket
+    value sums roll into exclusive bucket offsets (one tiny window
+    over |buckets| rows), and a bucket-partitioned running sum adds
+    the within-bucket part. Integral values only (the offsets must be
+    exact); per-task state is one bucket's rows."""
+    b = F.floor(key.cast("double") / F.lit(float(bucket_width))).cast(
+        "long"
+    )
+    rows = (
+        df.withColumn("__b", b)
+        .withColumn("__k", key)
+        .withColumn("__v", value)
+    )
+    counts = rows.groupBy("__b").agg(F.sum("__v").alias("__bs"))
+    woff = Window.orderBy("__b")
+    offsets = counts.select(
+        "__b",
+        (F.sum("__bs").over(woff) - F.col("__bs")).alias("__voff"),
+    )
+    wloc = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__k"), tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "__b")
+        .withColumn(out, F.col("__voff") + F.sum("__v").over(wloc))
+        .drop("__b", "__k", "__v", "__voff")
     )
 
 

@@ -729,3 +729,43 @@ def test_nearest_asof_join_semantics(spark):
         4: (41, -70),
         5: (None, None),
     }
+
+
+def test_bucketed_prefix_sum_matches_native(spark):
+    """Distributed prefix sum must equal a native global running
+    total, including duplicate keys (tiebreak order), negative keys,
+    and coarse buckets."""
+    from pyspark.sql import Window
+
+    from fink_broker_spark.operators.ranking import bucketed_prefix_sum
+
+    import random
+
+    rnd = random.Random(11)
+    for n, width in [(17, 1), (500, 1), (500, 23)]:
+        rows = [
+            (i, rnd.randrange(-40, 40) * 7, rnd.randrange(1, 100))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        got = {
+            r.id: r.ps
+            for r in bucketed_prefix_sum(
+                df, F.col("k"), F.col("id"), F.col("v"), "ps",
+                bucket_width=width,
+            ).collect()
+        }
+        want = {
+            r.id: r.ps
+            for r in df.select(
+                "id",
+                F.sum("v")
+                .over(
+                    Window.orderBy("k", "id").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                .alias("ps"),
+            ).collect()
+        }
+        assert got == want, (n, width)

@@ -61,6 +61,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row doc-count aggregate broadcast into the relative "
         "document-frequency cut",
     ),
+    "abc_classification": (
+        {"broadcast_nested_loop_join"},
+        "1-row revenue-total aggregate broadcast into the class-cut "
+        "condition",
+    ),
     "event_cooccurrence": (
         {"broadcast_nested_loop_join"},
         "1-row window-count aggregate broadcast into the lift tree",
