@@ -47,6 +47,7 @@ from fink_broker_spark.functions.text import (
     quality_score_expr,
     stopword_ratio_expr,
     token_count_expr,
+    tokens_expr,
 )
 from fink_broker_spark.functions.vector import norm2_expr
 from fink_broker_spark.operators.arrays import array_reduce_max
@@ -11301,6 +11302,1218 @@ FROM pk
 """
 
 
+def q_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE half of exact-substring dedup (Lee et al. 2022):
+    every token position covered by a 10-token window that also occurs
+    verbatim in another document is dropped, and the cleaned text's
+    md5 digest is emitted — ``dup_span_coverage`` is the detect half,
+    this applies the edit. The covered-position explode is ∝ n × dup
+    windows (not n × tokens); the cleaned body is rebuilt by an
+    index-lambda ``filter`` in codegen, so document text never leaves
+    the executors. Top 50 most-edited docs, (n_removed DESC, doc_id)
+    deterministic."""
+    from fink_broker_spark.ext.dedup import exact_substring_remove
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_substring_remove(docs, n=10)
+        .orderBy(F.col("n_removed").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+ORACLE_EXACT_SUBSTRING_REMOVE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+w AS (
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i:i+9], ' ')) AS w
+  FROM tok, UNNEST(range(1, greatest(len(toks) - 10 + 2, 1))) AS t(i)
+),
+dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, i + d AS pos
+  FROM w JOIN dup USING (w), UNNEST(range(0, 10)) AS r(d)
+),
+nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+toku AS (
+  SELECT doc_id, toks[i] AS tok, i AS pos
+  FROM tok, UNNEST(range(1, len(toks) + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM toku t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       n.n_removed,
+       md5(COALESCE(a.clean, '')) AS clean_hash
+FROM tok t
+JOIN nrem n USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY n.n_removed DESC, t.doc_id
+LIMIT 50
+"""
+
+
+def q_seat_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split 1000 budget
+    seats across nations proportionally to exact order-revenue cents —
+    the integer allocation-under-constraint operator (quota floors +
+    remainder-ranked top-up) that proportional budgeting, shard
+    assignment, and sampling-quota layouts all reduce to. Everything
+    is BIGINT arithmetic (seats × total_cents < 2⁶³ holds through
+    ~$90T of revenue; past that the multiplier moves into
+    DECIMAL(38,0)); the top-up rank runs over the 25-row nation
+    relation, so the partition-free window is bounded. Deterministic
+    (remainder DESC, n_name) tiebreak; Σ seats ≡ 1000 by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "rev_cents",
+        F.expr("(1000 * rev_cents) div total_cents").alias("base_seats"),
+        F.expr("(1000 * rev_cents) % total_cents").alias("rem"),
+    )
+    used = quota.agg(F.sum("base_seats").alias("used_seats"))
+    w = Window.orderBy(F.col("rem").desc(), "n_name")
+    return (
+        quota.crossJoin(F.broadcast(used))
+        .select(
+            "n_name",
+            "rev_cents",
+            "base_seats",
+            (
+                F.col("base_seats")
+                + F.when(
+                    F.row_number().over(w) <= F.lit(1000) - F.col("used_seats"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("seats"),
+        )
+    )
+
+
+ORACLE_SEAT_APPORTIONMENT = """
+WITH rev AS (
+  SELECT n_name,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev),
+quota AS (
+  SELECT n_name, rev_cents,
+         (1000 * rev_cents) // total_cents AS base_seats,
+         (1000 * rev_cents) % total_cents AS rem
+  FROM rev, tot
+),
+used AS (SELECT SUM(base_seats) AS used_seats FROM quota)
+SELECT n_name, rev_cents, base_seats,
+       base_seats + CASE WHEN ROW_NUMBER() OVER (
+                ORDER BY rem DESC, n_name
+              ) <= 1000 - used_seats THEN 1 ELSE 0 END AS seats
+FROM quota, used
+ORDER BY n_name
+"""
+
+
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey trigrams: the most common 3-step
+    event-type sequences per user stream — the path-analysis
+    generalization of the Markov bigram matrix (event_transitions).
+    One per-user window (two lags over the symmetric (epoch-µs,
+    event_id) order — the raw-ts ordering trap is avoided on BOTH
+    sides), one (t1,t2,t3) count aggregate, TakeOrdered with full-path
+    tiebreak. Exact integers end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+ORACLE_EVENT_PATH_TRIGRAMS = """
+WITH seq AS (
+  SELECT LAG(event_type, 2) OVER w AS t1,
+         LAG(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT t1, t2, t3, count(*) AS n
+FROM seq WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+def q_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the
+    vocabulary-diversity measure a corpus curator tracks next to
+    type-token ratio (lexical_diversity): H = −Σ p·ln p over per-source
+    token frequencies. One tokenize+explode pass, a vocab-bounded
+    (source, token) aggregate, a |sources|-row totals equi-join, and
+    the repo's transcendental-sum discipline: each p·ln p term rounds
+    to decimal(18,9) BEFORE the exact sum (p is a double division of
+    exact integers — identical IEEE on both engines; ln may differ by
+    1 ulp), and the exact sum quantizes terminally to scale 5 so a
+    straddled 0.5e-9 boundary cannot move the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_expr("text")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        counts.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            (-F.sum(term)).cast("decimal(28,9)").alias("ent_exact"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round("ent_exact", 5)
+            .cast("decimal(28,5)")
+            .cast("double")
+            .alias("entropy"),
+        )
+    )
+
+
+ORACLE_VOCAB_ENTROPY = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+counts AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+),
+totals AS (
+  SELECT source, SUM(c) AS n_tokens, count(*) AS vocab
+  FROM counts GROUP BY source
+),
+ent AS (
+  SELECT c.source,
+         CAST(-SUM(CAST(round(
+               (CAST(c.c AS DOUBLE) / t.n_tokens)
+                 * ln(CAST(c.c AS DOUBLE) / t.n_tokens), 9)
+             AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS ent_exact
+  FROM counts c JOIN totals t USING (source)
+  GROUP BY c.source
+)
+SELECT t.source, t.n_tokens, t.vocab,
+       CAST(CAST(round(e.ent_exact, 5) AS DECIMAL(28,5)) AS DOUBLE)
+         AS entropy
+FROM totals t JOIN ent e USING (source)
+ORDER BY t.source
+"""
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per nation —
+    T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ), the decomposable entropy-family
+    inequality measure (Gini's additive cousin; gini_by_nation is the
+    rank-based twin). One per-customer collapse, one nation-stats
+    aggregate joined back on the nation key, and the transcendental-sum
+    discipline end-to-end: μ and xᵢ/μ are double divisions of exact
+    integers (identical IEEE trees on both engines), each term rounds
+    to decimal(18,9) before the exact sum, and the terminal value is a
+    scale-5 quantize cast to double divided by the exact n."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    x = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("x"))
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "x")
+    )
+    stats = x.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    r = F.col("x").cast("double") / mu
+    term = F.round(r * F.log(r), 9).cast("decimal(18,9)")
+    return (
+        x.join(stats, "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.sum(term).cast("decimal(28,9)").alias("t_exact"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            (
+                F.round("t_exact", 5).cast("decimal(28,5)").cast("double")
+                / F.col("n_customers")
+            ).alias("theil"),
+        )
+    )
+
+
+ORACLE_THEIL_INDEX = """
+WITH x AS (
+  SELECT n_name,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+stats AS (
+  SELECT n_name, count(*) AS n, SUM(x) AS s FROM x GROUP BY n_name
+),
+terms AS (
+  SELECT x.n_name,
+         CAST(round(
+             (CAST(x.x AS DOUBLE) / (CAST(st.s AS DOUBLE) / st.n))
+               * ln(CAST(x.x AS DOUBLE) / (CAST(st.s AS DOUBLE) / st.n)),
+             9) AS DECIMAL(18,9)) AS term,
+         st.n AS n
+  FROM x JOIN stats st USING (n_name)
+)
+SELECT n_name, MAX(n) AS n_customers,
+       CAST(CAST(round(CAST(SUM(term) AS DECIMAL(28,9)), 5)
+                 AS DECIMAL(28,5)) AS DOUBLE) / MAX(n) AS theil
+FROM terms GROUP BY n_name
+"""
+
+
+def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    whole-corpus distribution — the domain-shift measure behind
+    DSIR-style data selection (dsir_importance scores documents; this
+    scores the SOURCES): KL(p_s ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)).
+    Every source token also lives in the corpus, so p_c > 0 by
+    construction. One tokenize pass feeds both the (source, token) and
+    corpus-token aggregates (vocab-bounded); probabilities are double
+    divisions of exact counts; terms round to decimal(18,9) before the
+    exact sum; terminal scale-5 quantize."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_expr("text")).alias("token")
+    )
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("cc"))
+    ctot = cc.agg(F.sum("cc").alias("nc"))
+    ps = F.col("c").cast("double") / F.col("ns")
+    pc = F.col("cc").cast("double") / F.col("nc")
+    term = F.round(ps * F.log(ps / pc), 9).cast("decimal(18,9)")
+    return (
+        sc.join(stot, "source")
+        .join(cc, "token")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.sum(term).cast("decimal(28,9)").alias("kl_exact"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round("kl_exact", 5)
+            .cast("decimal(28,5)")
+            .cast("double")
+            .alias("kl"),
+        )
+    )
+
+
+ORACLE_KL_DIVERGENCE_SOURCES = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+sc AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+),
+stot AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+cc AS (SELECT token, SUM(c) AS cc FROM sc GROUP BY token),
+ctot AS (SELECT SUM(cc) AS nc FROM cc),
+terms AS (
+  SELECT sc.source,
+         CAST(round(
+             (CAST(sc.c AS DOUBLE) / stot.ns)
+               * ln((CAST(sc.c AS DOUBLE) / stot.ns)
+                    / (CAST(cc.cc AS DOUBLE) / ctot.nc)),
+             9) AS DECIMAL(18,9)) AS term,
+         stot.ns AS ns
+  FROM sc
+  JOIN stot USING (source)
+  JOIN cc USING (token), ctot
+)
+SELECT source, MAX(ns) AS n_tokens,
+       CAST(CAST(round(CAST(SUM(term) AS DECIMAL(28,9)), 5)
+                 AS DECIMAL(28,5)) AS DOUBLE) AS kl
+FROM terms GROUP BY source
+"""
+
+
+def q_order_freq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-frequency distribution per market segment:
+    exact p50/p90/p99 of orders-per-customer on the (segment,
+    n_orders) VALUE GRID — the bounded-state exact-quantile pattern
+    (grid_quantiles' twin on the customer dimension; n_orders is a
+    small integer, so the grid is tiny however many customers there
+    are) — plus the exact mean and the one-time-customer rate. Two
+    shuffles: the per-customer collapse and the grid aggregate; every
+    emitted number is an integer or a double division of exact
+    integers."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    freq = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(cu.select("c_custkey", "c_mktsegment"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "n_orders")
+    )
+    grid = freq.groupBy("c_mktsegment", "n_orders").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("n_orders")
+    wp = Window.partitionBy("c_mktsegment")
+    cum = grid.select(
+        "c_mktsegment",
+        "n_orders",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+        F.sum(F.col("n_orders") * F.col("cnt")).over(wp).alias(
+            "sum_orders"
+        ),
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_customers"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("n_orders"))
+        ).alias("p50_orders"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("n_orders"))
+        ).alias("p90_orders"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("n_orders"))
+        ).alias("p99_orders"),
+        (
+            F.max("sum_orders").cast("double")
+            / F.max("n").cast("double")
+        ).alias("mean_orders"),
+        (
+            F.max(
+                F.when(F.col("n_orders") == 1, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.max("n").cast("double")
+        ).alias("one_time_rate"),
+    )
+
+
+ORACLE_ORDER_FREQ_QUANTILES = """
+WITH freq AS (
+  SELECT c_mktsegment, count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+),
+grid AS (
+  SELECT c_mktsegment, n_orders, count(*) AS cnt
+  FROM freq GROUP BY c_mktsegment, n_orders
+),
+cum AS (
+  SELECT c_mktsegment, n_orders, cnt,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY n_orders
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n,
+         SUM(n_orders * cnt) OVER (PARTITION BY c_mktsegment)
+           AS sum_orders
+  FROM grid
+)
+SELECT c_mktsegment,
+       MAX(n) AS n_customers,
+       MIN(CASE WHEN 2 * cum >= n THEN n_orders END) AS p50_orders,
+       MIN(CASE WHEN 10 * cum >= 9 * n THEN n_orders END) AS p90_orders,
+       MIN(CASE WHEN 100 * cum >= 99 * n THEN n_orders END)
+         AS p99_orders,
+       CAST(MAX(sum_orders) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+         AS mean_orders,
+       CAST(MAX(CASE WHEN n_orders = 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE) AS one_time_rate
+FROM cum GROUP BY c_mktsegment
+"""
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the depth-3 label-propagation communities
+    on the co-purchase graph — the partition-quality score that closes
+    the community loop (label_propagation finds communities, this
+    grades them): Q = Σ_c (e_c/m − (d_c/2m)²) = A/m − B/(4m²) with
+    A = intra-community edges and B = Σ d_c², both EXACT integers, so
+    the per-community float sum (order-dependent, engine-splitting)
+    never exists — Q is one fixed double tree over three exact
+    operands. Bounds: B < 2⁶³ holds while Σd_c² stays under ~9e18
+    (far past the support-cut edge sets here; the DECIMAL(38,0)
+    escalation is the documented next step). Same shuffle algebra as
+    label_propagation plus one degree aggregate; 1-row output."""
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = copurchase_edges(li, min_support=2)
+    sym = symmetrize(pairs)
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(3):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    m = pairs.agg(F.count(F.lit(1)).alias("m_edges"))
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        pairs.join(lu, "u")
+        .join(lv, "v")
+        .agg(
+            F.count_if(F.col("lu") == F.col("lv")).alias("intra_edges")
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dsq = (
+        labels.join(deg, F.col("node") == F.col("src"))
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("d_c"))
+        .agg(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq"))
+    )
+    return (
+        m.crossJoin(intra)
+        .crossJoin(dsq)
+        .select(
+            "m_edges",
+            "intra_edges",
+            "sum_deg_sq",
+            (
+                F.col("intra_edges").cast("double") / F.col("m_edges")
+                - F.col("sum_deg_sq").cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m_edges")
+                    * F.col("m_edges")
+                )
+            ).alias("modularity"),
+        )
+    )
+
+
+ORACLE_GRAPH_MODULARITY = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+m1 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1
+),
+l1 AS (
+  SELECT l0.node, LEAST(l0.lbl, COALESCE(m1.nl, l0.lbl)) AS lbl
+  FROM l0 LEFT JOIN m1 ON m1.node = l0.node
+),
+m2 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1
+),
+l2 AS (
+  SELECT l1.node, LEAST(l1.lbl, COALESCE(m2.nl, l1.lbl)) AS lbl
+  FROM l1 LEFT JOIN m2 ON m2.node = l1.node
+),
+m3 AS (
+  SELECT e.dst AS node, MIN(l.lbl) AS nl
+  FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1
+),
+l3 AS (
+  SELECT l2.node, LEAST(l2.lbl, COALESCE(m3.nl, l2.lbl)) AS lbl
+  FROM l2 LEFT JOIN m3 ON m3.node = l2.node
+),
+m_cnt AS (SELECT count(*) AS m_edges FROM pairs),
+intra AS (
+  SELECT count(*) FILTER (WHERE a.lbl = b.lbl) AS intra_edges
+  FROM pairs p JOIN l3 a ON a.node = p.u JOIN l3 b ON b.node = p.v
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+dsq AS (
+  SELECT SUM(d_c * d_c) AS sum_deg_sq
+  FROM (
+    SELECT l.lbl, SUM(d.deg) AS d_c
+    FROM l3 l JOIN deg d ON d.src = l.node GROUP BY l.lbl
+  )
+)
+SELECT m_edges, intra_edges, sum_deg_sq,
+       CAST(intra_edges AS DOUBLE) / m_edges
+         - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m_edges * m_edges)
+         AS modularity
+FROM m_cnt, intra, dsq
+"""
+
+
+def q_status_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table status-consistency audit: does each order's header
+    status agree with its line statuses? Per order one aggregate
+    (n_lines / n_F / n_O), then a 3-row header-status rollup counting
+    pure-F, pure-O, mixed, and rule-violating orders (an 'F' order
+    with a non-F line, an 'O' order with a non-O line, a 'P' order
+    that is not mixed) — the referential CONTENT audit that
+    complements fk_orphans' key audit. One fact aggregate + one
+    header equi-join; exact integers only."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_if(F.col("l_linestatus") == "F").alias("n_f"),
+        F.count_if(F.col("l_linestatus") == "O").alias("n_o"),
+    )
+    j = o.select("o_orderkey", "o_orderstatus").join(
+        per_order, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    pure_f = F.col("n_f") == F.col("n_lines")
+    pure_o = F.col("n_o") == F.col("n_lines")
+    viol = (
+        ((F.col("o_orderstatus") == "F") & ~pure_f)
+        | ((F.col("o_orderstatus") == "O") & ~pure_o)
+        | ((F.col("o_orderstatus") == "P") & (pure_f | pure_o))
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(pure_f).alias("n_pure_f"),
+        F.count_if(pure_o).alias("n_pure_o"),
+        F.count_if(~pure_f & ~pure_o).alias("n_mixed"),
+        F.count_if(viol).alias("n_violating"),
+    )
+
+
+ORACLE_STATUS_CONSISTENCY_AUDIT = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+         count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE n_f = n_lines) AS n_pure_f,
+       count(*) FILTER (WHERE n_o = n_lines) AS n_pure_o,
+       count(*) FILTER (WHERE n_f <> n_lines AND n_o <> n_lines)
+         AS n_mixed,
+       count(*) FILTER (WHERE
+           (o_orderstatus = 'F' AND n_f <> n_lines)
+        OR (o_orderstatus = 'O' AND n_o <> n_lines)
+        OR (o_orderstatus = 'P' AND (n_f = n_lines OR n_o = n_lines)))
+         AS n_violating
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trending event types: each (type, epoch-week)
+    count is matched to the SAME type's previous week by a (type,
+    week−1) equi-join — never a lag window over the whole fact table —
+    and the top 20 risers rank by the exact integer delta with a full
+    (type, week) tiebreak. The growth ratio is one double division of
+    exact counts. Two shuffles: the (type, week) collapse and the
+    tiny grid self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.select(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("ts")) / F.lit(604_800_000_000)
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prev = wk.select(
+        "event_type",
+        (F.col("week") + 1).alias("week"),
+        F.col("c").alias("prev_c"),
+    )
+    return (
+        wk.join(prev, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "c",
+            "prev_c",
+            (F.col("c") - F.col("prev_c")).alias("delta"),
+            (
+                F.col("c").cast("double") / F.col("prev_c").cast("double")
+            ).alias("ratio"),
+        )
+        .orderBy(F.col("delta").desc(), "event_type", "week")
+        .limit(20)
+    )
+
+
+ORACLE_TRENDING_EVENTS = """
+WITH wk AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS week,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.week, a.c, b.c AS prev_c,
+       a.c - b.c AS delta,
+       CAST(a.c AS DOUBLE) / CAST(b.c AS DOUBLE) AS ratio
+FROM wk a JOIN wk b
+  ON a.event_type = b.event_type AND a.week = b.week + 1
+ORDER BY delta DESC, a.event_type, a.week
+LIMIT 20
+"""
+
+
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the inter-class geometry check run after clustering
+    or labeling (how separated are the classes?). Exactness: float
+    components integerize to nano-units with the identical-IEEE
+    floor(x·1e9+0.5) tree (label_centroids' rule), centroid means
+    integerize to MICRO-units with a pmod-based floor division
+    (Spark `div` truncates toward zero while DuckDB `//` floors —
+    the sign-split trap; (s − pmod(s, d)) div d floors on BOTH
+    engines), so dot products and norms are exact BIGINTs bounded by
+    dim × (5e5)² ≈ 2⁴⁴ — safely inside every double cast. The cosine
+    is one fixed sqrt tree over those exact operands. One (label,
+    pos) shuffle + a pos-keyed join over |labels|·dim rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(
+            F.col("val").cast("double") * F.lit(1_000_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_nano"),
+    )
+    cent = (
+        t.groupBy("label", "pos")
+        .agg(F.sum("v_nano").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                "(s - pmod(s, c * 1000)) div (c * 1000)"
+            ).alias("m"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("norm_sq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("norm_sq").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("norm_sq").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dot",
+            "na",
+            "nb",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+ORACLE_CENTROID_DISTANCES = """
+WITH t AS (
+  SELECT label, CAST(i AS INTEGER) AS pos,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000000.0
+                    + 0.5) AS BIGINT) AS v_nano
+  FROM embeddings, range(0, 4096) r(i)
+  WHERE i < len(embedding)
+),
+cent AS (
+  SELECT label, pos,
+         (SUM(v_nano) - ((SUM(v_nano) % (count(*) * 1000))
+                         + (count(*) * 1000)) % (count(*) * 1000))
+           // (count(*) * 1000) AS m
+  FROM t GROUP BY label, pos
+),
+norms AS (
+  SELECT label, SUM(m * m) AS norm_sq FROM cent GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b, d.dot,
+       na.norm_sq AS na, nb.norm_sq AS nb,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(na.norm_sq AS DOUBLE))
+            * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge (waterfall decomposition): the
+    change between the two most recent data-derived years split into
+    new / churned / expanded / contracted / flat customer classes,
+    each contributing an exact signed cents delta — the growth
+    accounting identity at REVENUE grain (growth_accounting counts
+    users; this reconciles money: Σ class deltas ≡ total Δ). One
+    (customer, year) collapse, a full-outer self-match on the
+    customer key for the two years, exact integer deltas."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cy = (
+        o.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    ymax = per_cy.agg(F.max("yr").alias("y1"))
+    both = per_cy.crossJoin(F.broadcast(ymax)).filter(
+        (F.col("yr") == F.col("y1")) | (F.col("yr") == F.col("y1") - 1)
+    )
+    cur = both.filter(F.col("yr") == F.col("y1")).select(
+        "o_custkey", F.col("rev").alias("rev1")
+    )
+    prv = both.filter(F.col("yr") == F.col("y1") - 1).select(
+        F.col("o_custkey").alias("pk"), F.col("rev").alias("rev0")
+    )
+    m = cur.join(prv, F.col("o_custkey") == F.col("pk"), "full_outer")
+    r1 = F.coalesce("rev1", F.lit(0))
+    r0 = F.coalesce("rev0", F.lit(0))
+    cls = (
+        F.when(F.col("rev0").isNull(), F.lit("new"))
+        .when(F.col("rev1").isNull(), F.lit("churned"))
+        .when(r1 > r0, F.lit("expanded"))
+        .when(r1 < r0, F.lit("contracted"))
+        .otherwise(F.lit("flat"))
+    )
+    return m.groupBy(cls.alias("bridge_class")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(r1 - r0).alias("delta_cents"),
+        F.sum(r0).alias("base_cents"),
+        F.sum(r1).alias("cur_cents"),
+    )
+
+
+ORACLE_REVENUE_BRIDGE = """
+WITH per_cy AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+ymax AS (SELECT MAX(yr) AS y1 FROM per_cy),
+cur AS (
+  SELECT o_custkey, rev AS rev1 FROM per_cy, ymax WHERE yr = y1
+),
+prv AS (
+  SELECT o_custkey, rev AS rev0 FROM per_cy, ymax WHERE yr = y1 - 1
+),
+m AS (
+  SELECT COALESCE(rev1, 0) AS r1, COALESCE(rev0, 0) AS r0,
+         CASE WHEN rev0 IS NULL THEN 'new'
+              WHEN rev1 IS NULL THEN 'churned'
+              WHEN COALESCE(rev1, 0) > COALESCE(rev0, 0) THEN 'expanded'
+              WHEN COALESCE(rev1, 0) < COALESCE(rev0, 0)
+                THEN 'contracted'
+              ELSE 'flat' END AS bridge_class
+  FROM cur FULL OUTER JOIN prv USING (o_custkey)
+)
+SELECT bridge_class, count(*) AS n_customers,
+       SUM(r1 - r0) AS delta_cents,
+       SUM(r0) AS base_cents,
+       SUM(r1) AS cur_cents
+FROM m GROUP BY bridge_class
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap between the
+    FIRST view and the first purchase AT OR AFTER it, reduced to whole
+    days and fed through the bounded value-grid exact-quantile pattern
+    (p50/p90 + exact mean) — funnel_conversion counts who converts,
+    this measures how long conversion takes. Two conditional-min
+    aggregates in ONE per-user pass (no self-join); the day reduction
+    is an integral div of a nonneg µs gap (floor ≡ trunc — the
+    negative-operand div/floor split cannot arise). 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", us)
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("first_purchase"),
+    )
+    lat = (
+        per_user.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            F.expr(
+                "(first_purchase - first_view) div 86400000000"
+            ).alias("days")
+        )
+    )
+    grid = lat.groupBy("days").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("days")
+    cum = grid.select(
+        "days",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum(F.col("days") * F.col("cnt"))
+        .over(Window.partitionBy())
+        .alias("sum_days"),
+    )
+    return cum.agg(
+        F.max("n").alias("n_converted"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("days"))
+        ).alias("p90_days"),
+        (
+            F.max("sum_days").cast("double") / F.max("n").cast("double")
+        ).alias("mean_days"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT (first_purchase - first_view) // 86400000000 AS days
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+),
+grid AS (SELECT days, count(*) AS cnt FROM lat GROUP BY days),
+cum AS (
+  SELECT days,
+         SUM(cnt) OVER (ORDER BY days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS n,
+         SUM(days * cnt) OVER () AS sum_days
+  FROM grid
+)
+SELECT MAX(n) AS n_converted,
+       MIN(CASE WHEN 2 * cum >= n THEN days END) AS p50_days,
+       MIN(CASE WHEN 10 * cum >= 9 * n THEN days END) AS p90_days,
+       CAST(MAX(sum_days) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+         AS mean_days
+FROM cum
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    QUARTER, cumulative revenue per quarter offset — the
+    revenue-grain twin of cohort_retention (who stays vs what they
+    are worth). Quarter keys are exact integers (4·year + (month−1)
+    div 3 — calendar-derived, sub-µs-jitter-immune); the cohort
+    assignment is a window MIN (no self-join back to an aggregate);
+    the cumulative sum runs per cohort over the bounded offset axis.
+    LTV-per-customer is one double division of exact cents by the
+    cohort size."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.expr(
+            "4 * year(o_orderdate) + (month(o_orderdate) - 1) div 3"
+        ).alias("qk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    wc = Window.partitionBy("o_custkey")
+    withc = base.select(
+        "o_custkey",
+        "cents",
+        "qk",
+        F.min("qk").over(wc).alias("cohort_q"),
+    )
+    cell = (
+        withc.select(
+            "o_custkey",
+            "cents",
+            "cohort_q",
+            (F.col("qk") - F.col("cohort_q")).alias("offset"),
+        )
+        .groupBy("cohort_q", "offset")
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.count_distinct("o_custkey").alias("n_active"),
+        )
+    )
+    sizes = cell.filter(F.col("offset") == 0).select(
+        "cohort_q", F.col("n_active").alias("cohort_size")
+    )
+    wo = Window.partitionBy("cohort_q").orderBy("offset")
+    return (
+        cell.join(sizes, "cohort_q")
+        .select(
+            "cohort_q",
+            "offset",
+            "n_active",
+            "cohort_size",
+            F.sum("rev_cents").over(wo).alias("cum_cents"),
+        )
+        .select(
+            "cohort_q",
+            "offset",
+            "n_active",
+            "cohort_size",
+            "cum_cents",
+            (
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("ltv_cents"),
+        )
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH base AS (
+  SELECT o_custkey,
+         4 * year(o_orderdate)
+           + (month(o_orderdate) - 1) // 3 AS qk,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+withc AS (
+  SELECT o_custkey, cents, qk,
+         MIN(qk) OVER (PARTITION BY o_custkey) AS cohort_q
+  FROM base
+),
+cell AS (
+  SELECT cohort_q, qk - cohort_q AS "offset",
+         SUM(cents) AS rev_cents,
+         count(DISTINCT o_custkey) AS n_active
+  FROM withc GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_q, n_active AS cohort_size FROM cell WHERE "offset" = 0
+),
+cum AS (
+  SELECT c.cohort_q, c."offset", c.n_active, s.cohort_size,
+         SUM(c.rev_cents) OVER (PARTITION BY c.cohort_q
+             ORDER BY c."offset"
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents
+  FROM cell c JOIN sizes s USING (cohort_q)
+)
+SELECT cohort_q, "offset", n_active, cohort_size, cum_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+         AS ltv_cents
+FROM cum
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — do hubs attach
+    to hubs? Pearson correlation of endpoint degrees over the
+    symmetrized edge list, computed from FIVE exact integer moments
+    (M, Σdu, Σdu·dv, Σdu²; Σdv = Σdu and Σdv² = Σdu² by symmetry):
+    r = (M·Sxy − Sx²)/(M·Sxx − Sx²), one double division of two
+    exactly-computed BIGINTs. Wide-int watermark: M·Sxy peaks ~2⁵⁴ at
+    sf0.1-scale graphs — inside the exact-BIGINT zone; the centered
+    two-pass (corr_matrix's escalation) is the documented next step if
+    edge counts grow ~2⁹ more. One degree aggregate + one edge join;
+    1-row output."""
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sym = symmetrize(copurchase_edges(li, min_support=2))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    pairs = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(du, "u")
+        .join(dv, "v")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("m_directed"),
+        F.sum("du").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+    )
+    return mom.select(
+        "m_directed",
+        "sx",
+        "sxy",
+        "sxx",
+        (
+            (
+                F.col("m_directed") * F.col("sxy")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+            / (
+                F.col("m_directed") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("assortativity"),
+    )
+
+
+ORACLE_DEGREE_ASSORTATIVITY = """
+WITH p0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM p0
+  UNION ALL SELECT v AS src, u AS dst FROM p0
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pairs AS (
+  SELECT a.deg AS du, b.deg AS dv
+  FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+),
+mom AS (
+  SELECT count(*) AS m_directed, SUM(du) AS sx,
+         SUM(du * dv) AS sxy, SUM(du * du) AS sxx
+  FROM pairs
+)
+SELECT m_directed, sx, sxy, sxx,
+       CAST(m_directed * sxy - sx * sx AS DOUBLE)
+         / CAST(m_directed * sxx - sx * sx AS DOUBLE)
+         AS assortativity
+FROM mom
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11516,6 +12729,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_classification": q_abc_classification,
     "daily_backlog": q_daily_backlog,
     "max_drawdown": q_max_drawdown,
+    "exact_substring_remove": q_exact_substring_remove,
+    "seat_apportionment": q_seat_apportionment,
+    "event_path_trigrams": q_event_path_trigrams,
+    "vocab_entropy": q_vocab_entropy,
+    "theil_index": q_theil_index,
+    "kl_divergence_sources": q_kl_divergence_sources,
+    "order_freq_quantiles": q_order_freq_quantiles,
+    "graph_modularity": q_graph_modularity,
+    "status_consistency_audit": q_status_consistency_audit,
+    "trending_events": q_trending_events,
+    "centroid_distances": q_centroid_distances,
+    "revenue_bridge": q_revenue_bridge,
+    "conversion_latency": q_conversion_latency,
+    "cohort_ltv": q_cohort_ltv,
+    "degree_assortativity": q_degree_assortativity,
 }
 
 _ORACLES: dict[str, str] = {
@@ -11736,6 +12964,21 @@ _ORACLES: dict[str, str] = {
     "abc_classification": ORACLE_ABC_CLASSIFICATION,
     "daily_backlog": ORACLE_DAILY_BACKLOG,
     "max_drawdown": ORACLE_MAX_DRAWDOWN,
+    "exact_substring_remove": ORACLE_EXACT_SUBSTRING_REMOVE,
+    "seat_apportionment": ORACLE_SEAT_APPORTIONMENT,
+    "event_path_trigrams": ORACLE_EVENT_PATH_TRIGRAMS,
+    "vocab_entropy": ORACLE_VOCAB_ENTROPY,
+    "theil_index": ORACLE_THEIL_INDEX,
+    "kl_divergence_sources": ORACLE_KL_DIVERGENCE_SOURCES,
+    "order_freq_quantiles": ORACLE_ORDER_FREQ_QUANTILES,
+    "graph_modularity": ORACLE_GRAPH_MODULARITY,
+    "status_consistency_audit": ORACLE_STATUS_CONSISTENCY_AUDIT,
+    "trending_events": ORACLE_TRENDING_EVENTS,
+    "centroid_distances": ORACLE_CENTROID_DISTANCES,
+    "revenue_bridge": ORACLE_REVENUE_BRIDGE,
+    "conversion_latency": ORACLE_CONVERSION_LATENCY,
+    "cohort_ltv": ORACLE_COHORT_LTV,
+    "degree_assortativity": ORACLE_DEGREE_ASSORTATIVITY,
 }
 
 

@@ -675,3 +675,87 @@ def dup_span_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def exact_substring_remove(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVE half of exact-substring dedup (Lee et al. 2022):
+    drop every token position covered by an ``n``-token window that
+    also occurs verbatim in at least one other document, and emit the
+    cleaned text's digest — :func:`dup_span_coverage` finds the spans,
+    this operator applies the edit.
+
+    Plan shape: the same sliding-window digests (windows carry their
+    1-based start position), one corpus-wide frequency shuffle keeps
+    only cross-document windows, each surviving window explodes into
+    its ``n`` covered positions (volume ∝ n × dup windows, NOT n ×
+    tokens), a distinct + per-doc collect builds the covered-position
+    set (≤ |tokens-per-doc|, same bound as the token array itself),
+    and an index-lambda ``filter`` drops covered tokens in codegen —
+    the document body never leaves the executor. Only documents with
+    at least one removed token are returned.
+
+    The digest is md5 (bit-identical across engines) so the whole
+    edit — including the cleaned text's hash — is oracle-exact.
+
+    Returns (doc_id, n_tokens, n_removed, clean_hash).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
+            )
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "w")
+    dup_w = (
+        win.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("w")
+    )
+    covered = (
+        win.join(dup_w, "w")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_sets = covered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("cov"),
+        F.count(F.lit(1)).alias("n_removed"),
+    )
+    return toks.join(cov_sets, "doc_id").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        # kept tokens re-join with single spaces; empty survivor set
+        # gives concat_ws('') == '' == the oracle's COALESCE('') twin
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "toks",
+                    lambda t, i: ~F.array_contains(
+                        F.col("cov"), i + F.lit(1)
+                    ),
+                ),
+            )
+        ).alias("clean_hash"),
+    )

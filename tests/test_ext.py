@@ -506,3 +506,55 @@ def test_khop_reach_counts(spark):
     assert got[1] == (1, 2)
     assert got[5] == (1, 2)
     assert got[2] == (2, 3)
+
+
+def test_exact_substring_remove_semantics(spark):
+    """The remove half drops exactly the covered positions: a copied
+    10-token span is excised from both docs, unique text is untouched
+    (absent from the output), and the cleaned digest equals md5 of the
+    space-joined survivors."""
+    import hashlib
+
+    from fink_broker_spark.ext.dedup import exact_substring_remove
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1a tail1b"),
+            (2, "head2a head2b " + shared),
+            (3, "all unique words nothing in common with others at all x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_remove(docs, n=10).collect()}
+    # doc 3 has no dup windows -> no removals -> excluded
+    assert set(out) == {1, 2}
+    # doc 1: positions 1-10 covered, tails survive
+    assert out[1].n_tokens == 12 and out[1].n_removed == 10
+    assert (
+        out[1].clean_hash
+        == hashlib.md5(b"tail1a tail1b").hexdigest()
+    )
+    # doc 2: heads survive, span at positions 3-12 removed
+    assert out[2].n_removed == 10
+    assert (
+        out[2].clean_hash
+        == hashlib.md5(b"head2a head2b").hexdigest()
+    )
+
+
+def test_exact_substring_remove_full_doc(spark):
+    """A doc that is ENTIRELY a duplicated span cleans to the empty
+    string (md5('') — the concat_ws/COALESCE empty-survivor contract)."""
+    import hashlib
+
+    from fink_broker_spark.ext.dedup import exact_substring_remove
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared + " extra")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_remove(docs, n=10).collect()}
+    assert out[1].n_removed == 10
+    assert out[1].clean_hash == hashlib.md5(b"").hexdigest()

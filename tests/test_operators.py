@@ -769,3 +769,157 @@ def test_bucketed_prefix_sum_matches_native(spark):
             ).collect()
         }
         assert got == want, (n, width)
+
+
+def test_seat_apportionment_invariants(spark):
+    """Hamilton apportionment: seats sum exactly to the house size,
+    every nation gets at least its quota floor, and top-ups are 0/1."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["seat_apportionment"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r.seats for r in rows) == 1000
+    assert all(r.seats in (r.base_seats, r.base_seats + 1) for r in rows)
+    assert all(r.seats >= r.base_seats for r in rows)
+
+
+def test_theil_index_nonnegative(spark):
+    """Theil T is a Jensen gap — nonnegative for every nation, zero
+    only under perfect equality."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["theil_index"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 25
+    # quantized at scale 5: allow the quantization epsilon
+    assert all(r.theil >= -1e-4 for r in rows)
+    assert any(r.theil > 0 for r in rows)
+
+
+def test_kl_divergence_nonnegative(spark):
+    """KL(p_source || p_corpus) is nonnegative (Gibbs); the terminal
+    scale-5 quantize can dip at most one unit below zero."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["kl_divergence_sources"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r.kl >= -1e-4 for r in rows)
+
+
+def test_order_freq_quantiles_monotone(spark):
+    """Grid quantiles are monotone (p50 <= p90 <= p99) and the rates
+    live in [0, 1]."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["order_freq_quantiles"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_orders <= r.p90_orders <= r.p99_orders
+        assert 0.0 <= r.one_time_rate <= 1.0
+        assert r.p50_orders <= r.mean_orders * 2  # sanity
+
+
+def test_graph_modularity_bounds(spark):
+    """Newman modularity lives in [-1/2, 1]; intra-community edges
+    cannot exceed the edge count."""
+    import __spark_entry__ as em
+
+    (row,) = em._QUERIES["graph_modularity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 <= row.intra_edges <= row.m_edges
+    assert -0.5 <= row.modularity <= 1.0
+
+
+def test_centroid_distances_selfconsistency(spark):
+    """Pairwise centroid cosine: every unordered label pair appears
+    exactly once, cosines live in [-1, 1], and the exact dot obeys
+    Cauchy-Schwarz against the exact norms."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["centroid_distances"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    labels = set()
+    for r in rows:
+        assert r.label_a < r.label_b
+        labels.add(r.label_a); labels.add(r.label_b)
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.dot * r.dot <= r.na * r.nb
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+
+
+def test_status_audit_partitions(spark):
+    """pure_f + pure_o + mixed partitions every order exactly once."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["status_consistency_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pure_f + r.n_pure_o + r.n_mixed == r.n_orders
+        assert 0 <= r.n_violating <= r.n_orders
+
+
+def test_revenue_bridge_reconciles(spark):
+    """The bridge identity: class deltas sum to total(Y) - total(Y-1)."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["revenue_bridge"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {r.bridge_class for r in rows} <= {
+        "new", "churned", "expanded", "contracted", "flat"
+    }
+    assert sum(r.delta_cents for r in rows) == (
+        sum(r.cur_cents for r in rows) - sum(r.base_cents for r in rows)
+    )
+    churned = [r for r in rows if r.bridge_class == "churned"]
+    assert all(r.cur_cents == 0 for r in churned)
+
+
+def test_conversion_latency_sane(spark):
+    import __spark_entry__ as em
+
+    (row,) = em._QUERIES["conversion_latency"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert row.n_converted > 0
+    assert 0 <= row.p50_days <= row.p90_days
+    assert row.mean_days >= 0.0
+
+
+def test_cohort_ltv_monotone(spark):
+    """Cumulative LTV never decreases along a cohort's offset axis;
+    active customers never exceed the cohort size."""
+    import __spark_entry__ as em
+
+    rows = em._QUERIES["cohort_ltv"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_q, []).append(r)
+        assert r.n_active <= r.cohort_size
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.offset)
+        assert rs[0].offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_cents >= a.cum_cents
+
+
+def test_degree_assortativity_bounds(spark):
+    import __spark_entry__ as em
+
+    (row,) = em._QUERIES["degree_assortativity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert -1.0 <= row.assortativity <= 1.0
+    assert row.sxy <= row.sxx  # Cauchy-Schwarz with symmetric moments

@@ -116,6 +116,21 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "metric; the ntile itself is the distributed bucket-offset "
         "ranking, not a global window",
     ),
+    "kl_divergence_sources": (
+        {"broadcast_nested_loop_join"},
+        "1-row corpus-token-total aggregate broadcast into the "
+        "per-term probability ratio",
+    ),
+    "graph_modularity": (
+        {"broadcast_nested_loop_join"},
+        "three 1-row aggregates (edge count, intra count, Σd_c²) "
+        "cross-joined into the final fixed double tree",
+    ),
+    "seat_apportionment": (
+        {"broadcast_nested_loop_join"},
+        "1-row total-cents and used-seats aggregates broadcast into "
+        "the 25-row nation quota table",
+    ),
     "chisq_independence": (
         {"broadcast_nested_loop_join"},
         "contingency grid = cross of the two margin aggregates "
