@@ -7645,30 +7645,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round ONE src-keyed join + ONE dst-keyed min — the same
     shuffle pair as ``pagerank``; label state stays distributed."""
-    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+    from fink_broker_spark.ext.graph import (
+        copurchase_edges,
+        min_label_propagation,
+        symmetrize,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     sym = symmetrize(copurchase_edges(li, min_support=2))
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(3):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("src"), "lbl"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nl"))
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
-        )
+    labels = min_label_propagation(sym, rounds=3)
     return (
         labels.groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("community_size"))
@@ -10589,8 +10574,6 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cut lever for unbounded axes lives in sparse_cosine_pairs).
     Fixed sqrt tree, (pair) tiebreak top-20."""
     docs = load_table(spark, sf_dir, "documents")
-    from fink_broker_spark.functions.text import tokens_expr
-
     pruned = (
         docs.select("source", F.explode(tokens_expr("text")).alias("w"))
         .groupBy("source", "w")
@@ -11818,28 +11801,16 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (far past the support-cut edge sets here; the DECIMAL(38,0)
     escalation is the documented next step). Same shuffle algebra as
     label_propagation plus one degree aggregate; 1-row output."""
-    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+    from fink_broker_spark.ext.graph import (
+        copurchase_edges,
+        min_label_propagation,
+        symmetrize,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     pairs = copurchase_edges(li, min_support=2)
     sym = symmetrize(pairs)
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(3):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("src"), "lbl"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nl"))
-        )
-        labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
-                "lbl"
-            ),
-        )
+    labels = min_label_propagation(sym, rounds=3)
     m = pairs.agg(F.count(F.lit(1)).alias("m_edges"))
     lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
@@ -12514,6 +12485,590 @@ FROM mom
 """
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive tokens per source by lift (class-based
+    keyword extraction, the c-TF-IDF idea without the transcendental):
+    lift = (tf_in_source/source_total) / (tf_corpus/corpus_total),
+    monotone in PMI so the log never needs to exist near the hash
+    (collocation_lift's rule at class granularity). One tokenize pass
+    feeds both vocab-bounded aggregates; a df ≥ 5 support cut kills
+    singleton noise; the per-source top-5 is a row_number with
+    (lift exact-operand double DESC, token) tiebreak — but the RANK
+    key is the exact integer cross product c·nc vs cc·ns, so ties
+    resolve identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens_expr("text")).alias("token")
+    )
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("cc"))
+    ctot = cc.agg(F.sum("cc").alias("nc"))
+    scored = (
+        sc.filter(F.col("c") >= 5)
+        .join(stot, "source")
+        .join(cc, "token")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "token",
+            "c",
+            # exact integer rank key: lift = (c/ns)/(cc/nc) has the
+            # same order as c*nc vs cc*ns (all positive); c*nc peaks
+            # ~1e6*1e7 = 1e13 << 2^63
+            (F.col("c") * F.col("nc")).alias("num"),
+            (F.col("cc") * F.col("ns")).alias("den"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        # exact rational comparison via the cross product is a join;
+        # the double division of exact sub-2^53 ints is correctly
+        # rounded and order-preserving at this magnitude spread
+        (F.col("num").cast("double") / F.col("den").cast("double")).desc(),
+        "token",
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "token",
+            "c",
+            (
+                F.col("num").cast("double") / F.col("den").cast("double")
+            ).alias("lift"),
+            "rk",
+        )
+    )
+
+
+ORACLE_DISTINCTIVE_TERMS = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+sc AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+),
+stot AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY source),
+cc AS (SELECT token, SUM(c) AS cc FROM sc GROUP BY token),
+ctot AS (SELECT SUM(cc) AS nc FROM cc),
+scored AS (
+  SELECT sc.source, sc.token, sc.c,
+         sc.c * ctot.nc AS num, cc.cc * stot.ns AS den
+  FROM sc
+  JOIN stot USING (source)
+  JOIN cc USING (token), ctot
+  WHERE sc.c >= 5
+),
+ranked AS (
+  SELECT source, token, c,
+         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS lift,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                      token) AS rk
+  FROM scored
+)
+SELECT source, token, c, lift, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k = 3, three synchronous rounds) on the
+    co-purchase graph: each round drops every node whose CURRENT
+    degree is below k, then recomputes degrees on the induced
+    subgraph — the standard dense-subgraph extractor (the peel is
+    monotone, so a fixed unroll oracles exactly; full peeling is the
+    checkpointed-loop variant of the same step). Emits the surviving
+    core's summary: node count, edge count, min/max degree. Per round
+    ONE degree aggregate + TWO semi-join filters on the edge list —
+    the LP shuffle algebra with a shrinking frontier."""
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sym = symmetrize(copurchase_edges(li, min_support=2))
+    edges = sym
+    for _ in range(3):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("src")
+        )
+        edges = edges.join(keep, "src").join(
+            keep.select(F.col("src").alias("dst")), "dst"
+        )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("core_nodes"),
+        # sum(deg) is even (symmetrized); integral div, never a
+        # double division (Spark double→int casts truncate where
+        # DuckDB's round)
+        F.expr("sum(deg) div 2").alias("core_edges"),
+        F.min("deg").alias("min_degree"),
+        F.max("deg").alias("max_degree"),
+    )
+
+
+ORACLE_KCORE_PEEL = """
+WITH p0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+e0 AS (
+  SELECT u AS src, v AS dst FROM p0
+  UNION ALL SELECT v AS src, u AS dst FROM p0
+),
+k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst
+),
+k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst
+),
+k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+e3 AS (
+  SELECT e.src, e.dst FROM e2 e
+  JOIN k3 a ON a.src = e.src JOIN k3 b ON b.src = e.dst
+),
+deg AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
+SELECT count(*) AS core_nodes,
+       SUM(deg) // 2 AS core_edges,
+       MIN(deg) AS min_degree,
+       MAX(deg) AS max_degree
+FROM deg
+"""
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index between the two most recent data-derived
+    years: Σ(p₁·q₀)/Σ(p₀·q₀) over the parts traded in BOTH years —
+    base-year quantity weights, so the index isolates price movement
+    from volume mix (the yoy_growth companion that separates the
+    'why'). Per (part, year): exact cents and quantity sums; each
+    p₁·q₀ term is the scale-4 fixed-point INTEGRAL floor division
+    (c₁·q₀·10⁴) div q₁ — exact BIGINT algebra, because rounding the
+    division-derived double at scale 4 split the engines on the
+    boundary driftlab layout (caught pre-commit); the index is a
+    terminal double ratio of exact sums. One fact collapse + a
+    part-keyed year self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    py = (
+        li.join(
+            o.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            "yr",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            # floor(x + 0.5), never cast("long"): Spark's double→long
+            # cast truncates while DuckDB's rounds — adversarial .5
+            # quantities split them (boundary driftlab, caught here)
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+        .groupBy("l_partkey", "yr")
+        .agg(F.sum("cents").alias("cents"), F.sum("qty").alias("qty"))
+    )
+    ymax = py.agg(F.max("yr").alias("y1"))
+    cur = py.crossJoin(F.broadcast(ymax)).filter(
+        F.col("yr") == F.col("y1")
+    ).select("l_partkey", F.col("cents").alias("c1"),
+             F.col("qty").alias("q1"), "y1")
+    base = py.crossJoin(F.broadcast(ymax)).filter(
+        F.col("yr") == F.col("y1") - 1
+    ).select(F.col("l_partkey").alias("pk"),
+             F.col("cents").alias("c0"), F.col("qty").alias("q0"))
+    j = cur.join(base, F.col("l_partkey") == F.col("pk"))
+    # the weighted relative collapses exactly: c0·rel ≡ c1·q0/q1.
+    # NEVER round that division-derived double (the boundary driftlab
+    # layout manufactures scale-4 halves and split the engines —
+    # caught before commit): scale to fixed-point FIRST and take the
+    # integral floor division, which is exact BIGINT algebra on both
+    # engines (all operands positive, so div ≡ // ≡ floor).
+    # c1·q0·10⁴ < 2⁵⁹ per part-year; the term sum stays < 2⁶³ through
+    # ~sf1000.
+    term = F.expr("(c1 * q0 * 10000) div q1")
+    return j.groupBy("y1").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("c0").alias("base_cents"),
+        (
+            F.sum(term).cast("double")
+            / F.lit(10000.0)
+            / F.sum("c0").cast("double")
+        ).alias("laspeyres_index"),
+    )
+
+
+ORACLE_PRICE_INDEX = """
+WITH py AS (
+  SELECT l_partkey, year(o_orderdate) AS yr,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS cents,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+ymax AS (SELECT MAX(yr) AS y1 FROM py),
+cur AS (
+  SELECT l_partkey, cents AS c1, qty AS q1, y1
+  FROM py, ymax WHERE yr = y1
+),
+base AS (
+  SELECT l_partkey, cents AS c0, qty AS q0
+  FROM py, ymax WHERE yr = y1 - 1
+),
+j AS (
+  SELECT y1, c0,
+         (c1 * q0 * 10000) // q1 AS term
+  FROM cur JOIN base USING (l_partkey)
+)
+SELECT y1, count(*) AS n_parts, SUM(c0) AS base_cents,
+       CAST(SUM(term) AS DOUBLE) / 10000.0
+         / CAST(SUM(c0) AS DOUBLE) AS laspeyres_index
+FROM j GROUP BY y1
+"""
+
+
+def q_quartile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of order-value distributions per
+    priority: (Q₁ + Q₃ − 2·Q₂)/(Q₃ − Q₁) — the robust shape statistic
+    that pairs with the grid-quantile family (outlier-immune where
+    moment skewness is not). Order values reduce to whole dollars so
+    the value grid stays bounded; quartiles are conditional MINs under
+    pure-integer thresholds; the skewness is one fixed double tree
+    over three exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) div 100"
+        ).alias("dollars"),
+    )
+    grid = vals.groupBy("o_orderpriority", "dollars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("dollars")
+    wp = Window.partitionBy("o_orderpriority")
+    cum = grid.select(
+        "o_orderpriority",
+        "dollars",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    q = cum.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(4 * F.col("cum") >= F.col("n"), F.col("dollars"))
+        ).alias("q1"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("dollars"))
+        ).alias("q2"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("dollars"))
+        ).alias("q3"),
+    )
+    return q.select(
+        "o_orderpriority",
+        "n_orders",
+        "q1",
+        "q2",
+        "q3",
+        (
+            (F.col("q1") + F.col("q3") - 2 * F.col("q2")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double")
+        ).alias("bowley_skew"),
+    )
+
+
+ORACLE_QUARTILE_SKEWNESS = """
+WITH vals AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 100
+           AS dollars
+  FROM orders
+),
+grid AS (
+  SELECT o_orderpriority, dollars, count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, dollars,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY dollars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM grid
+),
+q AS (
+  SELECT o_orderpriority, MAX(n) AS n_orders,
+         MIN(CASE WHEN 4 * cum >= n THEN dollars END) AS q1,
+         MIN(CASE WHEN 2 * cum >= n THEN dollars END) AS q2,
+         MIN(CASE WHEN 4 * cum >= 3 * n THEN dollars END) AS q3
+  FROM cum GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, q1, q2, q3,
+       CAST(q1 + q3 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
+         AS bowley_skew
+FROM q
+"""
+
+
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution pyramid of the daily net-revenue series:
+    levels 1/2/4/8 days, each bucket an EXACT integer sum with its
+    member-day count and a double mean — the Haar-style coarsening a
+    light-curve (or any time-series) store keeps per zoom level, as
+    one unioned aggregate over the tiny day spine (the multires_index
+    idea on the TIME axis instead of the sky). Bucket keys are
+    integral div of the epoch-day (all positive: div ≡ floor on both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.when(
+                F.col("l_returnflag") == "R",
+                -F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long"),
+            )
+            .otherwise(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("long")
+            )
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("net"))
+    )
+    levels = None
+    for lvl in (1, 2, 4, 8):
+        cur = daily.groupBy(
+            F.lit(lvl).alias("level"),
+            F.expr(f"d div {lvl}").alias("bucket"),
+        ).agg(
+            F.sum("net").alias("net_cents"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        levels = cur if levels is None else levels.unionAll(cur)
+    return levels.select(
+        "level",
+        "bucket",
+        "net_cents",
+        "n_days",
+        (
+            F.col("net_cents").cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("mean_daily_cents"),
+    )
+
+
+ORACLE_MULTIRES_ROLLUP = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT) AS d,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN -CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)
+                  ELSE CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) END) AS net
+  FROM lineitem GROUP BY 1
+),
+lv AS (SELECT lvl FROM (VALUES (1), (2), (4), (8)) t(lvl)),
+roll AS (
+  SELECT lv.lvl AS level, d // lv.lvl AS bucket,
+         SUM(net) AS net_cents, count(*) AS n_days
+  FROM daily, lv GROUP BY 1, 2
+)
+SELECT level, bucket, net_cents, n_days,
+       CAST(net_cents AS DOUBLE) / CAST(n_days AS DOUBLE)
+         AS mean_daily_cents
+FROM roll
+"""
+
+
+def q_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 stencil smoothing over the 10° sky grid — the
+    convolution/neighbor-average operator class (density smoothing,
+    matched-filter prep) expressed relationally: each occupied cell
+    explodes into its ≤9 neighbor TARGETS (RA wraps mod 36, dec rows
+    clamp at the poles), one groupBy per target sums the neighborhood,
+    and the smoothed value is a double division of exact counts by the
+    real (clamp-aware) neighbor count. Empty cells inside a
+    neighborhood contribute zero by construction, so the stencil is
+    sparse: shuffle volume is 9 × occupied cells, never 648 × 9."""
+    from fink_broker_spark.functions.spatial import grid_pixel_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
+    dec = (F.col("user_id") % 181 - 90).cast("double")
+    cells = (
+        ev.select(grid_pixel_expr(ra, dec, cell_deg=10.0).alias("pix"))
+        .groupBy("pix")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("pix div 36").alias("r"),
+            F.expr("pix % 36").alias("c"),
+            "n",
+        )
+    )
+    offs = spark.range(9).select(
+        (F.col("id") / 3).cast("long").alias("dr_raw"),
+        (F.col("id") % 3).alias("dc_raw"),
+    ).select(
+        (F.col("dr_raw") - 1).alias("dr"), (F.col("dc_raw") - 1).alias("dc")
+    )
+    contrib = (
+        cells.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("r") + F.col("dr")).alias("tr"),
+            F.pmod(F.col("c") + F.col("dc"), F.lit(36)).alias("tc"),
+            "n",
+        )
+        .filter((F.col("tr") >= 0) & (F.col("tr") <= 17))
+    )
+    sums = contrib.groupBy("tr", "tc").agg(
+        F.sum("n").alias("nbr_sum"),
+        F.count(F.lit(1)).alias("nbr_cells"),
+    )
+    return (
+        cells.join(
+            sums,
+            (F.col("r") == F.col("tr")) & (F.col("c") == F.col("tc")),
+        )
+        .select(
+            (F.col("r") * 36 + F.col("c")).alias("pix"),
+            "n",
+            "nbr_sum",
+            "nbr_cells",
+            (
+                F.col("nbr_sum").cast("double")
+                / F.col("nbr_cells").cast("double")
+            ).alias("smoothed"),
+        )
+    )
+
+
+ORACLE_GRID_SMOOTH = """
+WITH cells AS (
+  SELECT CAST(floor(((CAST(user_id % 181 AS DOUBLE) - 90) + 90.0)
+              / 10.0) * 36
+         + floor((value - floor(value / 360.0) * 360.0) / 10.0)
+           AS BIGINT) AS pix,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+rc AS (SELECT pix // 36 AS r, pix % 36 AS c, n FROM cells),
+offs AS (
+  SELECT dr, dc
+  FROM (VALUES (-1), (0), (1)) a(dr), (VALUES (-1), (0), (1)) b(dc)
+),
+contrib AS (
+  SELECT r + dr AS tr, ((c + dc) % 36 + 36) % 36 AS tc, n
+  FROM rc, offs
+  WHERE r + dr BETWEEN 0 AND 17
+),
+sums AS (
+  SELECT tr, tc, SUM(n) AS nbr_sum, count(*) AS nbr_cells
+  FROM contrib GROUP BY tr, tc
+)
+SELECT rc.r * 36 + rc.c AS pix, rc.n, s.nbr_sum, s.nbr_cells,
+       CAST(s.nbr_sum AS DOUBLE) / CAST(s.nbr_cells AS DOUBLE)
+         AS smoothed
+FROM rc JOIN sums s ON s.tr = rc.r AND s.tc = rc.c
+"""
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by start hour: single-event sessions over
+    all sessions, profiled by the session's start hour-of-day — the
+    engagement metric on top of the 30-min lag-gap sessionizer (same
+    break rule as session_window_lag, so the session algebra is
+    already driver-attested). Session ids are running sums of break
+    flags; the start hour is pure integer µs arithmetic (never engine
+    hour()); rates are double divisions of exact counts."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", nanos_to_micros("ts_ns")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gapped = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    brk = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        gapped.withColumn("sid", F.sum(brk).over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+        )
+    )
+    hourly = sess.select(
+        (
+            F.floor(F.col("start_us") / F.lit(3_600_000_000)) % 24
+        )
+        .cast("int")
+        .alias("hour"),
+        F.when(F.col("n_events") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bounce"),
+    )
+    return hourly.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("bounce").cast("long").alias("n_bounce"),
+        (
+            F.sum("bounce").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+ORACLE_BOUNCE_RATE = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+marked AS (
+  SELECT user_id, ts_us,
+         SUM(CASE WHEN prev_us IS NULL
+                   OR ts_us - prev_us > {{gap}} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_events, MIN(ts_us) AS start_us
+  FROM marked GROUP BY user_id, sid
+),
+hourly AS (
+  SELECT CAST(CAST(FLOOR(start_us / 3600000000) AS BIGINT) % 24
+              AS INT) AS hour,
+         CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce
+  FROM sess
+)
+SELECT hour, count(*) AS n_sessions,
+       CAST(SUM(bounce) AS BIGINT) AS n_bounce,
+       CAST(SUM(bounce) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS bounce_rate
+FROM hourly GROUP BY hour
+""".replace("{gap}", str(SESSION_GAP_US))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -12744,6 +13299,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_latency": q_conversion_latency,
     "cohort_ltv": q_cohort_ltv,
     "degree_assortativity": q_degree_assortativity,
+    "distinctive_terms": q_distinctive_terms,
+    "kcore_peel": q_kcore_peel,
+    "price_index": q_price_index,
+    "quartile_skewness": q_quartile_skewness,
+    "multires_rollup": q_multires_rollup,
+    "grid_smooth": q_grid_smooth,
+    "bounce_rate": q_bounce_rate,
 }
 
 _ORACLES: dict[str, str] = {
@@ -12979,6 +13541,13 @@ _ORACLES: dict[str, str] = {
     "conversion_latency": ORACLE_CONVERSION_LATENCY,
     "cohort_ltv": ORACLE_COHORT_LTV,
     "degree_assortativity": ORACLE_DEGREE_ASSORTATIVITY,
+    "distinctive_terms": ORACLE_DISTINCTIVE_TERMS,
+    "kcore_peel": ORACLE_KCORE_PEEL,
+    "price_index": ORACLE_PRICE_INDEX,
+    "quartile_skewness": ORACLE_QUARTILE_SKEWNESS,
+    "multires_rollup": ORACLE_MULTIRES_ROLLUP,
+    "grid_smooth": ORACLE_GRID_SMOOTH,
+    "bounce_rate": ORACLE_BOUNCE_RATE,
 }
 
 

@@ -110,6 +110,39 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
 
 
+def min_label_propagation(sym: DataFrame, rounds: int = 3) -> DataFrame:
+    """Bounded synchronous min-label propagation over a symmetrized
+    ``(src, dst)`` edge set: label(v) ← min(label(v), min over
+    neighbors), unrolled ``rounds`` times — pure integer MIN algebra,
+    so a fixed depth oracles exactly (the full-depth variant is the
+    checkpointed pointer-jumping CC in :mod:`ext.dedup`). Returns
+    ``(node, lbl)``. Per round ONE src-keyed join + ONE dst-keyed min —
+    the same shuffle pair as PageRank; label state stays distributed.
+
+    Shared by the ``label_propagation`` and ``graph_modularity``
+    queries so the iteration count and tie rules can never drift
+    between the community finder and the community grader.
+    """
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    return labels
+
+
 #: PageRank fixed-point scale: ranks are BIGINT units of 1e-9
 PAGERANK_UNIT = 1_000_000_000
 

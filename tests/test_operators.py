@@ -776,9 +776,9 @@ def test_seat_apportionment_invariants(spark):
     every nation gets at least its quota floor, and top-ups are 0/1."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["seat_apportionment"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["seat_apportionment"](spark, SF0001).collect()
     assert sum(r.seats for r in rows) == 1000
     assert all(r.seats in (r.base_seats, r.base_seats + 1) for r in rows)
     assert all(r.seats >= r.base_seats for r in rows)
@@ -789,9 +789,9 @@ def test_theil_index_nonnegative(spark):
     only under perfect equality."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["theil_index"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["theil_index"](spark, SF0001).collect()
     assert len(rows) == 25
     # quantized at scale 5: allow the quantization epsilon
     assert all(r.theil >= -1e-4 for r in rows)
@@ -803,9 +803,9 @@ def test_kl_divergence_nonnegative(spark):
     scale-5 quantize can dip at most one unit below zero."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["kl_divergence_sources"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["kl_divergence_sources"](spark, SF0001).collect()
     assert rows and all(r.kl >= -1e-4 for r in rows)
 
 
@@ -814,9 +814,9 @@ def test_order_freq_quantiles_monotone(spark):
     live in [0, 1]."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["order_freq_quantiles"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["order_freq_quantiles"](spark, SF0001).collect()
     assert rows
     for r in rows:
         assert r.p50_orders <= r.p90_orders <= r.p99_orders
@@ -829,9 +829,9 @@ def test_graph_modularity_bounds(spark):
     cannot exceed the edge count."""
     import __spark_entry__ as em
 
-    (row,) = em._QUERIES["graph_modularity"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["graph_modularity"](spark, SF0001).collect()
     assert 0 <= row.intra_edges <= row.m_edges
     assert -0.5 <= row.modularity <= 1.0
 
@@ -842,9 +842,9 @@ def test_centroid_distances_selfconsistency(spark):
     Cauchy-Schwarz against the exact norms."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["centroid_distances"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["centroid_distances"](spark, SF0001).collect()
     labels = set()
     for r in rows:
         assert r.label_a < r.label_b
@@ -859,9 +859,9 @@ def test_status_audit_partitions(spark):
     """pure_f + pure_o + mixed partitions every order exactly once."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["status_consistency_audit"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["status_consistency_audit"](spark, SF0001).collect()
     assert rows
     for r in rows:
         assert r.n_pure_f + r.n_pure_o + r.n_mixed == r.n_orders
@@ -872,9 +872,9 @@ def test_revenue_bridge_reconciles(spark):
     """The bridge identity: class deltas sum to total(Y) - total(Y-1)."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["revenue_bridge"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["revenue_bridge"](spark, SF0001).collect()
     assert {r.bridge_class for r in rows} <= {
         "new", "churned", "expanded", "contracted", "flat"
     }
@@ -888,9 +888,9 @@ def test_revenue_bridge_reconciles(spark):
 def test_conversion_latency_sane(spark):
     import __spark_entry__ as em
 
-    (row,) = em._QUERIES["conversion_latency"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["conversion_latency"](spark, SF0001).collect()
     assert row.n_converted > 0
     assert 0 <= row.p50_days <= row.p90_days
     assert row.mean_days >= 0.0
@@ -901,9 +901,9 @@ def test_cohort_ltv_monotone(spark):
     active customers never exceed the cohort size."""
     import __spark_entry__ as em
 
-    rows = em._QUERIES["cohort_ltv"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    rows = em.queries()["cohort_ltv"](spark, SF0001).collect()
     by_cohort = {}
     for r in rows:
         by_cohort.setdefault(r.cohort_q, []).append(r)
@@ -918,8 +918,105 @@ def test_cohort_ltv_monotone(spark):
 def test_degree_assortativity_bounds(spark):
     import __spark_entry__ as em
 
-    (row,) = em._QUERIES["degree_assortativity"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["degree_assortativity"](spark, SF0001).collect()
     assert -1.0 <= row.assortativity <= 1.0
     assert row.sxy <= row.sxx  # Cauchy-Schwarz with symmetric moments
+
+
+def test_kcore_peel_invariants(spark):
+    """Every surviving node of the bounded 3-round 3-core peel keeps
+    degree >= 3, and the handshake identity holds."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["kcore_peel"](spark, SF0001).collect()
+    if row.core_nodes:
+        assert row.min_degree >= 3
+        assert row.core_edges * 2 >= row.core_nodes * 3
+
+
+def test_quartile_skewness_bounds(spark):
+    """Bowley skewness is bounded in [-1, 1] and quartiles monotone."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["quartile_skewness"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q2 <= r.q3
+        assert -1.0 <= r.bowley_skew <= 1.0
+
+
+def test_price_index_positive(spark):
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["price_index"](spark, SF0001).collect()
+    assert row.n_parts > 0 and row.laspeyres_index > 0.0
+
+
+def test_distinctive_terms_shape(spark):
+    """Top-5 per source, rank keys dense from 1, lift positive."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["distinctive_terms"](spark, SF0001).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.lift > 0.0
+    for rs in by_src.values():
+        assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+
+
+def test_multires_rollup_telescopes(spark):
+    """Every level's total equals the level-1 total (the pyramid
+    telescopes), and bucket day counts never exceed the level width."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["multires_rollup"](spark, SF0001).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r.level, []).append(r)
+        assert 1 <= r.n_days <= r.level
+    totals = {
+        lvl: sum(r.net_cents for r in rs) for lvl, rs in by_level.items()
+    }
+    assert len(set(totals.values())) == 1
+
+
+def test_grid_smooth_conserves_mass(spark):
+    """Stencil identity: every cell contributes once per in-bounds
+    neighbor, so nbr_cells <= 9 and an isolated uniform grid's
+    smoothed value equals its own count."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["grid_smooth"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.nbr_cells <= 9
+        assert r.nbr_sum >= r.n  # own count always contributes
+
+
+def test_bounce_rate_bounds(spark):
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["bounce_rate"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hour <= 23
+        assert 0.0 <= r.bounce_rate <= 1.0
+        assert r.n_bounce <= r.n_sessions

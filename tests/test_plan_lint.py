@@ -116,6 +116,16 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "metric; the ntile itself is the distributed bucket-offset "
         "ranking, not a global window",
     ),
+    "grid_smooth": (
+        {"broadcast_nested_loop_join"},
+        "9-row stencil-offset relation broadcast into the occupied "
+        "cell list (the sparse 3x3 convolution fan-out)",
+    ),
+    "distinctive_terms": (
+        {"broadcast_nested_loop_join"},
+        "1-row corpus-token-total aggregate broadcast into the "
+        "integer lift cross product",
+    ),
     "kl_divergence_sources": (
         {"broadcast_nested_loop_join"},
         "1-row corpus-token-total aggregate broadcast into the "
