@@ -13069,6 +13069,639 @@ FROM hourly GROUP BY hour
 """.replace("{gap}", str(SESSION_GAP_US))
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two md5-parity arms,
+    per event type — the standard drift monitor a serving pipeline
+    runs between a reference and a live value distribution:
+    PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b). Bins are floor(value/50)
+    (pure IEEE floor of the raw double — identical both engines);
+    probabilities are Laplace-smoothed ((n+1)/(N+B), all exact
+    integers) so empty bins never hit ln(0); each term follows the
+    transcendental-sum discipline (decimal(18,9) round before the
+    exact sum, terminal scale-5 quantize). One fact pass + a
+    bin-grid-sized reshape."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ).alias("arm")
+    binned = ev.select(
+        "event_type",
+        arm,
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "arm", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = counts.select("event_type", "bin").distinct()
+    nbins = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    totals = counts.groupBy("event_type", "arm").agg(
+        F.sum("n").alias("tot")
+    )
+    a_cnt = counts.filter(F.col("arm") == 0).select(
+        "event_type", "bin", F.col("n").alias("na")
+    )
+    b_cnt = counts.filter(F.col("arm") == 1).select(
+        "event_type", "bin", F.col("n").alias("nb")
+    )
+    a_tot = totals.filter(F.col("arm") == 0).select(
+        "event_type", F.col("tot").alias("ta")
+    )
+    b_tot = totals.filter(F.col("arm") == 1).select(
+        "event_type", F.col("tot").alias("tb")
+    )
+    full = (
+        grid.join(a_cnt, ["event_type", "bin"], "left")
+        .join(b_cnt, ["event_type", "bin"], "left")
+        .join(a_tot, "event_type")
+        .join(b_tot, "event_type")
+        .join(nbins, "event_type")
+        .select(
+            "event_type",
+            (F.coalesce("na", F.lit(0)) + 1).alias("sa"),
+            (F.coalesce("nb", F.lit(0)) + 1).alias("sb"),
+            (F.col("ta") + F.col("b")).alias("da"),
+            (F.col("tb") + F.col("b")).alias("db"),
+        )
+    )
+    pa = F.col("sa").cast("double") / F.col("da")
+    pb = F.col("sb").cast("double") / F.col("db")
+    term = F.round((pa - pb) * F.log(pa / pb), 9).cast("decimal(18,9)")
+    return (
+        full.groupBy("event_type")
+        .agg(F.sum(term).cast("decimal(28,9)").alias("psi_exact"))
+        .select(
+            "event_type",
+            F.round("psi_exact", 5)
+            .cast("decimal(28,5)")
+            .cast("double")
+            .alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI_DRIFT = """
+WITH binned AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm,
+         CAST(FLOOR(value / 50.0) AS BIGINT) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, arm, bin, count(*) AS n
+  FROM binned GROUP BY 1, 2, 3
+),
+grid AS (SELECT DISTINCT event_type, bin FROM counts),
+nbins AS (SELECT event_type, count(*) AS b FROM grid GROUP BY 1),
+totals AS (
+  SELECT event_type, arm, SUM(n) AS tot FROM counts GROUP BY 1, 2
+),
+filled AS (
+  SELECT g.event_type,
+         COALESCE(a.n, 0) + 1 AS sa,
+         COALESCE(bb.n, 0) + 1 AS sb,
+         ta.tot + nb.b AS da,
+         tb.tot + nb.b AS db
+  FROM grid g
+  LEFT JOIN counts a
+    ON a.event_type = g.event_type AND a.bin = g.bin AND a.arm = 0
+  LEFT JOIN counts bb
+    ON bb.event_type = g.event_type AND bb.bin = g.bin AND bb.arm = 1
+  JOIN totals ta ON ta.event_type = g.event_type AND ta.arm = 0
+  JOIN totals tb ON tb.event_type = g.event_type AND tb.arm = 1
+  JOIN nbins nb ON nb.event_type = g.event_type
+),
+terms AS (
+  SELECT event_type,
+         CAST(round(
+             (CAST(sa AS DOUBLE) / da - CAST(sb AS DOUBLE) / db)
+               * ln((CAST(sa AS DOUBLE) / da)
+                    / (CAST(sb AS DOUBLE) / db)), 9)
+           AS DECIMAL(18,9)) AS term
+  FROM filled
+)
+SELECT event_type,
+       CAST(CAST(round(CAST(SUM(term) AS DECIMAL(28,9)), 5)
+                 AS DECIMAL(28,5)) AS DOUBLE) AS psi
+FROM terms GROUP BY event_type
+"""
+
+
+def q_qgram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-gram prefiltered fuzzy string join: candidate part-name pairs
+    meet ONLY through a shared character trigram (inverted-index
+    equi-join — never the |names|² product), then an exact Levenshtein
+    refine keeps distance ≤ 3 — the standard filter-verify shape for
+    string similarity at scale (fuzzy_name_match is the composite-
+    argmin twin; this one demonstrates the blocking join). The trigram
+    posting lists are df-cut at 50% of names to kill stop-grams.
+    Integer distances, (name_a, name_b) deterministic output."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.lower("p_name").alias("nm")).distinct()
+    ncount = names.agg(F.count(F.lit(1)).alias("n_names"))
+    idx = F.when(
+        F.length("nm") >= 3,
+        F.sequence(F.lit(1), F.length("nm") - F.lit(2)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = names.select(
+        "nm",
+        F.explode(
+            F.transform(idx, lambda i: F.substr("nm", i, F.lit(3)))
+        ).alias("g"),
+    ).distinct()
+    df_cut = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(ncount))
+        .filter(2 * F.col("df") <= F.col("n_names"))
+        .select("g")
+    )
+    pruned = grams.join(df_cut, "g")
+    cand = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "g")
+        .filter(F.col("a.nm") < F.col("b.nm"))
+        .select(
+            F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+        .limit(200)
+    )
+
+
+ORACLE_QGRAM_MATCH = """
+WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+ncount AS (SELECT count(*) AS n_names FROM names),
+grams AS (
+  SELECT DISTINCT nm, substr(nm, i, 3) AS g
+  FROM names, UNNEST(range(1, greatest(length(nm) - 1, 1))) AS t(i)
+  WHERE length(nm) >= 3
+),
+df_cut AS (
+  SELECT g FROM grams, ncount
+  GROUP BY g, n_names HAVING 2 * count(*) <= n_names
+),
+pruned AS (SELECT nm, g FROM grams JOIN df_cut USING (g)),
+cand AS (
+  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+  FROM pruned a JOIN pruned b USING (g)
+  WHERE a.nm < b.nm
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 3
+ORDER BY name_a, name_b
+LIMIT 200
+"""
+
+
+def q_weekday_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily outliers: each day's net revenue
+    minus ITS WEEKDAY's mean (weekday = epoch-day mod 7 — pure
+    integer, never engine dayofweek), top 10 by absolute residual —
+    the seasonal-baseline anomaly detector (anomaly_scores is the
+    global-z twin; this removes the weekly cycle first). Exact integer
+    day sums, weekday means as double divisions of exact sums, one
+    fixed residual tree, deterministic (|residual| DESC, day)
+    TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+        .select("d", (F.col("d") % 7).alias("wd"), "rev")
+    )
+    wk = daily.groupBy("wd").agg(
+        F.sum("rev").alias("sw"), F.count(F.lit(1)).alias("cw")
+    )
+    resid = daily.join(F.broadcast(wk), "wd").select(
+        "d",
+        "wd",
+        "rev",
+        (
+            F.col("rev").cast("double")
+            - F.col("sw").cast("double") / F.col("cw").cast("double")
+        ).alias("residual"),
+    )
+    return resid.orderBy(
+        F.abs(F.col("residual")).desc(), "d"
+    ).limit(10)
+
+
+ORACLE_WEEKDAY_OUTLIERS = """
+WITH daily AS (
+  SELECT d, d % 7 AS wd, rev FROM (
+    SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+             AS d,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS rev
+    FROM lineitem GROUP BY 1
+  )
+),
+wk AS (
+  SELECT wd, SUM(rev) AS sw, count(*) AS cw FROM daily GROUP BY wd
+)
+SELECT d, wd, rev,
+       CAST(rev AS DOUBLE)
+         - CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE) AS residual
+FROM daily JOIN wk USING (wd)
+ORDER BY abs(CAST(rev AS DOUBLE)
+             - CAST(sw AS DOUBLE) / CAST(cw AS DOUBLE)) DESC, d
+LIMIT 10
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics over the fact table's three key
+    columns — the pre-flight report that decides salting/AQE-skew
+    strategy (the operational companion to skew_join_salted): per key,
+    distinct count, hottest key + its count, and the skew ratio
+    max/avg = max_cnt·n_distinct/n_rows. One aggregate per key column
+    (each map-side combinable); hottest key by (count DESC, key)
+    deterministic argmin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for keycol in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per = (
+            li.select(F.col(keycol).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mx = per.agg(F.max("cnt").alias("mx"))
+        agg = per.crossJoin(F.broadcast(mx)).agg(
+            F.lit(keycol).alias("key_col"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("max_cnt"),
+            F.min(
+                F.when(F.col("cnt") == F.col("mx"), F.col("k"))
+            ).alias("hottest_key"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.select(
+        "key_col",
+        "n_rows",
+        "n_distinct",
+        "max_cnt",
+        "hottest_key",
+        (
+            F.col("max_cnt").cast("double")
+            * F.col("n_distinct").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+ORACLE_SKEW_REPORT = """
+WITH ok AS (
+  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+pk AS (
+  SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+sk AS (
+  SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+rep AS (
+  SELECT 'l_orderkey' AS key_col, SUM(cnt) AS n_rows,
+         count(*) AS n_distinct, MAX(cnt) AS max_cnt,
+         MIN(CASE WHEN cnt = (SELECT MAX(cnt) FROM ok) THEN k END)
+           AS hottest_key
+  FROM ok
+  UNION ALL
+  SELECT 'l_partkey', SUM(cnt), count(*), MAX(cnt),
+         MIN(CASE WHEN cnt = (SELECT MAX(cnt) FROM pk) THEN k END)
+  FROM pk
+  UNION ALL
+  SELECT 'l_suppkey', SUM(cnt), count(*), MAX(cnt),
+         MIN(CASE WHEN cnt = (SELECT MAX(cnt) FROM sk) THEN k END)
+  FROM sk
+)
+SELECT key_col, n_rows, n_distinct, max_cnt, hottest_key,
+       CAST(max_cnt AS DOUBLE) * CAST(n_distinct AS DOUBLE)
+         / CAST(n_rows AS DOUBLE) AS skew_ratio
+FROM rep
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b from basket co-occurrence: confidence
+    = n_ab/n_a and lift = n_ab·N/(n_a·n_b) over exact basket counts —
+    the apriori triple completed (basket_pairs mines support, this
+    ranks the directed rules). Pair counts come from the same HOF
+    in-basket expansion (one fact shuffle, never a self-join); item
+    supports are a second distinct-collapse aggregate; both rule
+    directions emit from one pair row. Lift is a double of exact
+    sub-2⁵³ cross products; top-25 by (conf DESC, a, b) with the
+    exact integer tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    parts = F.col("parts")
+    pair_structs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + F.lit(2), F.size(parts)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    item = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    # both rule directions from one pair row
+    directed = pairs.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("a"), F.col("pa").alias("b"), "n_ab"
+        )
+    )
+    na = item.select(F.col("pk").alias("a"), F.col("n_i").alias("n_a"))
+    nbi = item.select(F.col("pk").alias("b"), F.col("n_i").alias("n_b"))
+    # item supports are SF-linear — never force-broadcast; AQE picks
+    # broadcast at driver scale and shuffle-join at 100 TB
+    return (
+        directed.join(na, "a")
+        .join(nbi, "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("confidence").desc(), "a", "b")
+        .limit(25)
+    )
+
+
+ORACLE_ASSOC_RULES = """
+WITH nb AS (
+  SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+item AS (
+  SELECT l_partkey AS pk, count(*) AS n_i
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  GROUP BY 1
+),
+directed AS (
+  SELECT pa AS a, pb AS b, n_ab FROM pairs
+  UNION ALL SELECT pb, pa, n_ab FROM pairs
+)
+SELECT d.a, d.b, d.n_ab, na.n_i AS n_a, nbi.n_i AS n_b,
+       CAST(d.n_ab AS DOUBLE) / CAST(na.n_i AS DOUBLE) AS confidence,
+       CAST(d.n_ab * nb.n_baskets AS DOUBLE)
+         / CAST(na.n_i * nbi.n_i AS DOUBLE) AS lift
+FROM directed d
+JOIN item na ON na.pk = d.a
+JOIN item nbi ON nbi.pk = d.b, nb
+ORDER BY confidence DESC, d.a, d.b
+LIMIT 25
+"""
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix decomposition of the revenue change between
+    the two most recent years, per nation: revenue Δ = c₁ − c₀
+    (exact cents), volume effect = c₀·(q₁−q₀)/q₀ (what Δ would be if
+    only quantity moved), price effect = q₁·(c₁/q₁ − c₀/q₀)
+    = (c₁·q₀ − c₀·q₁)/q₀ — the two effects sum exactly to Δ as
+    rationals, and both emit as scale-4 fixed-point INTEGRAL floor
+    divisions (the price_index rule: never round a division-derived
+    double). The 10⁴-scaled numerators cross 2⁶³ at sf0.1, so they
+    ride DECIMAL(38,0)/HUGEINT; the div result is back under 2⁵⁰.
+    Identity (volume_fp + price_fp ≡ Δ·10⁴ within the two floor
+    remainders) asserted in tests. One (nation, year) collapse + a
+    nation-keyed self-match."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(
+            o.select(
+                "o_orderkey", "o_custkey",
+                F.year("o_orderdate").alias("yr"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "yr",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").alias("c"), F.sum("qty").alias("q"))
+    )
+    ymax = base.agg(F.max("yr").alias("y1"))
+    cur = base.crossJoin(F.broadcast(ymax)).filter(
+        F.col("yr") == F.col("y1")
+    ).select("n_name", F.col("c").alias("c1"), F.col("q").alias("q1"))
+    prv = base.crossJoin(F.broadcast(ymax)).filter(
+        F.col("yr") == F.col("y1") - 1
+    ).select(
+        F.col("n_name").alias("nn"),
+        F.col("c").alias("c0"),
+        F.col("q").alias("q0"),
+    )
+    j = cur.join(prv, F.col("n_name") == F.col("nn"))
+    return j.select(
+        "n_name",
+        (F.col("c1") - F.col("c0")).alias("delta_cents"),
+        F.expr(
+            "(CAST(c0 AS DECIMAL(38,0)) * (q1 - q0) * 10000) div q0"
+        ).alias("volume_effect_fp4"),
+        F.expr(
+            "((CAST(c1 AS DECIMAL(38,0)) * q0"
+            "  - CAST(c0 AS DECIMAL(38,0)) * q1) * 10000) div q0"
+        ).alias("price_effect_fp4"),
+    )
+
+
+ORACLE_PRICE_VOLUME_MIX = """
+WITH base AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS c,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS q
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ymax AS (SELECT MAX(yr) AS y1 FROM base),
+cur AS (
+  SELECT n_name, c AS c1, q AS q1 FROM base, ymax WHERE yr = y1
+),
+prv AS (
+  SELECT n_name, c AS c0, q AS q0 FROM base, ymax WHERE yr = y1 - 1
+)
+SELECT n_name,
+       c1 - c0 AS delta_cents,
+       CAST((CAST(c0 AS HUGEINT) * (q1 - q0) * 10000) // q0
+            AS BIGINT) AS volume_effect_fp4,
+       CAST(((CAST(c1 AS HUGEINT) * q0 - CAST(c0 AS HUGEINT) * q1)
+             * 10000) // q0 AS BIGINT) AS price_effect_fp4
+FROM cur JOIN prv USING (n_name)
+"""
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest on the daily revenue series:
+    the naive predictor (yesterday's value) vs the seasonal-naive
+    predictor (same weekday last week, lag 7) — the model-evaluation
+    harness pattern (walk-forward, no leakage: every prediction uses
+    only prior days). Absolute errors are EXACT cents; squared errors
+    square the DOLLAR-floored error (cents² sums would cross 2⁶³ at
+    sf0.1 — past the safe int128→double zone — while dollar² sums
+    stay under 2⁵³ through ~sf100); MAE is a double division of exact
+    sums and RMSE one fixed sqrt tree. One day-grid collapse, two
+    bounded lag windows, a 2-row report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev",
+        F.lag("rev", 1).over(w).alias("naive"),
+        F.lag("rev", 7).over(w).alias("seasonal"),
+    )
+    out = None
+    for label, col in (("naive_lag1", "naive"), ("seasonal_lag7", "seasonal")):
+        err = lagged.filter(F.col(col).isNotNull()).select(
+            F.abs(F.col("rev") - F.col(col)).alias("ae"),
+            F.expr(
+                f"abs(rev - {col}) div 100"
+            ).alias("ae_dollars"),
+        )
+        agg = err.agg(
+            F.lit(label).alias("predictor"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("ae").alias("sum_abs_err"),
+            F.sum(
+                F.col("ae_dollars") * F.col("ae_dollars")
+            ).alias("sum_sq_err_usd"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.select(
+        "predictor",
+        "n_days",
+        "sum_abs_err",
+        (
+            F.col("sum_abs_err").cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("mae_cents"),
+        F.sqrt(
+            F.col("sum_sq_err_usd").cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("rmse_dollars"),
+    )
+
+
+ORACLE_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+           AS d,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT d, rev,
+         lag(rev, 1) OVER (ORDER BY d) AS naive,
+         lag(rev, 7) OVER (ORDER BY d) AS seasonal
+  FROM daily
+),
+rep AS (
+  SELECT 'naive_lag1' AS predictor, count(*) AS n_days,
+         SUM(abs(rev - naive)) AS sum_abs_err,
+         SUM((abs(rev - naive) // 100)
+             * (abs(rev - naive) // 100)) AS sum_sq_err_usd
+  FROM lagged WHERE naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_lag7', count(*),
+         SUM(abs(rev - seasonal)),
+         SUM((abs(rev - seasonal) // 100)
+             * (abs(rev - seasonal) // 100))
+  FROM lagged WHERE seasonal IS NOT NULL
+)
+SELECT predictor, n_days, sum_abs_err,
+       CAST(sum_abs_err AS DOUBLE) / CAST(n_days AS DOUBLE)
+         AS mae_cents,
+       sqrt(CAST(sum_sq_err_usd AS DOUBLE) / CAST(n_days AS DOUBLE))
+         AS rmse_dollars
+FROM rep
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13306,6 +13939,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multires_rollup": q_multires_rollup,
     "grid_smooth": q_grid_smooth,
     "bounce_rate": q_bounce_rate,
+    "psi_drift": q_psi_drift,
+    "qgram_match": q_qgram_match,
+    "weekday_outliers": q_weekday_outliers,
+    "skew_report": q_skew_report,
+    "assoc_rules": q_assoc_rules,
+    "price_volume_mix": q_price_volume_mix,
+    "forecast_backtest": q_forecast_backtest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -13548,6 +14188,13 @@ _ORACLES: dict[str, str] = {
     "multires_rollup": ORACLE_MULTIRES_ROLLUP,
     "grid_smooth": ORACLE_GRID_SMOOTH,
     "bounce_rate": ORACLE_BOUNCE_RATE,
+    "psi_drift": ORACLE_PSI_DRIFT,
+    "qgram_match": ORACLE_QGRAM_MATCH,
+    "weekday_outliers": ORACLE_WEEKDAY_OUTLIERS,
+    "skew_report": ORACLE_SKEW_REPORT,
+    "assoc_rules": ORACLE_ASSOC_RULES,
+    "price_volume_mix": ORACLE_PRICE_VOLUME_MIX,
+    "forecast_backtest": ORACLE_FORECAST_BACKTEST,
 }
 
 

@@ -1020,3 +1020,98 @@ def test_bounce_rate_bounds(spark):
         assert 0 <= r.hour <= 23
         assert 0.0 <= r.bounce_rate <= 1.0
         assert r.n_bounce <= r.n_sessions
+
+
+def test_psi_drift_symmetric_zero(spark):
+    """PSI is nonnegative-ish in practice but exactly symmetric:
+    identical arms would give 0; here just bound sanity (psi finite,
+    small for random hash split)."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["psi_drift"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.psi) < 5.0
+
+
+def test_qgram_match_refines(spark):
+    """Every emitted pair is within the Levenshtein bound, ordered,
+    and deduplicated."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["qgram_match"](spark, SF0001).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 0 <= r.dist <= 3
+        assert (r.name_a, r.name_b) not in seen
+        seen.add((r.name_a, r.name_b))
+
+
+def test_skew_report_identity(spark):
+    """max >= n_rows/n_distinct (pigeonhole) and skew_ratio >= 1."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["skew_report"](spark, SF0001).collect()
+    assert {r.key_col for r in rows} == {
+        "l_orderkey", "l_partkey", "l_suppkey"
+    }
+    for r in rows:
+        assert r.max_cnt * r.n_distinct >= r.n_rows
+        assert r.skew_ratio >= 1.0
+        assert r.hottest_key is not None
+
+
+def test_assoc_rules_identities(spark):
+    """Confidence is n_ab/n_a in (0, 1]; lift symmetric per unordered
+    pair; n_ab never exceeds either support."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["assoc_rules"](spark, SF0001).collect()
+    assert rows
+    lifts = {}
+    for r in rows:
+        assert 0.0 < r.confidence <= 1.0
+        assert r.n_ab <= r.n_a and r.n_ab <= r.n_b
+        key = (min(r.a, r.b), max(r.a, r.b))
+        if key in lifts:
+            assert lifts[key] == r.lift
+        lifts[key] = r.lift
+
+
+def test_price_volume_mix_reconciles(spark):
+    """volume_fp + price_fp equals delta*10^4 up to the two floor
+    remainders (each < 10^4)."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["price_volume_mix"](spark, SF0001).collect()
+    # nations with orders in BOTH years (inner match) — ≤ 25
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        recon = r.volume_effect_fp4 + r.price_effect_fp4
+        assert abs(recon - r.delta_cents * 10000) < 2 * 10000
+
+
+def test_forecast_backtest_shape(spark):
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = {r.predictor: r for r in em.queries()["forecast_backtest"](
+        spark, SF0001
+    ).collect()}
+    assert set(rows) == {"naive_lag1", "seasonal_lag7"}
+    for r in rows.values():
+        assert r.n_days > 0 and r.mae_cents >= 0.0
+        assert r.rmse_dollars >= 0.0

@@ -116,6 +116,20 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "metric; the ntile itself is the distributed bucket-offset "
         "ranking, not a global window",
     ),
+    "assoc_rules": (
+        {"broadcast_nested_loop_join"},
+        "1-row basket-count aggregate broadcast into the lift tree",
+    ),
+    "qgram_match": (
+        {"broadcast_nested_loop_join"},
+        "1-row distinct-name-count aggregate broadcast into the "
+        "trigram df cut",
+    ),
+    "skew_report": (
+        {"broadcast_nested_loop_join"},
+        "three 1-row max-count aggregates broadcast back for the "
+        "deterministic hottest-key argmin",
+    ),
     "grid_smooth": (
         {"broadcast_nested_loop_join"},
         "9-row stencil-offset relation broadcast into the occupied "
