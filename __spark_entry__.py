@@ -13702,6 +13702,252 @@ FROM rep
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment audit: every
+    document lands in exactly one split via the cross-engine md5
+    bucket (hash of doc_id mod 100 — reproducible across runs,
+    engines, and partitionings; never rand()), reported per
+    (source, split) with exact counts and the within-source share —
+    the split manifest a training pipeline pins before anything else
+    reads the corpus. One scan, one tiny-grid aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return per.join(tot, "source").select(
+        "source",
+        "split",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("n_src").cast("double")
+        ).alias("share"),
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+per AS (
+  SELECT source, split, count(*) AS n_docs
+  FROM assigned GROUP BY 1, 2
+),
+tot AS (SELECT source, SUM(n_docs) AS n_src FROM per GROUP BY source)
+SELECT source, split, n_docs,
+       CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS share
+FROM per JOIN tot USING (source)
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: identical-text documents
+    whose copies land in DIFFERENT splits of the md5 80/10/10
+    assignment — the leakage decontaminate checks against a benchmark,
+    applied between a corpus's own train/eval partitions (duplicate
+    families straddling the split boundary leak eval answers into
+    training). One fingerprint collapse to per-split distinct-copy
+    counts, then a 1-row matrix: families, cross-split families, and
+    leaked eval docs (val/test copies of any family that also has a
+    train copy). Exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    fam = (
+        docs.select(
+            F.md5(F.col("text")).alias("fp"), split.alias("split")
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("split").alias("n_splits"),
+            F.count_if(F.col("split") == "train").alias("n_train"),
+            F.count_if(F.col("split") != "train").alias("n_eval"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+    return fam.agg(
+        F.count(F.lit(1)).alias("dup_families"),
+        F.count_if(F.col("n_splits") >= 2).alias("cross_split_families"),
+        # coalesce: SUM over an empty family set is NULL on both
+        # engines; a leakage report should read 0
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_train") >= 1, F.col("n_eval")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("leaked_eval_docs"),
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = """
+WITH assigned AS (
+  SELECT md5(text) AS fp,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+fam AS (
+  SELECT fp, count(*) AS n_copies,
+         count(DISTINCT split) AS n_splits,
+         count(*) FILTER (WHERE split = 'train') AS n_train,
+         count(*) FILTER (WHERE split <> 'train') AS n_eval
+  FROM assigned GROUP BY fp
+  HAVING count(*) >= 2
+)
+SELECT count(*) AS dup_families,
+       count(*) FILTER (WHERE n_splits >= 2) AS cross_split_families,
+       COALESCE(SUM(CASE WHEN n_train >= 1 THEN n_eval ELSE 0 END),
+                0) AS leaked_eval_docs
+FROM fam
+"""
+
+
+def q_length_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length truncation policy: exact p50/p95/p99
+    of document token counts on the bounded (source, n_tokens) value
+    grid, plus the exact share of tokens that a p95 cap would drop —
+    the number a curation pipeline needs before fixing max_seq_len.
+    Grid quantiles (conditional MIN under integer thresholds), then
+    one re-aggregation against the chosen cap; every output is an
+    integer or a double division of exact sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", token_count_expr("text").cast("long").alias("n_tok")
+    )
+    grid = lens.groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok")
+    wp = Window.partitionBy("source")
+    cum = grid.select(
+        "source",
+        "n_tok",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    q = cum.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("n"), F.col("n_tok"))
+        ).alias("p50_tokens"),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("n_tok"))
+        ).alias("p95_tokens"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("n_tok"))
+        ).alias("p99_tokens"),
+    )
+    capped = (
+        grid.join(q.select("source", "p95_tokens"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_tok") * F.col("cnt")).alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("n_tok") > F.col("p95_tokens"),
+                    (F.col("n_tok") - F.col("p95_tokens")) * F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("dropped_tokens"),
+        )
+    )
+    return q.join(capped, "source").select(
+        "source",
+        "n_docs",
+        "p50_tokens",
+        "p95_tokens",
+        "p99_tokens",
+        "total_tokens",
+        "dropped_tokens",
+        (
+            F.col("dropped_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("dropped_share"),
+    )
+
+
+ORACLE_LENGTH_CAPS = r"""
+WITH lens AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+              END AS BIGINT) AS n_tok
+  FROM documents
+),
+grid AS (
+  SELECT source, n_tok, count(*) AS cnt FROM lens GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_tok, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY n_tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM grid
+),
+q AS (
+  SELECT source, MAX(n) AS n_docs,
+         MIN(CASE WHEN 2 * cum >= n THEN n_tok END) AS p50_tokens,
+         MIN(CASE WHEN 20 * cum >= 19 * n THEN n_tok END)
+           AS p95_tokens,
+         MIN(CASE WHEN 100 * cum >= 99 * n THEN n_tok END)
+           AS p99_tokens
+  FROM cum GROUP BY source
+),
+capped AS (
+  SELECT g.source,
+         SUM(g.n_tok * g.cnt) AS total_tokens,
+         SUM(CASE WHEN g.n_tok > q.p95_tokens
+                  THEN (g.n_tok - q.p95_tokens) * g.cnt
+                  ELSE 0 END) AS dropped_tokens
+  FROM grid g JOIN q USING (source)
+  GROUP BY g.source
+)
+SELECT source, n_docs, p50_tokens, p95_tokens, p99_tokens,
+       total_tokens, dropped_tokens,
+       CAST(dropped_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         AS dropped_share
+FROM q JOIN capped USING (source)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13946,6 +14192,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assoc_rules": q_assoc_rules,
     "price_volume_mix": q_price_volume_mix,
     "forecast_backtest": q_forecast_backtest,
+    "dataset_split": q_dataset_split,
+    "split_leakage": q_split_leakage,
+    "length_caps": q_length_caps,
 }
 
 _ORACLES: dict[str, str] = {
@@ -14195,6 +14444,9 @@ _ORACLES: dict[str, str] = {
     "assoc_rules": ORACLE_ASSOC_RULES,
     "price_volume_mix": ORACLE_PRICE_VOLUME_MIX,
     "forecast_backtest": ORACLE_FORECAST_BACKTEST,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "length_caps": ORACLE_LENGTH_CAPS,
 }
 
 

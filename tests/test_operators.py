@@ -1115,3 +1115,45 @@ def test_forecast_backtest_shape(spark):
     for r in rows.values():
         assert r.n_days > 0 and r.mae_cents >= 0.0
         assert r.rmse_dollars >= 0.0
+
+
+def test_dataset_split_partitions(spark):
+    """Every source's shares sum to 1 and the three splits are
+    roughly 80/10/10 (hash uniformity at corpus size)."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["dataset_split"](spark, SF0001).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.split] = r
+    for src, d in by_src.items():
+        assert abs(sum(r.share for r in d.values()) - 1.0) < 1e-12
+        n_src = sum(r.n_docs for r in d.values())
+        # hash-uniformity band only meaningful for non-tiny sources
+        if d.get("train") and n_src >= 200:
+            assert 0.6 < d["train"].share < 0.95
+
+
+def test_split_leakage_bounds(spark):
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    (row,) = em.queries()["split_leakage"](spark, SF0001).collect()
+    assert 0 <= row.cross_split_families <= row.dup_families
+    assert row.leaked_eval_docs >= 0
+
+
+def test_length_caps_monotone(spark):
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["length_caps"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_tokens <= r.p95_tokens <= r.p99_tokens
+        assert 0 <= r.dropped_tokens <= r.total_tokens
+        assert 0.0 <= r.dropped_share < 0.5
