@@ -12491,8 +12491,8 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift = (tf_in_source/source_total) / (tf_corpus/corpus_total),
     monotone in PMI so the log never needs to exist near the hash
     (collocation_lift's rule at class granularity). One tokenize pass
-    feeds both vocab-bounded aggregates; a df ≥ 5 support cut kills
-    singleton noise; the per-source top-5 is a row_number with
+    feeds both vocab-bounded aggregates; a per-(source, token)
+    term-frequency cut (c ≥ 5) kills rare-token noise; the per-source top-5 is a row_number with
     (lift exact-operand double DESC, token) tiebreak — but the RANK
     key is the exact integer cross product c·nc vs cc·ns, so ties
     resolve identically on both engines."""
@@ -12786,9 +12786,13 @@ def q_quartile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q1",
         "q2",
         "q3",
-        (
+        # degenerate IQR guard: q3 == q1 would divide by zero (an
+        # ERROR under Spark's ANSI mode, NaN in DuckDB — an engine
+        # split either way); emit NULL on both sides instead
+        F.when(
+            F.col("q3") != F.col("q1"),
             (F.col("q1") + F.col("q3") - 2 * F.col("q2")).cast("double")
-            / (F.col("q3") - F.col("q1")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
         ).alias("bowley_skew"),
     )
 
@@ -12819,8 +12823,9 @@ q AS (
   FROM cum GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, n_orders, q1, q2, q3,
-       CAST(q1 + q3 - 2 * q2 AS DOUBLE) / CAST(q3 - q1 AS DOUBLE)
-         AS bowley_skew
+       CASE WHEN q3 <> q1
+            THEN CAST(q1 + q3 - 2 * q2 AS DOUBLE)
+                   / CAST(q3 - q1 AS DOUBLE) END AS bowley_skew
 FROM q
 """
 
@@ -12901,8 +12906,9 @@ def q_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3×3 stencil smoothing over the 10° sky grid — the
     convolution/neighbor-average operator class (density smoothing,
     matched-filter prep) expressed relationally: each occupied cell
-    explodes into its ≤9 neighbor TARGETS (RA wraps mod 36, dec rows
-    clamp at the poles), one groupBy per target sums the neighborhood,
+    explodes into its ≤9 neighbor TARGETS (RA wraps mod 36; dec rows
+    span 0..18 — the +90 pole edge is its own row — and clamp at both
+    ends), one groupBy per target sums the neighborhood,
     and the smoothed value is a double division of exact counts by the
     real (clamp-aware) neighbor count. Empty cells inside a
     neighborhood contribute zero by construction, so the stencil is
@@ -12935,7 +12941,11 @@ def q_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("c") + F.col("dc"), F.lit(36)).alias("tc"),
             "n",
         )
-        .filter((F.col("tr") >= 0) & (F.col("tr") <= 17))
+        # dec rows span 0..18: (dec+90)/10 reaches 18 at the +90 pole
+        # (grid_pixel_expr does not fold the top edge down), so the
+        # clamp must keep row 18 or occupied polar cells silently
+        # vanish from the smoothed report (review-caught)
+        .filter((F.col("tr") >= 0) & (F.col("tr") <= 18))
     )
     sums = contrib.groupBy("tr", "tc").agg(
         F.sum("n").alias("nbr_sum"),
@@ -12976,7 +12986,7 @@ offs AS (
 contrib AS (
   SELECT r + dr AS tr, ((c + dc) % 36 + 36) % 36 AS tc, n
   FROM rc, offs
-  WHERE r + dr BETWEEN 0 AND 17
+  WHERE r + dr BETWEEN 0 AND 18
 ),
 sums AS (
   SELECT tr, tc, SUM(n) AS nbr_sum, count(*) AS nbr_cells
@@ -13045,7 +13055,7 @@ WITH g AS (
 marked AS (
   SELECT user_id, ts_us,
          SUM(CASE WHEN prev_us IS NULL
-                   OR ts_us - prev_us > {{gap}} THEN 1 ELSE 0 END)
+                   OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sid
@@ -13066,7 +13076,7 @@ SELECT hour, count(*) AS n_sessions,
        CAST(SUM(bounce) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          AS bounce_rate
 FROM hourly GROUP BY hour
-""".replace("{gap}", str(SESSION_GAP_US))
+"""
 
 
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13702,6 +13712,36 @@ FROM rep
 """
 
 
+def _split_expr() -> Column:
+    """Deterministic 80/10/10 split of documents by md5(doc_id) bucket
+    — the ONE definition both the split manifest (q_dataset_split) and
+    the leakage audit (q_split_leakage) consume, so the thresholds can
+    never drift between the pinning query and its auditor (the
+    min_label_propagation lesson applied to split governance)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+#: the DuckDB twin of _split_expr — interpolated into both oracles
+_SPLIT_SQL = """CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment audit: every
     document lands in exactly one split via the cross-engine md5
@@ -13711,20 +13751,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split manifest a training pipeline pins before anything else
     reads the corpus. One scan, one tiny-grid aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    per = docs.select("source", split.alias("split")).groupBy(
+    per = docs.select("source", _split_expr().alias("split")).groupBy(
         "source", "split"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = per.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
@@ -13738,15 +13765,10 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DATASET_SPLIT = """
+ORACLE_DATASET_SPLIT = f"""
 WITH assigned AS (
   SELECT source,
-         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                       1, 8) AS BIGINT) % 100 < 80
-              THEN 'train'
-              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                       1, 8) AS BIGINT) % 100 < 90
-              THEN 'val' ELSE 'test' END AS split
+         {_SPLIT_SQL} AS split
   FROM documents
 ),
 per AS (
@@ -13771,22 +13793,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked eval docs (val/test copies of any family that also has a
     train copy). Exact integers."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     fam = (
         docs.select(
-            F.md5(F.col("text")).alias("fp"), split.alias("split")
+            F.md5(F.col("text")).alias("fp"), _split_expr().alias("split")
         )
         .groupBy("fp")
         .agg(
@@ -13813,15 +13822,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SPLIT_LEAKAGE = """
+ORACLE_SPLIT_LEAKAGE = f"""
 WITH assigned AS (
   SELECT md5(text) AS fp,
-         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                       1, 8) AS BIGINT) % 100 < 80
-              THEN 'train'
-              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                       1, 8) AS BIGINT) % 100 < 90
-              THEN 'val' ELSE 'test' END AS split
+         {_SPLIT_SQL} AS split
   FROM documents
 ),
 fam AS (
