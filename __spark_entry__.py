@@ -13952,6 +13952,141 @@ FROM q JOIN capped USING (source)
 """
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 28-day rolling MEDIAN of daily net revenue — the
+    robust smoother percentile windows can't express natively (no
+    mergeable rolling-median aggregate exists): the day spine
+    self-joins to its trailing window (spine × 28 rows — the spine is
+    ~|days|, so the blow-up is bounded by the CALENDAR, not the fact
+    table), and each window's median is the grid-exact conditional
+    MIN. Emits month-level summaries (mean/max of the rolling median)
+    to keep the output bounded. Exact integers + one double mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    a = daily.select(F.col("d").alias("td"))
+    win = a.join(
+        daily,
+        (F.col("d") <= F.col("td")) & (F.col("d") > F.col("td") - 28),
+    )
+    ranked = win.select(
+        "td",
+        "rev",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("td"))
+        .alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("td").orderBy("rev", "d"))
+        .alias("rk"),
+    )
+    med = ranked.groupBy("td").agg(
+        F.min(
+            F.when(2 * F.col("rk") >= F.col("n"), F.col("rev"))
+        ).alias("med28")
+    )
+    return (
+        med.select(
+            F.expr("td div 30").alias("month_bucket"), "med28"
+        )
+        .groupBy("month_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("med28").alias("max_med28"),
+            (
+                F.sum("med28").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_med28"),
+        )
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+           AS d,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+win AS (
+  SELECT a.d AS td, b.rev, b.d
+  FROM daily a JOIN daily b
+    ON b.d <= a.d AND b.d > a.d - 28
+),
+ranked AS (
+  SELECT td, rev,
+         count(*) OVER (PARTITION BY td) AS n,
+         ROW_NUMBER() OVER (PARTITION BY td ORDER BY rev, d) AS rk
+  FROM win
+),
+med AS (
+  SELECT td, MIN(CASE WHEN 2 * rk >= n THEN rev END) AS med28
+  FROM ranked GROUP BY td
+)
+SELECT td // 30 AS month_bucket, count(*) AS n_days,
+       MAX(med28) AS max_med28,
+       CAST(SUM(med28) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_med28
+FROM med GROUP BY 1
+"""
+
+
+def q_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-style visual downsampling (Jugel et al., VLDB 2014) of the
+    daily revenue series to weekly OHLC: per epoch-week the OPEN
+    (first day's value), HIGH, LOW, and CLOSE (last day's value) —
+    the four extrema that make a downsampled line render pixel-
+    identically to the full series. First/last resolve through
+    min_by/max_by on the exact day key (engine-deterministic: one
+    value per day by construction); all values exact cents. One
+    day-grid collapse + one week aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            _day("l_shipdate").alias("d"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return (
+        daily.select(F.expr("d div 7").alias("week"), "d", "rev")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("min_by(rev, d)").alias("open_cents"),
+            F.max("rev").alias("high_cents"),
+            F.min("rev").alias("low_cents"),
+            F.expr("max_by(rev, d)").alias("close_cents"),
+        )
+    )
+
+
+ORACLE_OHLC_WEEKLY = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
+           AS d,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT d // 7 AS week, count(*) AS n_days,
+       MIN_BY(rev, d) AS open_cents,
+       MAX(rev) AS high_cents,
+       MIN(rev) AS low_cents,
+       MAX_BY(rev, d) AS close_cents
+FROM daily GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14199,6 +14334,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "split_leakage": q_split_leakage,
     "length_caps": q_length_caps,
+    "rolling_median": q_rolling_median,
+    "ohlc_weekly": q_ohlc_weekly,
 }
 
 _ORACLES: dict[str, str] = {
@@ -14451,6 +14588,8 @@ _ORACLES: dict[str, str] = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "length_caps": ORACLE_LENGTH_CAPS,
+    "rolling_median": ORACLE_ROLLING_MEDIAN,
+    "ohlc_weekly": ORACLE_OHLC_WEEKLY,
 }
 
 

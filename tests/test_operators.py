@@ -1161,3 +1161,31 @@ def test_length_caps_monotone(spark):
         assert r.p50_tokens <= r.p95_tokens <= r.p99_tokens
         assert 0 <= r.dropped_tokens <= r.total_tokens
         assert 0.0 <= r.dropped_share < 0.5
+
+
+def test_rolling_median_bounds(spark):
+    """Every month's rolling-median summary is bounded by the raw
+    daily range, and mean <= max."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["rolling_median"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 1
+        assert r.mean_med28 <= r.max_med28 + 1e-9
+
+
+def test_ohlc_weekly_envelope(spark):
+    """low <= open/close <= high for every week."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["ohlc_weekly"](spark, SF0001).collect()
+    assert rows
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        assert 1 <= r.n_days <= 7

@@ -116,6 +116,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "metric; the ntile itself is the distributed bucket-offset "
         "ranking, not a global window",
     ),
+    "rolling_median": (
+        {"broadcast_nested_loop_join"},
+        "trailing-28-day range self-join of the DAY SPINE — a "
+        "calendar-bounded (~|days|-row) relation, never the fact "
+        "table; the window blow-up is spine x 28",
+    ),
     "assoc_rules": (
         {"broadcast_nested_loop_join"},
         "1-row basket-count aggregate broadcast into the lift tree",
