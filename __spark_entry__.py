@@ -14087,6 +14087,111 @@ FROM daily GROUP BY 1
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by account balance via a CORRELATED
+    LATERAL subquery — the SQL-surface twin of topk_per_group's
+    window-function plan (Spark 4 plans the lateral LIMIT as a
+    per-group TakeOrdered under a correlated join; same answer, the
+    declarative form analysts actually write). Deterministic
+    (c_acctbal cents DESC, c_name) order; balances emitted as exact
+    cents."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "__lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, t.bal_cents
+        FROM __lat_nation, LATERAL (
+          SELECT c_name,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                   AS bal_cents
+          FROM __lat_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY bal_cents DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT n_name, t.c_name, t.bal_cents
+FROM nation, LATERAL (
+  SELECT c_name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY bal_cents DESC, c_name LIMIT 2
+) t
+"""
+
+
+def q_invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table arithmetic reconciliation: does each order header's
+    o_totalprice equal the sum of its line extended prices? Both sides
+    reduce to exact cents, the comparison is pure integer, and the
+    report buckets orders by signed relative deviation (exact
+    10000·|diff| vs total comparisons — basis points without a float):
+    exact match / within 1% / beyond — plus the worst absolute
+    mismatch. The third audit family (fk_orphans = keys,
+    status_consistency = categories, this = money)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lsum = (
+        li.select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("cents").alias("line_cents"))
+    )
+    j = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("hdr_cents"),
+    ).join(lsum, F.col("o_orderkey") == F.col("l_orderkey"))
+    diff = F.abs(F.col("hdr_cents") - F.col("line_cents"))
+    bucket = (
+        F.when(diff == 0, F.lit("exact"))
+        .when(10000 * diff <= 100 * F.col("hdr_cents"), F.lit("within_1pct"))
+        .otherwise(F.lit("beyond_1pct"))
+    )
+    return j.groupBy(bucket.alias("recon_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(diff).alias("worst_abs_diff_cents"),
+        F.sum(diff).alias("total_abs_diff_cents"),
+    )
+
+
+ORACLE_INVOICE_RECONCILIATION = """
+WITH lsum AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_cents,
+         line_cents,
+         abs(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             - line_cents) AS diff
+  FROM orders JOIN lsum ON o_orderkey = l_orderkey
+)
+SELECT CASE WHEN diff = 0 THEN 'exact'
+            WHEN 10000 * diff <= 100 * hdr_cents THEN 'within_1pct'
+            ELSE 'beyond_1pct' END AS recon_bucket,
+       count(*) AS n_orders,
+       MAX(diff) AS worst_abs_diff_cents,
+       SUM(diff) AS total_abs_diff_cents
+FROM j GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14336,6 +14441,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_caps": q_length_caps,
     "rolling_median": q_rolling_median,
     "ohlc_weekly": q_ohlc_weekly,
+    "lateral_topk": q_lateral_topk,
+    "invoice_reconciliation": q_invoice_reconciliation,
 }
 
 _ORACLES: dict[str, str] = {
@@ -14590,6 +14697,8 @@ _ORACLES: dict[str, str] = {
     "length_caps": ORACLE_LENGTH_CAPS,
     "rolling_median": ORACLE_ROLLING_MEDIAN,
     "ohlc_weekly": ORACLE_OHLC_WEEKLY,
+    "lateral_topk": ORACLE_LATERAL_TOPK,
+    "invoice_reconciliation": ORACLE_INVOICE_RECONCILIATION,
 }
 
 

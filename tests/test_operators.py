@@ -1189,3 +1189,61 @@ def test_ohlc_weekly_envelope(spark):
         assert r.low_cents <= r.open_cents <= r.high_cents
         assert r.low_cents <= r.close_cents <= r.high_cents
         assert 1 <= r.n_days <= 7
+
+
+def test_lateral_topk_matches_window_form(spark):
+    """The correlated-LATERAL plan returns exactly the window-function
+    top-2 per nation."""
+    import __spark_entry__ as em
+    from pyspark.sql import Window
+
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    got = sorted(
+        map(tuple, em.queries()["lateral_topk"](spark, SF0001).collect())
+    )
+    cu = load_table(spark, SF0001, "customer").select(
+        "c_nationkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    na = load_table(spark, SF0001, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_cents").desc(), "c_name"
+    )
+    want = sorted(
+        map(
+            tuple,
+            cu.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 2)
+            .join(na, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", "c_name", "bal_cents")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_invoice_reconciliation_partitions(spark):
+    """Buckets partition the joined orders; diffs are nonnegative."""
+    import __spark_entry__ as em
+
+    from tests.conftest import SF0001
+
+    rows = em.queries()["invoice_reconciliation"](
+        spark, SF0001
+    ).collect()
+    assert rows and {r.recon_bucket for r in rows} <= {
+        "exact", "within_1pct", "beyond_1pct"
+    }
+    for r in rows:
+        assert r.n_orders > 0
+        assert 0 <= r.worst_abs_diff_cents
+        assert r.total_abs_diff_cents >= r.worst_abs_diff_cents or (
+            r.recon_bucket == "exact"
+        )
