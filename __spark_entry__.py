@@ -14192,6 +14192,172 @@ FROM j GROUP BY 1
 """
 
 
+def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PPJoin-style prefix + length
+    filtering (Xiao et al., WWW 2008): 3-gram-shingle-set Jaccard
+    ≥ 0.8 document pairs, where candidates meet ONLY through a shared
+    shingle inside each set's PREFIX — the first |s| − ⌈0.8·|s|⌉ + 1 tokens in
+    the canonical rarest-first order — AND pass the length filter
+    (4·|a| ≤ 5·|b| ∧ 4·|b| ≤ 5·|a|), both provably complete for the
+    threshold (jaccard_neardup's shingle-bucket and minhash-LSH are
+    the other candidate regimes of this family; three strategies, one
+    verify semantics). A first draft at t = 0.5 kept half of every
+    set in the prefix and blew the candidate join up 50× at sf0.1 —
+    the prefix length IS the scale lever, which is why production
+    near-dup thresholds sit at 0.8+. The prefix bound, rarest-first
+    order (global df ascending, token tiebreak), verification
+    predicate (5·shared ≥ 4·(|a| + |b| − shared) — Jaccard ≥ 0.8 as a
+    pure integer inequality), and shared-token counts are all exact
+    integer algebra; only the reported jaccard is a terminal double
+    of exact counts."""
+    from fink_broker_spark.functions.text import shingles_from_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # set elements are 3-gram SHINGLES, not words: the synthetic corpus
+    # has a ~31-word vocabulary, so word sets are tiny and every prefix
+    # token is corpus-common — 6.5M candidates at sf0.1 (measured).
+    # Shingles give the discriminative universe prefix filtering needs
+    # (and the same element space as jaccard_neardup/minhash-LSH).
+    arrs = docs.select(
+        "doc_id", tokens_expr("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(shingles_from_tokens_expr("toks", 3))
+        ).alias("arr"),
+    ).filter(F.size("arr") > 0)
+    tok = arrs.select("doc_id", F.explode("arr").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = (
+        tok.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            )
+            .alias("rk"),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.expr("(4 * sz + 4) div 5") + 1
+    ).select("doc_id", "token", "sz")
+    cand = (
+        prefix.select(
+            F.col("doc_id").alias("da"), "token", F.col("sz").alias("la")
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("db"), "token",
+                F.col("sz").alias("lb"),
+            ),
+            "token",
+        )
+        .filter(
+            (F.col("da") < F.col("db"))
+            # length filter: |a|, |b| within the 0.8 Jaccard ratio band
+            & (4 * F.col("la") <= 5 * F.col("lb"))
+            & (4 * F.col("lb") <= 5 * F.col("la"))
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    # verify via codegen array_intersect over the per-doc sorted
+    # shingle arrays: the join-count formulation shuffles
+    # |cand| x |set| rows; carrying the two arrays to each candidate
+    # pair keeps the intersection map-side. The DuckDB oracle keeps
+    # the join-count formulation — same RESULT, the oracle is a spec,
+    # not a plan.
+    aa = arrs.select(F.col("doc_id").alias("da"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("db"), F.col("arr").alias("arr_b"))
+    shared = (
+        cand.join(aa, "da")
+        .join(ab, "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias(
+                "n_shared"
+            ),
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    return (
+        shared.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            5 * F.col("n_shared")
+            >= 4 * (F.col("sza") + F.col("szb") - F.col("n_shared"))
+        )
+        .select(
+            "da",
+            "db",
+            "n_shared",
+            "sza",
+            "szb",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("sza") + F.col("szb") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("da", "db")
+        .limit(200)
+    )
+
+
+ORACLE_PPJOIN_NEARDUP = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+2], ' ') AS token
+  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.token, s.sz,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+             ORDER BY d.df, t.token) AS rk
+  FROM tok t JOIN dfreq d USING (token) JOIN sizes s USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, token, sz FROM ranked
+  WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM prefix a JOIN prefix b USING (token)
+  WHERE a.doc_id < b.doc_id
+    AND 4 * a.sz <= 5 * b.sz AND 4 * b.sz <= 5 * a.sz
+),
+shared AS (
+  SELECT c.da, c.db, count(*) AS n_shared
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.da
+  JOIN tok tb ON tb.doc_id = c.db AND tb.token = ta.token
+  GROUP BY c.da, c.db
+)
+SELECT s.da, s.db, s.n_shared, a.sz AS sza, b.sz AS szb,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(a.sz + b.sz - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes a ON a.doc_id = s.da
+JOIN sizes b ON b.doc_id = s.db
+WHERE 5 * s.n_shared >= 4 * (a.sz + b.sz - s.n_shared)
+ORDER BY s.da, s.db
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14443,6 +14609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_weekly": q_ohlc_weekly,
     "lateral_topk": q_lateral_topk,
     "invoice_reconciliation": q_invoice_reconciliation,
+    "ppjoin_neardup": q_ppjoin_neardup,
 }
 
 _ORACLES: dict[str, str] = {
@@ -14699,6 +14866,7 @@ _ORACLES: dict[str, str] = {
     "ohlc_weekly": ORACLE_OHLC_WEEKLY,
     "lateral_topk": ORACLE_LATERAL_TOPK,
     "invoice_reconciliation": ORACLE_INVOICE_RECONCILIATION,
+    "ppjoin_neardup": ORACLE_PPJOIN_NEARDUP,
 }
 
 

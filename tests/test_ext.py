@@ -558,3 +558,39 @@ def test_exact_substring_remove_full_doc(spark):
     out = {r.doc_id: r for r in exact_substring_remove(docs, n=10).collect()}
     assert out[1].n_removed == 10
     assert out[1].clean_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_ppjoin_prefix_filter_is_complete(spark, tmp_path):
+    """The prefix filter loses NO qualifying pair: brute-force token-set
+    Jaccard >= 0.5 pairs on a small synthetic corpus equal the real
+    operator's output driven end-to-end through a temp lake."""
+    import itertools
+
+    import __spark_entry__ as em
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [
+        (1, base),                       # 8 shingles
+        (2, base + " extra"),            # superset: jac 8/9 >= 0.8
+        (3, "a b c d e f"),              # 4 shingles, far from others
+        (4, "a b c d e g"),              # jac 3/5 — below the bar
+        (5, "totally different text with many other words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.da, r.db): r.n_shared
+        for r in em.q_ppjoin_neardup(spark, str(tmp_path)).collect()
+    }
+
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and 5 * inter >= 4 * (len(sets[a]) + len(sets[b]) - inter):
+            want[(a, b)] = inter
+    assert got == want == {(1, 2): 8}
