@@ -1,38 +1,72 @@
 """Sparse retrieval and data-selection operators over the documents table.
 
 Training-data pipelines need more than dedup: they *select* — retrieve
-the documents most relevant to a probe query (BM25, the lexical
-workhorse behind RAG corpus construction) and resample a raw crawl
-toward a target domain (DSIR-style importance weighting, Xie et al.
-2023, "Data Selection for Language Models via Importance Resampling").
-Both are expressed as pure DataFrame plans: one tokenize+explode pass,
-vocabulary-bounded aggregates, broadcast 1-row corpus statistics, and
-TakeOrdered top-k — no UDFs, no driver-side state.
+the documents most relevant to a probe query (BM25-family lexical
+retrieval, the workhorse behind RAG corpus construction) and resample a
+raw crawl toward a target domain (DSIR-style importance weighting, Xie
+et al. 2023, "Data Selection for Language Models via Importance
+Resampling").  Both are expressed as pure DataFrame plans: one
+tokenize+explode pass, vocabulary-bounded aggregates, broadcast 1-row
+corpus statistics, and TakeOrdered top-k — no UDFs, no driver-side
+state.
 
-FP discipline (the oracle contract of this repo): every per-token
-floating-point term is ``round(..., 9)``-ed and cast to
-``decimal(18,9)`` BEFORE any sum, so aggregation is exact and
-order-independent across engines.
+FP discipline (round-6 hardening): both scorers are now
+**transcendental-free**.  The classic ``ln()``-based forms survived two
+rounds of quantization hardening (scale-9 summand rounds, terminal
+scale-5 quantize) and still hash-split on the external driver — a 1-ulp
+JVM-vs-libm ``ln()`` difference in ONE summand can always straddle some
+rounding boundary.  The scores below are exact ratios of integers,
+fixed-point-scaled with INTEGRAL division (Spark ``div`` ≡ DuckDB
+``//`` — both truncate toward zero, probe-measured in round 5), summed
+as plain BIGINTs: bit-identical on any engine, any libm, any data
+layout.
+
+- BM25 keeps the Robertson tf-saturation/length-normalization term
+  exactly, and replaces the log-IDF ``ln(1 + (N-df+0.5)/(df+0.5))`` by
+  its argument ``1 + (N-df+0.5)/(df+0.5) = (2N+2)/(2df+1)`` — the
+  rational RSJ weight without the log.  Per-term ordering is identical
+  (x ↦ ln(1+·) is monotone); the log's inter-term compression is
+  deliberately traded for exactness, and the raw integer operands
+  (tf, df, dl) ride along in the output for any downstream re-scoring.
+- DSIR ranks by the per-token-occurrence sum of the exact smoothed
+  probability ratio ``p_target(tok)/p_raw(tok)`` instead of the sum of
+  its log: same candidate set, same per-token monotonicity, exact
+  integer arithmetic.
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fink_broker_spark.functions.text import tokens_expr
 
-#: round scale applied to per-token log/score terms before decimal sums
-_TERM_SCALE = 9
-#: terminal output scale: coarse enough that a 1-ulp cross-engine ln()
-#: divergence in one summand (≤1e-9 after the scale-9 round) cannot
-#: move the quantized sum except within 1e-9 of a 0.5e-5 boundary
-_OUT_SCALE = 5
+#: fixed-point scale of the emitted scores: score × 10^9, integral-divided
+_Q = 9
+_QLIT = 10**_Q
 
 
-def _dec(col):
-    """Order-independent summand: round then fix the type."""
-    return F.round(col, _TERM_SCALE).cast(f"decimal(18,{_TERM_SCALE})")
+def _d38(col):
+    """Exact integer intermediate: DECIMAL(38,0) (DuckDB twin: HUGEINT)."""
+    return col.cast("decimal(38,0)")
+
+
+def _bm25_consts(k1: float, b: float) -> tuple[int, int, int, int]:
+    """Exact integer constants (A, B, C, L) with A/L = k1+1,
+    B/L = k1(1-b), C/L = k1·b — derived via Fraction so 1.2/0.75-style
+    parameters stay exact."""
+    fa, fb = Fraction(str(k1)), Fraction(str(b))
+    f1, f2, f3 = fa + 1, fa * (1 - fb), fa * fb
+    lcm = 1
+    for f in (f1, f2, f3):
+        d = f.denominator
+        g, x = lcm, d
+        while x:
+            g, x = x, g % x
+        lcm = lcm * d // g
+    return int(f1 * lcm), int(f2 * lcm), int(f3 * lcm), lcm
 
 
 def bm25_topk(
@@ -44,34 +78,41 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Okapi BM25 top-``k`` retrieval for a literal term query.
+    """Rational-IDF BM25 top-``k`` retrieval for a literal term query.
+
+    Per matched (doc, term), with N docs, T total tokens, and integer
+    constants A/L = k1+1, B/L = k1(1-b), C/L = k1·b::
+
+        idf_ratio = (2N + 2) / (2df + 1)            # 1+(N-df+.5)/(df+.5)
+        tf_norm   = A·tf·T / (L·tf·T + B·T + C·dl·N)  # Robertson, exact
+        s         = (idf_ratio · tf_norm · 10^9) div 1  # one integral div
+
+    computed as ONE integral division ``(p·10^9) div q`` over exact
+    DECIMAL(38,0) products, then summed per doc as BIGINT.
 
     Plan shape (and why it scales):
 
     - ``tok`` — one LOGICAL tokenize+explode relation feeds both the
       length stats and the term frequencies. Physically Spark
-      recomputes an uncached subtree per consuming branch (two scans /
-      two tokenizes here); the production posture at 100 TB is to
-      MATERIALIZE the tokenized relation once (write it, or persist
-      within the job) and hang every consumer off it — the logical
-      shape below is unchanged by that choice;
+      recomputes an uncached subtree per consuming branch; the
+      production posture at 100 TB is to MATERIALIZE the tokenized
+      relation once and hang every consumer off it — the logical shape
+      below is unchanged by that choice;
     - doc lengths + corpus stats — one groupBy(doc) aggregate, then a
-      1-row global aggregate (``N``, ``avgdl``) that stays in the DAG
-      and broadcasts (never ``.count()`` on the driver);
+      1-row global aggregate (``N``, ``T``) that stays in the DAG and
+      broadcasts (never ``.count()`` on the driver);
     - term frequencies — ``tok`` filtered to the query terms *before*
       its shuffle (an ``isin`` literal filter the scanner can push), so
       the tf aggregate only moves matching tokens;
     - document frequencies — bounded by ``len(query_terms)`` rows,
       broadcast back into the scorer;
     - final ``orderBy().limit(k)`` compiles to TakeOrderedAndProject.
-
-    IDF uses the Robertson–Lucene form ``ln(1 + (N - n + 0.5)/(n + 0.5))``
-    (always positive). Per-(doc, term) scores round to decimal before
-    the per-doc sum — exact, order-independent, oracle-matchable.
     """
     terms = [t.lower() for t in query_terms]
+    A, B, C, L = _bm25_consts(k1, b)
     tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("token")
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("token"),
     )
     doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = doclen.groupBy().agg(
@@ -90,56 +131,35 @@ def bm25_topk(
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
-            _dec(
-                F.log(
-                    F.lit(1.0)
-                    + (
-                        F.col("n_docs").cast("double")
-                        - F.col("df").cast("double")
-                        + F.lit(0.5)
-                    )
-                    / (F.col("df").cast("double") + F.lit(0.5))
-                )
+            (
+                _d38(F.lit(2) * F.col("n_docs") + F.lit(2))
+                * F.lit(A)
+                * _d38(F.col("tf"))
+                * _d38(F.col("total_len"))
+            ).alias("p"),
+            (
+                _d38(F.lit(2) * F.col("df") + F.lit(1))
                 * (
-                    F.col("tf").cast("double")
-                    * F.lit(k1 + 1.0)
-                    / (
-                        F.col("tf").cast("double")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b)
-                            * F.col("dl").cast("double")
-                            / (
-                                F.col("total_len").cast("double")
-                                / F.col("n_docs").cast("double")
-                            )
-                        )
-                    )
+                    _d38(F.lit(L) * F.col("tf")) * _d38(F.col("total_len"))
+                    + _d38(F.lit(B) * F.col("total_len"))
+                    + _d38(F.lit(C) * F.col("dl")) * _d38(F.col("n_docs"))
                 )
-            ).alias("term_score"),
+            ).alias("q"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((p * CAST({_QLIT} AS DECIMAL(38,0))) div q AS BIGINT)"
+            ).alias("s"),
         )
         .groupBy("doc_id")
         .agg(
-            F.sum("term_score").cast("decimal(28,9)").alias("bm25_exact"),
+            F.sum("s").alias("bm25_scaled9"),
             F.count(F.lit(1)).alias("n_matched_terms"),
-        )
-        # terminal coarse quantization: a 1-ulp JVM-vs-libm ln()
-        # difference can straddle a 0.5e-9 boundary in ONE summand; the
-        # scale-9 sums then differ by 1e-9. Rounding the exact decimal
-        # sum to scale 5 absorbs that (decimal→decimal rounding is
-        # half-away-from-zero in both engines — probe-verified), and
-        # the top-k ranks by the coarse score with doc_id tiebreak.
-        .select(
-            "doc_id",
-            F.round("bm25_exact", _OUT_SCALE)
-            .cast(f"decimal(28,{_OUT_SCALE})")
-            .alias("bm25"),
-            "n_matched_terms",
         )
     )
     return scored.orderBy(
-        F.col("bm25").desc(), F.col("doc_id")
+        F.col("bm25_scaled9").desc(), F.col("doc_id")
     ).limit(k)
 
 
@@ -149,8 +169,10 @@ def bm25_topk_oracle_sql(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """DuckDB twin of :func:`bm25_topk` (same op tree, same rounding)."""
+    """DuckDB twin of :func:`bm25_topk` (same exact-integer tree;
+    HUGEINT stands in for DECIMAL(38,0), ``//`` for ``div``)."""
     terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    A, B, C, L = _bm25_consts(k1, b)
     return rf"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -166,22 +188,20 @@ tf AS (
 df_t AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
 scored AS (
   SELECT tf.doc_id,
-         CAST(round(CAST(SUM(CAST(round(
-             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                      / (CAST(df AS DOUBLE) + 0.5))
-             * (CAST(tf AS DOUBLE) * {k1 + 1.0}
-                / (CAST(tf AS DOUBLE)
-                   + {k1} * ({1.0 - b} + {b} * CAST(dl AS DOUBLE)
-                             / (CAST(total_len AS DOUBLE)
-                                / CAST(n_docs AS DOUBLE))))),
-             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)), {_OUT_SCALE})
-           AS DECIMAL(28,{_OUT_SCALE})) AS bm25,
+         CAST(SUM(
+           (CAST(2 * n_docs + 2 AS HUGEINT) * {A} * tf * total_len
+            * {_QLIT})
+           // (CAST(2 * df + 1 AS HUGEINT)
+               * (CAST({L} * tf AS HUGEINT) * total_len
+                  + CAST({B} AS HUGEINT) * total_len
+                  + CAST({C} * dl AS HUGEINT) * n_docs))
+         ) AS BIGINT) AS bm25_scaled9,
          count(*) AS n_matched_terms
   FROM tf JOIN df_t USING (token) JOIN doclen USING (doc_id), corpus
   GROUP BY tf.doc_id
 )
-SELECT doc_id, bm25, n_matched_terms FROM scored
-ORDER BY bm25 DESC, doc_id
+SELECT doc_id, bm25_scaled9, n_matched_terms FROM scored
+ORDER BY bm25_scaled9 DESC, doc_id
 LIMIT {k}
 """
 
@@ -194,26 +214,31 @@ def dsir_importance(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """DSIR-style importance weights: rank out-of-target documents by
+    """DSIR-style importance ranking: score out-of-target documents by
     how target-like their unigram distribution is.
 
-    ``w(doc) = Σ_tokens log( p_target(tok) / p_raw(tok) )`` with
-    add-``alpha`` smoothing over the shared vocabulary (the hashed
-    n-gram buckets of the published method collapse to exact unigrams
-    here so both engines agree bit-for-bit; the bucketing is a memory
-    optimization, not a semantic one). High weight = looks like the
-    target corpus ⇒ keep for resampling.
+    Per token occurrence, with add-``alpha`` smoothing over the shared
+    vocabulary V (``alpha`` exact via Fraction ``a_n/a_d``)::
+
+        r(tok) = p_target(tok) / p_raw(tok)
+               = (a_d·n_tgt + a_n)(a_d·t_raw + a_n·V)
+                 / ((a_d·n_raw + a_n)(a_d·t_tgt + a_n·V))
+
+    and ``importance_scaled9(doc) = Σ_tok (num(r)·10^9) div den(r)`` —
+    an exact BIGINT sum of integral divisions (the published method
+    sums ``log r``; the exact-rational ratio sum keeps the same
+    candidate set and per-token monotonicity while being bit-stable
+    across engines — see the module docstring).  High value = looks
+    like the target corpus ⇒ keep for resampling.
 
     Plan shape: one logical tokenize+explode relation feeds the counts
     aggregate and the scoring join; target and raw counts ride a SINGLE
     shuffle via ``count_if`` (vocabulary-bounded), corpus totals are a
     1-row broadcast, and the result is a TakeOrdered top-``k`` over
-    out-of-target docs. As with BM25 above, Spark physically
-    recomputes the uncached tok subtree per branch — materialize the
-    tokenized relation once when the corpus is the cost. Per-token log
-    ratios round to decimal before the per-doc sum (exact,
-    order-independent).
+    out-of-target docs.
     """
+    fa = Fraction(str(alpha))
+    an, ad = fa.numerator, fa.denominator
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         target_pred.alias("is_target"),
@@ -228,41 +253,39 @@ def dsir_importance(
         F.sum("n_tgt").alias("t_tgt"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    logratio = F.log(
-        (F.col("n_tgt").cast("double") + F.lit(alpha))
-        / (
-            F.col("t_tgt").cast("double")
-            + F.lit(alpha) * F.col("vocab").cast("double")
-        )
-    ) - F.log(
-        (F.col("n_raw").cast("double") + F.lit(alpha))
-        / (
-            F.col("t_raw").cast("double")
-            + F.lit(alpha) * F.col("vocab").cast("double")
-        )
-    )
     scored = (
         tok.filter(~F.col("is_target"))
         .join(counts, "token")
         .crossJoin(F.broadcast(totals))
-        .select("doc_id", _dec(logratio).alias("lr"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("lr").cast("decimal(28,9)").alias("imp_exact"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-        # terminal coarse quantization against 1-ulp ln() divergence —
-        # same defense as bm25_topk above
         .select(
             "doc_id",
-            F.round("imp_exact", _OUT_SCALE)
-            .cast(f"decimal(28,{_OUT_SCALE})")
-            .alias("importance"),
-            "n_tokens",
+            (
+                _d38(F.lit(ad) * F.col("n_tgt") + F.lit(an))
+                * _d38(
+                    F.lit(ad) * F.col("t_raw") + F.lit(an) * F.col("vocab")
+                )
+            ).alias("p"),
+            (
+                _d38(F.lit(ad) * F.col("n_raw") + F.lit(an))
+                * _d38(
+                    F.lit(ad) * F.col("t_tgt") + F.lit(an) * F.col("vocab")
+                )
+            ).alias("q"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((p * CAST({_QLIT} AS DECIMAL(38,0))) div q AS BIGINT)"
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").alias("importance_scaled9"),
+            F.count(F.lit(1)).alias("n_tokens"),
         )
     )
     return scored.orderBy(
-        F.col("importance").desc(), F.col("doc_id")
+        F.col("importance_scaled9").desc(), F.col("doc_id")
     ).limit(k)
 
 
@@ -270,6 +293,8 @@ def dsir_importance_oracle_sql(
     target_sql_pred: str, k: int = 50, alpha: float = 0.5
 ) -> str:
     """DuckDB twin of :func:`dsir_importance`."""
+    fa = Fraction(str(alpha))
+    an, ad = fa.numerator, fa.denominator
     return rf"""
 WITH tok AS (
   SELECT doc_id, ({target_sql_pred}) AS is_target,
@@ -288,19 +313,19 @@ totals AS (
 ),
 scored AS (
   SELECT tok.doc_id,
-         CAST(round(CAST(SUM(CAST(round(
-             ln((CAST(n_tgt AS DOUBLE) + {alpha})
-                / (CAST(t_tgt AS DOUBLE) + {alpha} * CAST(vocab AS DOUBLE)))
-             - ln((CAST(n_raw AS DOUBLE) + {alpha})
-                  / (CAST(t_raw AS DOUBLE) + {alpha} * CAST(vocab AS DOUBLE))),
-             9) AS DECIMAL(18,9))) AS DECIMAL(28,9)), {_OUT_SCALE})
-           AS DECIMAL(28,{_OUT_SCALE})) AS importance,
+         CAST(SUM(
+           (CAST({ad} * n_tgt + {an} AS HUGEINT)
+            * (CAST({ad} AS HUGEINT) * t_raw + {an} * vocab)
+            * {_QLIT})
+           // (CAST({ad} * n_raw + {an} AS HUGEINT)
+               * (CAST({ad} AS HUGEINT) * t_tgt + {an} * vocab))
+         ) AS BIGINT) AS importance_scaled9,
          count(*) AS n_tokens
   FROM tok JOIN counts USING (token), totals
   WHERE NOT is_target
   GROUP BY tok.doc_id
 )
-SELECT doc_id, importance, n_tokens FROM scored
-ORDER BY importance DESC, doc_id
+SELECT doc_id, importance_scaled9, n_tokens FROM scored
+ORDER BY importance_scaled9 DESC, doc_id
 LIMIT {k}
 """

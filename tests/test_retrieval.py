@@ -1,7 +1,10 @@
 """BM25 retrieval + DSIR importance: semantics on tiny hand-built
-corpora (the oracle parity suite covers the real tables)."""
+corpora (the oracle parity suite covers the real tables).
 
-import math
+Round 6: both scorers became transcendental-free (exact integer
+fixed-point, ``score × 10^9`` as BIGINT) after the ln()-based forms
+hash-split on the external driver two rounds running — the hand
+computations below pin the exact rational trees."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -26,18 +29,23 @@ def test_bm25_ranks_tf_and_rarity(spark):
     out = bm25_topk(docs, ["cat"], k=10).collect()
     # only docs containing 'cat' score; higher tf ranks first
     assert [r.doc_id for r in out] == [1, 2]
-    assert out[0].bm25 > out[1].bm25 > 0
+    assert out[0].bm25_scaled9 > out[1].bm25_scaled9 > 0
 
 
 def test_bm25_hand_computed_score(spark):
-    """One-doc-one-term case pinned against the closed-form formula."""
+    """One-doc-one-term case pinned against the closed-form rational.
+
+    N=2 docs, T=4 tokens, df=1, dl=2, tf=1, k1=1.2, b=0.75:
+    idf_ratio = (2N+2)/(2df+1) = 6/3 = 2
+    tf_norm   = 2.2·1 / (1 + 1.2·(0.25 + 0.75·(2 / (4/2)))) = 2.2/2.2 = 1
+    score     = 2.0 exactly → 2_000_000_000 at scale 9.
+    """
     docs = _docs(spark, [(1, "x y", "en"), (2, "y y", "en")])
-    out = {r.doc_id: float(r.bm25) for r in bm25_topk(docs, ["x"], k=10).collect()}
-    # N=2, df=1, dl=2, avgdl=2, tf=1, k1=1.2, b=0.75
-    idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
-    tf_term = 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 2 / 2))
-    # scores quantize to scale 5 terminally (cross-engine ln defense)
-    assert out[1] == pytest.approx(idf * tf_term, abs=1e-5)
+    out = {
+        r.doc_id: r.bm25_scaled9
+        for r in bm25_topk(docs, ["x"], k=10).collect()
+    }
+    assert out[1] == 2_000_000_000
     assert 2 not in out
 
 
@@ -47,8 +55,27 @@ def test_bm25_length_normalization(spark):
         spark,
         [(1, "cat " + "filler " * 40, "en"), (2, "cat pad", "en")],
     )
-    out = {r.doc_id: float(r.bm25) for r in bm25_topk(docs, ["cat"], k=10).collect()}
+    out = {
+        r.doc_id: r.bm25_scaled9
+        for r in bm25_topk(docs, ["cat"], k=10).collect()
+    }
     assert out[2] > out[1]
+
+
+def test_bm25_integer_output_types(spark):
+    """The scaled score and its companions are plain BIGINTs — the
+    whole point of the round-6 rewrite (no doubles in the hashed
+    output, no HUGEINT on the oracle side)."""
+    docs = _docs(spark, [(1, "cat dog", "en")])
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in bm25_topk(docs, ["cat"], k=5).schema.fields
+    }
+    assert schema == {
+        "doc_id": "bigint",
+        "bm25_scaled9": "bigint",
+        "n_matched_terms": "bigint",
+    }
 
 
 def test_bm25_plan_shape(spark):
@@ -83,13 +110,13 @@ def test_dsir_prefers_target_like_documents(spark):
     out = dsir_importance(docs, F.col("lang") == "en", k=10).collect()
     ids = [r.doc_id for r in out]
     assert set(ids) == {10, 11}  # only non-target docs are candidates
-    w = {r.doc_id: float(r.importance) for r in out}
+    w = {r.doc_id: r.importance_scaled9 for r in out}
     assert w[10] > w[11]
 
 
-def test_dsir_importance_is_mean_invariant_check(spark):
-    """Weights are per-token sums: a doc repeated-token variant scores
-    proportionally (2× tokens → 2× importance for identical tokens)."""
+def test_dsir_importance_is_per_token_sum(spark):
+    """Weights are per-token-occurrence sums: doubling a doc's tokens
+    doubles its importance EXACTLY (integer arithmetic — no approx)."""
     docs = _docs(
         spark,
         [
@@ -99,9 +126,22 @@ def test_dsir_importance_is_mean_invariant_check(spark):
         ],
     )
     out = {
-        r.doc_id: (float(r.importance), r.n_tokens)
+        r.doc_id: (r.importance_scaled9, r.n_tokens)
         for r in dsir_importance(docs, F.col("lang") == "en", k=10).collect()
     }
     (w1, n1), (w2, n2) = out[10], out[11]
     assert n1 == 1 and n2 == 2
-    assert w2 == pytest.approx(2 * w1, rel=1e-9)
+    assert w2 == 2 * w1
+
+
+def test_dsir_hand_computed_ratio(spark):
+    """Single shared token, alpha=1/2: r = (2·n_tgt+1)(2·t_raw+V)
+    / ((2·n_raw+1)(2·t_tgt+V)).  Corpus: target 'cat cat', non-target
+    'cat' → V=1, t_raw=3, t_tgt=2, n_raw=3, n_tgt=2.
+    r = (5·7)/(7·5) = 1 exactly → 10^9."""
+    docs = _docs(spark, [(1, "cat cat", "en"), (10, "cat", "fr")])
+    out = {
+        r.doc_id: r.importance_scaled9
+        for r in dsir_importance(docs, F.col("lang") == "en", k=10).collect()
+    }
+    assert out[10] == 1_000_000_000
