@@ -60,6 +60,16 @@ from fink_broker_spark.sources.parquet import LAKE_TABLES
 #: cannot be checked against a relocated variant lake
 PATH_PINNED = frozenset({"file_provenance"})
 
+#: environment-fingerprint probes (admin/probes.py ``probe_env_*``)
+#: MISMATCH on adversarial layouts BY DESIGN: the Spark side reads the
+#: variant's real physical facts (ns unit, sub-µs jitter) while the
+#: pinned local DuckDB 1.0.0 truncates them at scan — exactly the
+#: divergence the probes exist to report from the driver environment.
+#: They are skipped here and verified on the committed lake by
+#: test_oracle_parity instead.  probe_type_* probes are layout-invariant
+#: and stay in the sweep.
+_ENV_PROBE_PREFIX = "probe_env_"
+
 #: unicode / odd-whitespace suffixes appended to a seeded subset of
 #: document texts in the ``nanos`` layout (NBSP, combining marks, CJK,
 #: tabs/multi-space — the characters tokenizer regexes disagree on
@@ -217,7 +227,7 @@ def run_parity(
     names = list(query_names) if query_names else list(queries)
     results: dict[str, str] = {}
     for name in names:
-        if name in PATH_PINNED:
+        if name in PATH_PINNED or name.startswith(_ENV_PROBE_PREFIX):
             continue
         try:
             df = queries[name](spark, sf_dir)

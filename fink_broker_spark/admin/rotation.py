@@ -83,15 +83,27 @@ def read_ledger(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
     return last_green, set(failed)
 
 
-def driver_priority(names: Iterable[str], artifact_dir: str) -> list[str]:
-    """Order *names* for driver sampling: failed, never-checked, then
-    stalest-green first.  Registration order breaks ties."""
+def driver_priority(
+    names: Iterable[str],
+    artifact_dir: str,
+    pinned: Iterable[str] = (),
+) -> list[str]:
+    """Order *names* for driver sampling: pinned probes, then failed,
+    never-checked, and stalest-green.  Registration order breaks ties.
+
+    ``pinned`` names (the admin/probes.py fingerprint tier) always lead:
+    their row counts ARE the driver-environment telemetry, so they must
+    land inside the ~50-row sample window every round regardless of the
+    failure backlog."""
     names = list(names)
     order = {n: i for i, n in enumerate(names)}
+    pinned_set = set(pinned)
     last_green, failed = read_ledger(artifact_dir)
 
     def key(n: str) -> tuple[int, int, int]:
-        if n in failed:
+        if n in pinned_set:
+            tier = -1
+        elif n in failed:
             tier = 0
         elif n not in last_green:
             tier = 1

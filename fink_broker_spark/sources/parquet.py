@@ -47,8 +47,22 @@ def scan_parquet(
     return reader.parquet(path)
 
 
-#: Per-path cache of parquet-footer timestamp columns: (name, unit) pairs.
-_TS_COLS_CACHE: dict[str, tuple[tuple[str, str], ...]] = {}
+#: Per-file cache of parquet-footer timestamp columns: (name, unit) pairs.
+#: Keyed by (path, mtime_ns, size) so a lake file REWRITTEN in-process
+#: with a different timestamp layout (e.g. a harness regenerating micros
+#: as nanos at the same path) never reuses stale footer metadata.
+_TS_COLS_CACHE: dict[tuple, tuple[tuple[str, str], ...]] = {}
+
+
+def _cache_key(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory-of-files lakes / remote paths: fall back to path-only
+        # (regeneration there replaces the directory, changing the path
+        # set the dataset reads anyway)
+        return (path, None, None)
 
 
 def _timestamp_columns(path: str) -> tuple[tuple[str, str], ...]:
@@ -60,7 +74,8 @@ def _timestamp_columns(path: str) -> tuple[tuple[str, str], ...]:
     column arrives in Spark as a bare ``bigint``, indistinguishable from
     a genuine integer column without the footer's logical-type metadata.
     """
-    cached = _TS_COLS_CACHE.get(path)
+    key = _cache_key(path)
+    cached = _TS_COLS_CACHE.get(key)
     if cached is not None:
         return cached
     out: list[tuple[str, str]] = []
@@ -79,8 +94,8 @@ def _timestamp_columns(path: str) -> tuple[tuple[str, str], ...]:
         # ns-as-bigint normalization (the r04 red class) for the
         # process lifetime
         return ()
-    _TS_COLS_CACHE[path] = tuple(out)
-    return _TS_COLS_CACHE[path]
+    _TS_COLS_CACHE[key] = tuple(out)
+    return _TS_COLS_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -86,8 +86,12 @@ def test_live_wiring():
     import __spark_entry__ as entry
 
     names = list(entry.queries().keys())
-    expect = driver_priority(entry._QUERIES.keys(), REPO)
+    from fink_broker_spark.admin.probes import PROBE_QUERIES
+
+    expect = driver_priority(entry._QUERIES.keys(), REPO, pinned=PROBE_QUERIES)
     assert names == expect
+    # the fingerprint-probe tier leads the rotation unconditionally
+    assert names[: len(PROBE_QUERIES)] == list(PROBE_QUERIES)
 
     ever_checked: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
