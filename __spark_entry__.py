@@ -3026,9 +3026,12 @@ SELECT event_type,
        max(distnr) AS max_distnr
 FROM staged
 WHERE ssnamenr = 'null' AND ndethist = 1 AND isdiffpos = 't'
-  AND NOT ((magnr - magpsf) < 1.0
+  -- COALESCE mirrors tracklet_candidate_cut's numpy-edge semantics:
+  -- an unevaluable locus (NULL magnr from a NULL-FK user_id) KEEPS the
+  -- row, it does not NULL-drop it (nullfk driftlab layout, r6)
+  AND NOT COALESCE((magnr - magpsf) < 1.0
            AND (magnr - magpsf) < -4.0 * (log10(distnr) + 0.2)
-           AND distnr < 2.0)
+           AND distnr < 2.0, FALSE)
 GROUP BY event_type
 """
 
@@ -3089,7 +3092,11 @@ SELECT CAST(trk % 4 AS BIGINT) AS exposure,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(min(event_id) AS BIGINT) AS lo_event,
        CAST(max(event_id) AS BIGINT) AS hi_event
-FROM ranked WHERE rn <= 8
+-- trk IS NOT NULL: a NULL-FK user_id yields NULL ra/dec points, which
+-- can never sit on a great circle within tolerance — the extractor
+-- finds no tracklet for them, so the declarative twin must not count
+-- one (nullfk driftlab layout, r6)
+FROM ranked WHERE rn <= 8 AND trk IS NOT NULL
 GROUP BY trk
 HAVING count(*) >= 5
 """
@@ -3923,7 +3930,10 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(', "type": "'),
         F.col("event_type"),
         F.lit('", "ids": ['),
-        F.col("user_id").cast("string"),
+        # a NULL user_id renders as JSON null — concat would otherwise
+        # null the whole document and silently drop the row into a NULL
+        # variant group (nullfk driftlab layout, r6)
+        F.coalesce(F.col("user_id").cast("string"), F.lit("null")),
         F.lit(", "),
         F.col("event_id").cast("string"),
         F.lit("]}"),
@@ -4332,9 +4342,12 @@ SELECT event_id,
        substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
          || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS row_uuid
 FROM (
+  -- concat_ws, not ||: Spark's concat_ws SKIPS null parts (and their
+  -- separator) while || null-propagates — a NULL user_id must hash the
+  -- same way on both engines (nullfk driftlab layout, r6)
   SELECT event_id,
-         md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-             || '|' || event_type) AS h
+         md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                       CAST(user_id AS VARCHAR), event_type)) AS h
   FROM events
 )
 """
@@ -6485,7 +6498,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state = that user's event list (sessions-bounded); for
     heavy hitters pre-aggregate per (user, day) first."""
     ev = load_table(spark, sf_dir, "events")
-    staged = ev.select(
+    # an unidentified (NULL-FK) user has no journey: groupBy would
+    # otherwise merge ALL anonymous events into one pseudo-user funnel
+    # while the oracle's equality joins drop them (nullfk driftlab
+    # layout, r6) — excluded explicitly on both sides
+    staged = ev.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.struct(
             F.unix_micros(F.col("ts")).alias("t"),
@@ -6547,7 +6564,9 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FUNNEL_CONVERSION = f"""
 WITH e AS (
+  -- NULL users excluded on both sides (see q_funnel_conversion)
   SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+  WHERE user_id IS NOT NULL
 ),
 s1 AS (
   SELECT user_id, min(t) AS t1 FROM e
@@ -8520,10 +8539,15 @@ WITH per AS (
   FROM per
 ), scored AS (
   SELECT o_custkey AS custkey, recency_days, freq, monetary_cents,
-         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
-         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
-         NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
-           AS m_score
+         -- NULLS FIRST pins the tiebreak to Spark's ascending default
+         -- (DuckDB defaults to NULLS LAST): a NULL o_custkey group
+         -- from NULL-FK data must rank identically on both engines
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey NULLS FIRST)
+           AS r_score,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey NULLS FIRST)
+           AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC,
+                        o_custkey NULLS FIRST) AS m_score
   FROM base
 )
 SELECT custkey, recency_days, freq, monetary_cents, r_score, f_score,
@@ -9662,7 +9686,12 @@ WITH ev AS (
               THEN prev_t - t ELSE next_t - t END AS dt_us
   FROM w WHERE side = 1
 )
-SELECT * FROM picked WHERE nearest_event_id IS NOT NULL
+-- o_custkey IS NOT NULL: the operator gives NULL join keys SQL
+-- equality semantics (no match) as of r6 — the window construction
+-- above would otherwise "match" NULL-key orders to NULL-key events
+-- inside the shared NULL partition
+SELECT * FROM picked
+WHERE nearest_event_id IS NOT NULL AND o_custkey IS NOT NULL
 """
 
 
@@ -9927,7 +9956,10 @@ WITH moves AS (
 )
 SELECT s.l_partkey AS partkey, s.n_moves, s.min_prefix,
        l.final_prefix - LEAST(0, s.min_prefix) AS final_balance
-FROM stats s JOIN last_p l ON s.l_partkey = l.l_partkey
+-- null-safe join: the Spark side computes both aggregates in ONE
+-- groupBy, which keeps a NULL-partkey group; a plain equality join
+-- here would drop it (nullfk driftlab layout, r6)
+FROM stats s JOIN last_p l ON s.l_partkey IS NOT DISTINCT FROM l.l_partkey
 """
 
 

@@ -23,6 +23,17 @@ cannot see physical-layout drift. This module closes that gap:
      terminal-ROUND-of-double or decimal-division construct that
      differs between engines lights up (the r04 ``phase_fold``
      class).
+   - ``int32keys`` (round 6) — every INT64 key column (``*key``,
+     ``user_id``) whose values fit narrows to parquet INT32: Spark
+     reads IntegerType, DuckDB INTEGER — joins/aggregates must stay
+     value-identical and no query may leak a width-sensitive output
+     (a judge hypothesis for the r5 integer-output reds).
+   - ``nullfk`` (round 6) — ~1 % of foreign-key values
+     (``o_custkey``, ``l_partkey``, ``l_suppkey``, ``events.user_id``)
+     become NULL, deterministically per seed: both engines read the
+     same NULLs, so every query's join/group/window null semantics
+     must agree exactly (left-join flag sums, anti joins, null-safe
+     grouping).
 
 2. **Parity sweep** — the same repr-hash compare the external driver
    runs (vanilla SparkSession vs DuckDB views), pointed at a variant
@@ -137,6 +148,33 @@ def generate_variant(
                 ]
                 cols[field.name] = pa.array(texts, type=field.type)
             elif (
+                layout == "int32keys"
+                and field.type == pa.int64()
+                and (field.name.endswith("key") or field.name == "user_id")
+            ):
+                vals = col.to_numpy(zero_copy_only=False)
+                if len(vals) and (
+                    vals.min() < -(2**31) or vals.max() >= 2**31
+                ):
+                    cols[field.name] = col  # would not round-trip
+                else:
+                    cols[field.name] = col.cast(pa.int32())
+            elif (
+                layout == "nullfk"
+                and (field.name, name)
+                in {
+                    ("o_custkey", "orders"),
+                    ("l_partkey", "lineitem"),
+                    ("l_suppkey", "lineitem"),
+                    ("user_id", "events"),
+                }
+            ):
+                pick = _rng_ints(seed, f"null.{name}.{field.name}", len(t), 100)
+                mask = pa.array((pick == 0), type=pa.bool_())
+                cols[field.name] = pc.if_else(
+                    mask, pa.scalar(None, type=field.type), col
+                )
+            elif (
                 layout == "boundary"
                 and pa.types.is_float64(field.type)
             ):
@@ -164,7 +202,13 @@ def generate_variant(
             {n: cols[n] for n in t.schema.names},
             schema=pa.schema(
                 [
-                    pa.field(f.name, cols[f.name].type, f.nullable)
+                    pa.field(
+                        f.name,
+                        cols[f.name].type,
+                        # nullfk injects NULLs into originally
+                        # non-nullable FK columns
+                        f.nullable or cols[f.name].null_count > 0,
+                    )
                     for f in t.schema
                 ]
             ),
@@ -183,6 +227,22 @@ def _canon_hash(rows, cols) -> str:
     for r in sorted(tuple(repr(r[i]) for i in idx) for r in rows):
         m.update(repr(r).encode())
     return m.hexdigest()
+
+
+def _arrow_rows(cur):
+    """Fetch a DuckDB result THROUGH ARROW, the way a typed
+    canonicalizer sees it.  ``fetchall()`` launders engine-specific
+    types into plain Python objects (a HUGEINT arrives as ``int`` —
+    which is exactly how the round-5 reds stayed invisible to every
+    local sweep); the Arrow path preserves them (HUGEINT →
+    decimal128(38,0) → ``Decimal('6')``), so a repr-hash over these
+    rows splits wherever the external driver's Arrow/pandas fetch
+    splits.  Returns ``(rows, cols)``."""
+    tbl = cur.arrow()
+    cols = tbl.column_names
+    pydict = tbl.to_pydict()
+    rows = list(zip(*(pydict[c] for c in cols))) if cols else []
+    return rows, cols
 
 
 def run_parity(
@@ -246,8 +306,29 @@ def run_parity(
         except Exception as e:  # noqa: BLE001
             results[name] = f"error: oracle: {type(e).__name__}: {str(e)[:200]}"
             continue
-        ok = _canon_hash(srows, df.columns) == _canon_hash(drows, dcols)
-        results[name] = "ok" if ok else "MISMATCH"
+        spark_hash = _canon_hash(srows, df.columns)
+        ok = spark_hash == _canon_hash(drows, dcols)
+        if not ok:
+            results[name] = "MISMATCH"
+            continue
+        # second gate (round 6): the same compare over an ARROW fetch of
+        # the oracle.  fetchall-equal but arrow-unequal == the r5 red
+        # class (engine-specific result types like HUGEINT that the
+        # plain fetch launders into Python ints).  probe_type_* are
+        # exempt — they carry adversarial types ON PURPOSE, to measure
+        # the real driver's fetch path.
+        if name.startswith("probe_type_"):
+            results[name] = "ok"
+            continue
+        try:
+            arows, acols = _arrow_rows(con.execute(sql))
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"error: arrow: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        if spark_hash == _canon_hash(arows, acols):
+            results[name] = "ok"
+        else:
+            results[name] = "MISMATCH-typed"
     return results
 
 
@@ -258,7 +339,7 @@ def main(argv=None) -> int:
     p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
     p.add_argument(
         "--layouts", nargs="+", default=["nanos", "boundary"],
-        choices=["micros", "nanos", "boundary"],
+        choices=["micros", "nanos", "boundary", "int32keys", "nullfk"],
     )
     p.add_argument(
         "--queries", default=None,

@@ -176,7 +176,15 @@ def asof_join(
     )
     return filled.filter(F.col("__side") == 1).select(
         *lcols,
-        *[F.col(f"__f_{c}").alias(c) for c in right_values],
+        # SQL equality semantics: a NULL key matches nothing.  The
+        # window partition would otherwise group all NULL-key rows
+        # together and "match" them to each other — the nullfk driftlab
+        # layout caught exactly that (r6)
+        *[
+            F.when(F.col("__key").isNotNull(), F.col(f"__f_{c}"))
+            .alias(c)
+            for c in right_values
+        ],
     )
 
 
@@ -254,7 +262,11 @@ def nearest_asof_join(
     chosen = F.when(use_prev, F.col("__prev")).otherwise(F.col("__next"))
     return (
         filled.filter(F.col("__side") == 1)
-        .withColumn("__ch", chosen)
+        # NULL keys match nothing (SQL equality semantics) — same
+        # masking as asof_join above
+        .withColumn(
+            "__ch", F.when(F.col("__key").isNotNull(), chosen)
+        )
         .select(
             *lcols,
             *[F.col(f"__ch.{c}").alias(c) for c in right_values],

@@ -58,9 +58,37 @@ def entry_module():
     return importlib.import_module("__spark_entry__")
 
 
+#: round-6 layouts: key-width narrowing and injected NULL FKs — the
+#: judge's remaining data-layout hypotheses for the r5 integer-output
+#: reds (ruled out: the cause was HUGEINT result typing, but the
+#: layouts stay as standing coverage).  Subsets exercise the FK joins,
+#: flag sums, and user_id grouping those layouts stress.
+INT32KEYS_REGRESSIONS = [
+    "fk_orphans",
+    "rank_delta",
+    "rfm_segments",
+    "semi_anti_join",
+    "local_supplier_volume",
+    "last_event_per_user",
+]
+NULLFK_REGRESSIONS = [
+    "fk_orphans",
+    "weighted_median",
+    "modal_event_type",
+    "basket_novelty",
+    "grid_quantiles",
+    "semi_anti_join",
+]
+
+
 @pytest.mark.parametrize(
     ("layout", "subset"),
-    [("nanos", NANOS_REGRESSIONS), ("boundary", BOUNDARY_REGRESSIONS)],
+    [
+        ("nanos", NANOS_REGRESSIONS),
+        ("boundary", BOUNDARY_REGRESSIONS),
+        ("int32keys", INT32KEYS_REGRESSIONS),
+        ("nullfk", NULLFK_REGRESSIONS),
+    ],
 )
 def test_layout_variants_keep_parity(
     spark, tmp_path_factory, entry_module, layout, subset
@@ -91,6 +119,69 @@ def test_variant_generation_is_deterministic(tmp_path_factory):
     a = pq.read_table(f"{d1}/events.parquet")
     c = pq.read_table(f"{d3}/events.parquet")
     assert not a.equals(c)
+
+
+def test_arrow_gate_catches_hugeint_class(spark, tmp_path_factory):
+    """The r5 red class: oracle values that fetchall() launders into
+    plain ints but an Arrow fetch types as HUGEINT→Decimal.  The
+    run_parity arrow gate must flag a deliberately-uncast SUM while the
+    plain-fetch hash passes it — proving the gate sees what the
+    external driver sees."""
+    from pyspark.sql import functions as F
+
+    class _Entry:
+        @staticmethod
+        def queries():
+            return {
+                "hug": lambda s, sf: s.range(3).agg(
+                    F.sum("id").cast("long").alias("v")
+                )
+            }
+
+        @staticmethod
+        def oracle_sql():
+            # SUM over BIGINT → HUGEINT, uncast: the exact defect shape
+            return {"hug": "SELECT SUM(i) AS v FROM range(0, 3) t(i)"}
+
+    res = run_parity(
+        "/root/testdata/sf0.001", spark=spark, entry_module=_Entry
+    )
+    assert res == {"hug": "MISMATCH-typed"}
+
+
+def test_int32keys_variant_narrows_and_roundtrips(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("i32"))
+    dest = generate_variant("/root/testdata/sf0.001", out, 2, "int32keys")
+    src = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    var = pq.read_table(f"{dest}/orders.parquet")
+    assert var.schema.field("o_orderkey").type == pa.int32()
+    assert (
+        var.column("o_orderkey").cast(pa.int64()).combine_chunks()
+        .equals(src.column("o_orderkey").combine_chunks())
+    )
+
+
+def test_nullfk_variant_injects_nulls_deterministically(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("nf"))
+    dest = generate_variant("/root/testdata/sf0.001", out, 2, "nullfk")
+    var = pq.read_table(f"{dest}/orders.parquet")
+    n_null = var.column("o_custkey").null_count
+    assert n_null > 0  # ~1 % of rows
+    dest2 = generate_variant(
+        "/root/testdata/sf0.001",
+        str(tmp_path_factory.mktemp("nf2")),
+        2,
+        "nullfk",
+    )
+    var2 = pq.read_table(f"{dest2}/orders.parquet")
+    assert var.column("o_custkey").combine_chunks().equals(
+        var2.column("o_custkey").combine_chunks()
+    )
 
 
 def test_nanos_variant_preserves_micros_truncation(tmp_path_factory):
