@@ -9,6 +9,8 @@ difference is the job)."""
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -78,10 +80,23 @@ def grouped_percentiles(
     - ``"auto"`` — exact below ``exact_max_bytes`` of Catalyst-estimated
       input, approx above. Unknown stats (-1) fall back to approx —
       at scale, unknown means "assume big".
+
+    An ``auto`` resolution is LOGGED (INFO): near the gate, a drifting
+    Catalyst estimate would otherwise silently flip an
+    oracle-hash-checked query from exact ``percentile`` to
+    ``percentile_approx``, which no longer matches DuckDB
+    ``quantile_cont``. Oracle-checked callers at a pinned scale should
+    pass ``mode="exact"`` explicitly; ``auto`` is for production jobs
+    where the flip is the intended protection.
     """
     if mode == "auto":
         size = _plan_size_bytes(df)
         mode = "exact" if 0 <= size <= exact_max_bytes else "approx"
+        logging.getLogger(__name__).info(
+            "grouped_percentiles auto-resolved to %r "
+            "(estimate=%d bytes, gate=%d)",
+            mode, size, exact_max_bytes,
+        )
     if mode == "exact":
         aggs = [
             F.expr(f"percentile({col}, {frac!r})").alias(name)

@@ -741,6 +741,16 @@ def exact_substring_remove(
         F.sort_array(F.collect_list("pos")).alias("cov"),
         F.count(F.lit(1)).alias("n_removed"),
     )
+    # kept positions via array_except (hash-set semantics: O(n + k))
+    # instead of a per-token array_contains scan (O(n·k) — quadratic on
+    # long, heavily duplicated documents); order of the left sequence
+    # is preserved, so the gather below re-joins tokens in document
+    # order.  Rows here always have ≥ n tokens (they joined cov_sets),
+    # so sequence(1, size) never hits the descending sequence(1, 0)
+    # pitfall.
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("toks")), F.col("cov")
+    )
     return toks.join(cov_sets, "doc_id").select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
@@ -750,12 +760,7 @@ def exact_substring_remove(
         F.md5(
             F.concat_ws(
                 " ",
-                F.filter(
-                    "toks",
-                    lambda t, i: ~F.array_contains(
-                        F.col("cov"), i + F.lit(1)
-                    ),
-                ),
+                F.transform(kept_pos, lambda p: F.element_at("toks", p)),
             )
         ).alias("clean_hash"),
     )

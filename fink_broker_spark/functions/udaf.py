@@ -40,6 +40,14 @@ def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
     uses — convention-free on .5 ties, unlike rint (half-even) vs
     DuckDB round (half-away), which split engines when a value sits
     exactly on a half (driftlab 'boundary' layout regression).
+
+    NON-NEGATIVE-INPUT assumption: ``floor(x + 0.5)`` is half-UP, not
+    half-away-from-zero — a NEGATIVE value on an exact .5 tie maps to
+    the higher integer (-2.5 → -2), one cent off currency convention.
+    Engine parity holds regardless (the oracle mirrors the identical
+    tree); the convention only matters for the absolute result, and
+    prices/quantities here are non-negative by data contract. For
+    signed inputs use ``sign(x) * floor(abs(x) + 0.5)`` on BOTH sides.
     """
     cents = np.floor(
         price.to_numpy(dtype="float64") * 100.0 + 0.5

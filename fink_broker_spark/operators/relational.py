@@ -113,6 +113,28 @@ def top_k_per_group(
     )
 
 
+def _check_asof_names(
+    left_cols: Sequence[str], right_values: Sequence[str]
+) -> None:
+    """Reject silent name hazards in the as-of union construction: a
+    ``right_values`` name colliding with a left column would be
+    shadowed in the output projection, and ``__``-prefixed left columns
+    collide with the construction's internal markers — both previously
+    failed with a confusing analyzer error or, worse, silently."""
+    clash = set(right_values) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"right_values collide with left columns: {sorted(clash)} — "
+            "alias them on the right side before the as-of join"
+        )
+    reserved = [c for c in left_cols if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"left columns use the reserved '__' prefix: {reserved} — "
+            "rename them before the as-of join"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -141,6 +163,7 @@ def asof_join(
     groupBy. Right rows sort before left rows at equal timestamps, so
     the match is inclusive (``<=``).
     """
+    _check_asof_names(left.columns, right_values)
     lcols = left.columns
     marker = F.lit(None)
     r = right.select(
@@ -215,6 +238,7 @@ def nearest_asof_join(
     Callers needing cross-engine determinism must pre-collapse right
     rows to one per (key, time).
     """
+    _check_asof_names(left.columns, right_values)
     lcols = left.columns
     marker = F.lit(None)
     r = right.select(
