@@ -14439,6 +14439,263 @@ ORACLE_PPJOIN_NEARDUP_PRUNED = _ppjoin_oracle(50)
 
 
 # --------------------------------------------------------------------------
+# round 6 — lakehouse/dimension lifecycle + corpus diversity + skyline
+# --------------------------------------------------------------------------
+
+def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity audit: pairwise Jaccard overlap of the 3-gram
+    shingle VOCABULARIES of every document-source pair — the standard
+    check that two crawl slices are not near-copies of each other
+    before mixing them into one training corpus.
+
+    Plan: tokenize+shingle once, collapse to the DISTINCT
+    (source, shingle) relation (vocabulary-bounded — this is the only
+    fact-sized shuffle), per-source vocabulary counts, then a
+    shingle-keyed self-join whose output is bounded by |sources|²
+    rows.  Counts are exact BIGINTs; only the reported jaccard is a
+    terminal double of exact integers (identical division both
+    engines)."""
+    from fink_broker_spark.functions.text import shingles_from_tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    # tokens materialize into a named column first: a HOF lambda
+    # re-evaluates captured subexpressions per element, so an inlined
+    # tokenize would re-split once per shingle
+    vocab = (
+        docs.select("source", tokens_expr("text").alias("toks"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_from_tokens_expr("toks", 3))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        vocab.select(F.col("source").alias("source_a"), "shingle")
+        .join(
+            vocab.select(F.col("source").alias("source_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_NGRAM_OVERLAP = r"""
+WITH words AS (
+  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(lower(text))) > 0
+),
+vocab AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+),
+sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM vocab a JOIN vocab b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-impact audit (right-to-erasure dry run): a deterministic
+    request set (``c_custkey % 97 = 0``) and the row counts a cascading
+    delete would touch at each hop — customers, their orders, those
+    orders' lineitems, their events.  The PII-pipeline primitive: know
+    the blast radius BEFORE mutating 100 TB.
+
+    Plan: each hop is one semi-join down the FK chain, counted with a
+    single aggregate; dimension-sized request keys broadcast.  Counts
+    are exact BIGINTs."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 == 0
+    ).select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    del_orders = o.join(
+        F.broadcast(cu), o["o_custkey"] == cu["k"], "left_semi"
+    )
+    okeys = del_orders.select(F.col("o_orderkey").alias("ok"))
+    del_lines = li.join(
+        F.broadcast(okeys), li["l_orderkey"] == okeys["ok"], "left_semi"
+    )
+    del_events = ev.join(
+        F.broadcast(cu), ev["user_id"] == cu["k"], "left_semi"
+    )
+
+    def cnt(df, entity):
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(entity).alias("entity"), "n_rows"
+        )
+
+    out = cnt(cu, "customer")
+    for df, name in (
+        (del_orders, "orders"),
+        (del_lines, "lineitem"),
+        (del_events, "events"),
+    ):
+        out = out.unionAll(cnt(df, name))
+    return out
+
+
+ORACLE_GDPR_CASCADE = """
+WITH req AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
+SELECT 'customer' AS entity, CAST(count(*) AS BIGINT) AS n_rows FROM req
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+WHERE o_custkey IN (SELECT k FROM req)
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM req))
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+WHERE user_id IN (SELECT k FROM req)
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse upsert) as a declarative
+    plan: a change batch derived from events applies onto the customer
+    snapshot — users with an ``error`` event are DELETEs, other active
+    users UPSERT their purchase-value delta, untouched customers pass
+    through.  Emits the post-merge audit: per action, row count and
+    total balance cents.
+
+    Plan: the source batch is one events aggregate; target and source
+    meet in a single full-outer join on the key (exactly how Delta/
+    Iceberg execute MERGE: one join, per-row action resolution);
+    the audit is a 4-row aggregate.  All cents ride the identical
+    ``floor(x·100 + 0.5)`` integer tree on both engines.  NULL-user
+    events are excluded — a MERGE key must be a key."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("delta_cents"),
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("has_error"),
+        )
+    )
+    merged = cu.withColumnRenamed("k", "tk").join(
+        src.withColumnRenamed("k", "sk"),
+        F.col("tk") == F.col("sk"),
+        "full_outer",
+    )
+    action = (
+        F.when(
+            F.col("tk").isNotNull()
+            & F.col("sk").isNotNull()
+            & (F.col("has_error") == 1),
+            F.lit("deleted"),
+        )
+        .when(
+            F.col("tk").isNotNull() & F.col("sk").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("sk").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("unchanged"))
+    )
+    balance = (
+        F.when(action == "deleted", F.lit(0))
+        .when(action == "updated", F.col("bal_cents") + F.col("delta_cents"))
+        .when(action == "inserted", F.col("delta_cents"))
+        .otherwise(F.col("bal_cents"))
+    )
+    return (
+        merged.select(action.alias("action"), balance.alias("bal"))
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal").alias("sum_balance_cents"),
+        )
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH tgt AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+), src AS (
+  SELECT user_id AS k,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS delta_cents,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), merged AS (
+  SELECT tgt.k AS tk, src.k AS sk, bal_cents, delta_cents, has_error
+  FROM tgt FULL OUTER JOIN src ON tgt.k = src.k
+), resolved AS (
+  SELECT CASE
+           WHEN tk IS NOT NULL AND sk IS NOT NULL AND has_error = 1
+             THEN 'deleted'
+           WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'updated'
+           WHEN sk IS NOT NULL THEN 'inserted'
+           ELSE 'unchanged' END AS action,
+         CASE
+           WHEN tk IS NOT NULL AND sk IS NOT NULL AND has_error = 1
+             THEN 0
+           WHEN tk IS NOT NULL AND sk IS NOT NULL
+             THEN bal_cents + delta_cents
+           WHEN sk IS NOT NULL THEN delta_cents
+           ELSE bal_cents END AS bal
+  FROM merged
+)
+SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal) AS BIGINT) AS sum_balance_cents
+FROM resolved GROUP BY action
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -14691,6 +14948,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invoice_reconciliation": q_invoice_reconciliation,
     "ppjoin_neardup": q_ppjoin_neardup,
     "ppjoin_neardup_pruned": q_ppjoin_neardup_pruned,
+    "source_ngram_overlap": q_source_ngram_overlap,
+    "gdpr_cascade": q_gdpr_cascade,
+    "merge_upsert": q_merge_upsert,
 }
 
 _ORACLES: dict[str, str] = {
@@ -14949,6 +15209,9 @@ _ORACLES: dict[str, str] = {
     "invoice_reconciliation": ORACLE_INVOICE_RECONCILIATION,
     "ppjoin_neardup": ORACLE_PPJOIN_NEARDUP,
     "ppjoin_neardup_pruned": ORACLE_PPJOIN_NEARDUP_PRUNED,
+    "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
+    "gdpr_cascade": ORACLE_GDPR_CASCADE,
+    "merge_upsert": ORACLE_MERGE_UPSERT,
 }
 
 
