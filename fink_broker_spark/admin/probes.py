@@ -164,18 +164,24 @@ ORACLE_PROBE_ENV_CONF_POLICY = _oracle_rows("111")
 
 def q_probe_env_ts_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical unit of ``events.ts`` as SPARK sees it (parquet footer):
-    µs → 10, ns → 20, ms → 30, s → 40, unreadable → 45.  The oracle
-    encodes DuckDB's ``typeof(ts)`` on the same scale — equal = both
-    engines agree on the layout; a (20, 10) split = ns file with a
+    µs → 10, ns → 20, ms → 30, s → 40, unreadable → 45; a TZ-ADJUSTED
+    (isAdjustedToUTC) column adds 50 (so tz-µs = 60, tz-ns = 70 — its
+    own code points, never colliding with the naive-unit scale).  The
+    oracle encodes DuckDB's ``typeof(ts)`` on the same scale — equal =
+    both engines agree on the layout; a (20, 10) split = ns file with a
     truncating oracle, the exact blind spot driftlab documents."""
     t = _footer_type(sf_dir, "events", "ts")
     unit = getattr(t, "unit", None)
     n = {"us": 10, "ns": 20, "ms": 30, "s": 40}.get(unit, 45)
+    if getattr(t, "tz", None) is not None and n != 45:
+        n += 50
     return _rows(spark, n)
 
 
 ORACLE_PROBE_ENV_TS_UNIT = _oracle_rows(
-    "(SELECT CASE WHEN typeof(ts) LIKE 'TIMESTAMP WITH%' THEN 40"
+    # DuckDB reads any tz-adjusted parquet timestamp as TIMESTAMP WITH
+    # TIME ZONE (µs precision) → 60, matching Spark's tz-µs code
+    "(SELECT CASE WHEN typeof(ts) LIKE 'TIMESTAMP WITH%' THEN 60"
     " WHEN typeof(ts) = 'TIMESTAMP_NS' THEN 20"
     " WHEN typeof(ts) = 'TIMESTAMP_MS' THEN 30"
     " WHEN typeof(ts) = 'TIMESTAMP_S' THEN 40"

@@ -102,8 +102,11 @@ def driver_priority(
 
     def key(n: str) -> tuple[int, int, int]:
         if n in pinned_set:
-            tier = -1
-        elif n in failed:
+            # registration order ONLY: probes are designed to go red
+            # (that is the telemetry) — ledger state must never
+            # reshuffle the pinned tier
+            return (-1, 0, order[n])
+        if n in failed:
             tier = 0
         elif n not in last_green:
             tier = 1

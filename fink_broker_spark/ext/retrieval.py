@@ -44,6 +44,17 @@ from pyspark.sql import functions as F
 from fink_broker_spark.functions.text import tokens_expr
 
 #: fixed-point scale of the emitted scores: score × 10^9, integral-divided
+#:
+#: Magnitude envelope: the widest intermediate is BM25's scaled
+#: numerator ``(2N+2)·A·tf·T·10^9`` (N docs, T total tokens, A = 22 at
+#: default k1).  It must stay under the DECIMAL(38,0)/HUGEINT ceiling
+#: (~10^38): with the driver lakes (N ≤ 10^6, T ≤ 10^9, tf ≤ 10^4)
+#: the peak is ~10^29 — five orders of headroom.  At a true web-corpus
+#: scale (N ~ 10^10, T ~ 10^13) the product overflows, and the two
+#: engines fail DIFFERENTLY (Spark non-ANSI decimal overflow → NULL,
+#: silently dropped from the sum; DuckDB HUGEINT → loud error) — so a
+#: deployment at that scale must drop ``_Q`` and/or pre-divide T out of
+#: the ratio before widening, not just raise the precision.
 _Q = 9
 _QLIT = 10**_Q
 

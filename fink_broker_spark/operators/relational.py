@@ -133,6 +133,14 @@ def _check_asof_names(
             f"left columns use the reserved '__' prefix: {reserved} — "
             "rename them before the as-of join"
         )
+    bad_rv = [c for c in right_values if c.startswith("__")]
+    if bad_rv:
+        # '__t' would duplicate the nearest-join struct field; any
+        # '__'-name risks colliding with the construction's markers
+        raise ValueError(
+            f"right_values use the reserved '__' prefix: {bad_rv} — "
+            "alias them on the right side before the as-of join"
+        )
 
 
 def asof_join(

@@ -57,11 +57,24 @@ _TS_COLS_CACHE: dict[tuple, tuple[tuple[str, str], ...]] = {}
 def _cache_key(path: str) -> tuple:
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            # a directory's own mtime does NOT change when a contained
+            # file is rewritten in place — aggregate the entries' stats
+            # (one shallow scandir; parquet dirs are flat) so an
+            # in-place part-file rewrite invalidates the cache too
+            agg_mtime = st.st_mtime_ns
+            agg_size = n = 0
+            with os.scandir(path) as it:
+                for e in it:
+                    es = e.stat()
+                    agg_mtime = max(agg_mtime, es.st_mtime_ns)
+                    agg_size += es.st_size
+                    n += 1
+            return (path, agg_mtime, agg_size, n)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        # directory-of-files lakes / remote paths: fall back to path-only
-        # (regeneration there replaces the directory, changing the path
-        # set the dataset reads anyway)
+        # remote / exotic paths: fall back to path-only (regeneration
+        # there replaces the path set the dataset reads anyway)
         return (path, None, None)
 
 

@@ -69,6 +69,21 @@ def test_rounds_ordered_numerically_not_lexicographically(tmp_path):
     assert last == {"q": 5}
 
 
+def test_pinned_tier_ignores_ledger_state(tmp_path):
+    """Probes are DESIGNED to go red (that's the telemetry): a recorded
+    probe failure or green must never reorder the pinned tier away from
+    registration order — the r6 review caught that the ledger's
+    last_green secondary key would have reshuffled it."""
+    _write(
+        tmp_path, 6,
+        {"p2": MISMATCH, "p3": GREEN, "q": GREEN},
+    )
+    got = driver_priority(
+        ["p1", "p2", "p3", "q", "r"], str(tmp_path), pinned=["p1", "p2", "p3"]
+    )
+    assert got == ["p1", "p2", "p3", "r", "q"]
+
+
 def test_missing_dir_harmless(tmp_path):
     assert driver_priority(["x", "y"], str(tmp_path / "nope")) == ["x", "y"]
 
