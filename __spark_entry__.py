@@ -14695,6 +14695,299 @@ FROM resolved GROUP BY action
 """
 
 
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per order priority: the S statistic
+    (Σ sign(x_j − x_i) over all i<j pairs of the 30-day revenue
+    series) — the standard non-parametric monotone-trend detector a
+    monitoring pipeline runs before alerting on drift.
+
+    Plan: ONE fact-table aggregate to the 30-day bucket spine
+    (calendar-bounded — ~80 rows per priority regardless of data
+    volume), then the pair self-join runs entirely on that spine:
+    |buckets|²/2 rows per priority, never the fact table.  Every
+    emitted value is an exact integer (cents sums, pair counts, the
+    ±1 sign sum), so the engines agree bit-for-bit."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        # integer floor-division bucketing — identical `div` ≡ `//`
+        # trees on both engines (epochs are positive)
+        F.expr("unix_micros(o_orderdate) div 2592000000000").alias(
+            "bucket"
+        ),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    a = daily.select("p", F.col("bucket").alias("i"), F.col("cents").alias("xi"))
+    b = daily.select("p", F.col("bucket").alias("j"), F.col("cents").alias("xj"))
+    sgn = (
+        F.when(F.col("xj") > F.col("xi"), 1)
+        .when(F.col("xj") < F.col("xi"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(sgn).cast("long").alias("s_stat"),
+        )
+    )
+    nb = daily.groupBy("p").agg(F.count(F.lit(1)).alias("n_buckets"))
+    return pairs.join(nb, "p").select(
+        F.col("p").alias("priority"), "n_buckets", "n_pairs", "s_stat"
+    )
+
+
+ORACLE_MANN_KENDALL_TREND = """
+WITH daily AS (
+  SELECT o_orderpriority AS p,
+         epoch_us(o_orderdate) // 2592000000000 AS bucket,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.p,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.p = b.p AND a.bucket < b.bucket
+), nb AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_buckets FROM daily GROUP BY p
+)
+SELECT pr.p AS priority, nb.n_buckets,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sgn) AS BIGINT) AS s_stat
+FROM pairs pr JOIN nb ON pr.p = nb.p
+GROUP BY pr.p, nb.n_buckets
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per order priority: over the daily
+    revenue series, count up-days, down-days, and the number of RUNS
+    of consecutive same-direction moves — too few runs = the series
+    is trending/sticky, too many = oscillating; the randomness check
+    behind change-detection dashboards.
+
+    Plan: one fact aggregate to the day spine (calendar-bounded),
+    then two ROWS-window passes over that spine — lag for the
+    day-over-day sign, a second lag over the zero-filtered sign
+    sequence for run boundaries.  Partitions are the 5 priorities ×
+    ~2.4k spine days: bounded state no matter the fact volume.  All
+    outputs are exact integers."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("p").orderBy("d")
+    moves = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")))
+        .select(
+            "p",
+            "d",
+            F.when(F.col("cents") > F.col("prev"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    runs = moves.withColumn("ps", F.lag("s").over(w))
+    boundary = F.when(
+        F.col("ps").isNull() | (F.col("s") != F.col("ps")), 1
+    ).otherwise(0)
+    return runs.groupBy("p").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        F.sum(boundary).cast("long").alias("n_runs"),
+    ).select(F.col("p").alias("priority"), "n_up", "n_down", "n_runs")
+
+
+ORACLE_RUNS_TEST = """
+WITH daily AS (
+  SELECT o_orderpriority AS p,
+         epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT p, d, cents,
+         lag(cents) OVER (PARTITION BY p ORDER BY d) AS prev
+  FROM daily
+), moves AS (
+  SELECT p, d,
+         CASE WHEN cents > prev THEN 1 ELSE -1 END AS s
+  FROM lagged WHERE prev IS NOT NULL AND cents <> prev
+), runs AS (
+  SELECT p, s, lag(s) OVER (PARTITION BY p ORDER BY d) AS ps
+  FROM moves
+)
+SELECT p AS priority,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM runs GROUP BY p
+"""
+
+
+def q_survival_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over customer order lifespans: per
+    30-day lifespan bucket, how many customers are still AT RISK, how
+    many churned in that bucket (observed: last order ≥ 90 days before
+    the corpus end), and how many are right-censored (still active) —
+    the survival-analysis input a retention model trains on.
+
+    Plan: one orders aggregate to per-customer (first, last) epochs, a
+    1-row corpus-max-date broadcast for the censoring cut, a bucket
+    aggregate, then the descending at-risk cumulative sum runs on the
+    ~90-row bucket spine only.  NULL custkeys (the nullfk layout) are
+    excluded on both sides — an anonymous order has no lifespan.  All
+    time math is integer µs floor-division; every output is an exact
+    integer."""
+    od = load_table(spark, sf_dir, "orders")
+    per = (
+        od.filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.min(F.unix_micros("o_orderdate")).alias("first_us"),
+            F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        )
+    )
+    mx = od.agg(F.max(F.unix_micros("o_orderdate")).alias("max_us"))
+    staged = per.crossJoin(F.broadcast(mx)).select(
+        F.expr("((last_us - first_us) div 86400000000) div 30").alias(
+            "bucket"
+        ),
+        F.when(
+            F.expr("(max_us - last_us) div 86400000000") < 90, 1
+        )
+        .otherwise(0)
+        .alias("cens"),
+    )
+    tab = staged.groupBy("bucket").agg(
+        F.sum(1 - F.col("cens")).cast("long").alias("n_events"),
+        F.sum("cens").cast("long").alias("n_censored"),
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tab.select(
+        "bucket",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w)
+        .cast("long")
+        .alias("n_at_risk"),
+        "n_events",
+        "n_censored",
+    )
+
+
+ORACLE_SURVIVAL_COUNTS = """
+WITH per AS (
+  SELECT o_custkey AS k,
+         min(epoch_us(o_orderdate)) AS first_us,
+         max(epoch_us(o_orderdate)) AS last_us
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), mx AS (
+  SELECT max(epoch_us(o_orderdate)) AS max_us FROM orders
+), staged AS (
+  SELECT ((last_us - first_us) // 86400000000) // 30 AS bucket,
+         CASE WHEN (max_us - last_us) // 86400000000 < 90
+              THEN 1 ELSE 0 END AS cens
+  FROM per, mx
+), tab AS (
+  SELECT bucket,
+         CAST(SUM(1 - cens) AS BIGINT) AS n_events,
+         CAST(SUM(cens) AS BIGINT) AS n_censored
+  FROM staged GROUP BY bucket
+)
+SELECT bucket,
+       CAST(SUM(n_events + n_censored)
+            OVER (ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+       n_events, n_censored
+FROM tab
+"""
+
+
+def q_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 2σ outlier census over customer balances — the
+    grouped anomaly gate a data-quality monitor applies per partition
+    — computed WITHOUT any floating-point: |x − mean| > 2σ is
+    rewritten as the exact integer inequality
+    (x·n − S)² > 4·(n·Q − S²) over cents (S = Σx, Q = Σx²), so the
+    comparison can never straddle a rounding boundary between engines.
+
+    Plan: one groupBy for the (S, Q, n) moments (25 rows, broadcast
+    back), one re-scan for the per-row test — two fact passes, zero
+    shuffles beyond the 25-row aggregate.  The squares ride
+    DECIMAL(38,0) on the Spark side and HUGEINT on the oracle side
+    (internal only — outputs are plain BIGINTs): ~10²² peak magnitude,
+    16 orders of headroom."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
+    staged = cu.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    stats = staged.groupBy("nation").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = staged.join(F.broadcast(stats), "nation")
+    diff = (F.col("x") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    lhs = diff * diff
+    rhs = (
+        F.col("n").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    ) * F.lit(4)
+    return joined.groupBy("nation").agg(
+        F.max("n").alias("n_customers"),
+        F.sum(F.when(lhs > rhs, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )
+
+
+ORACLE_SIGMA_OUTLIERS = """
+WITH staged AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+  FROM customer WHERE c_acctbal IS NOT NULL
+), stats AS (
+  SELECT nation, CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS q,
+         count(*) AS n
+  FROM staged GROUP BY nation
+)
+SELECT st.nation, CAST(st.n AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN
+           CAST(x * st.n - s AS HUGEINT) * CAST(x * st.n - s AS HUGEINT)
+           > 4 * (CAST(st.n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM staged JOIN stats st USING (nation)
+GROUP BY st.nation, st.n
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -14951,6 +15244,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_ngram_overlap": q_source_ngram_overlap,
     "gdpr_cascade": q_gdpr_cascade,
     "merge_upsert": q_merge_upsert,
+    "mann_kendall_trend": q_mann_kendall_trend,
+    "runs_test": q_runs_test,
+    "survival_counts": q_survival_counts,
+    "sigma_outliers": q_sigma_outliers,
 }
 
 _ORACLES: dict[str, str] = {
@@ -15212,6 +15509,10 @@ _ORACLES: dict[str, str] = {
     "source_ngram_overlap": ORACLE_SOURCE_NGRAM_OVERLAP,
     "gdpr_cascade": ORACLE_GDPR_CASCADE,
     "merge_upsert": ORACLE_MERGE_UPSERT,
+    "mann_kendall_trend": ORACLE_MANN_KENDALL_TREND,
+    "runs_test": ORACLE_RUNS_TEST,
+    "survival_counts": ORACLE_SURVIVAL_COUNTS,
+    "sigma_outliers": ORACLE_SIGMA_OUTLIERS,
 }
 
 

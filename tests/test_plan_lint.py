@@ -167,6 +167,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "(|event_type| x |arm| x 1-row total, a handful of rows) — the "
         "fact table itself is scanned once, never cross-joined",
     ),
+    "survival_counts": (
+        {"broadcast_nested_loop_join"},
+        "1-row corpus-max-date aggregate broadcast into the censoring "
+        "cut over the per-customer lifespan relation",
+    ),
 }
 
 
