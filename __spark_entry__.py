@@ -14988,6 +14988,246 @@ GROUP BY st.nation, st.n
 """
 
 
+def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded transitive reachability from a deterministic seed
+    set over the co-purchase graph — the declarative WITH RECURSIVE
+    surface (the oracle IS a recursive CTE) expressed in Spark as
+    unrolled frontier expansion.  Emits, per BFS depth (0–4), how many
+    nodes are FIRST reached at that depth plus the id span — the
+    blast-radius curve of a recall/contamination propagating through a
+    relationship graph.
+
+    Plan: the frontier is re-distincted every hop, so each level's
+    join input is bounded by |V|, never by path count (the naive
+    UNION ALL recursion enumerates walks — degree^4 of them; the
+    oracle uses recursive UNION, whose per-iteration dedup is the same
+    bound).  4 fixed hops = 4 shuffles over the edge relation; the
+    min-depth collapse is one aggregate.  Cites
+    `ext/graph.py:khop_reach` for the bounded-frontier design."""
+    from fink_broker_spark.ext.graph import copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li, min_support=2)
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    seeds = (
+        edges.filter(F.col("src") % 50 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    levels = [seeds.select("node", F.lit(0).alias("depth"))]
+    frontier = seeds
+    for d in range(1, 5):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(d).alias("depth")))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    first = walk.groupBy("node").agg(F.min("depth").alias("depth"))
+    return first.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+ORACLE_RECURSIVE_REACH = """
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v AS src, u AS dst FROM pairs
+), walk AS (
+  SELECT DISTINCT src AS node, 0 AS depth FROM edges WHERE src % 50 = 0
+  UNION
+  SELECT e.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.depth < 4
+), first AS (
+  SELECT node, min(depth) AS depth FROM walk GROUP BY node
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM first GROUP BY depth
+"""
+
+
+def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the orders table — row count,
+    non-null count, exact distinct count, and min/max rendered as
+    strings — one row per profiled column; the schema-drift /
+    data-quality report a lake catalog publishes per snapshot.
+
+    Plan: ONE pass over the fact table computes every metric in a
+    single aggregate (Spark plans the multi-column exact distincts
+    via one Expand — a deliberate ×5 row expansion, the honest price
+    of exactness; the approximate twin would be HLL sketches), then a
+    5-row ``stack`` unpivots the 1-row result.  Profiled values are
+    strings and integers only (keys/dates go through integer casts
+    first) — doubles never enter a string render, so the engines
+    cannot format-split."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias(
+            "o_orderday"
+        ),
+    )
+    cols = [
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        "o_orderkey",
+        "o_orderday",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = od.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_val", "max_val",
+    )
+
+
+ORACLE_VALUE_PROFILE = """
+WITH staged AS (
+  SELECT o_orderstatus, o_orderpriority, o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS o_orderday
+  FROM orders
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(o_orderstatus) AS BIGINT) AS nn_1,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_1,
+    CAST(min(o_orderstatus) AS VARCHAR) AS mn_1,
+    CAST(max(o_orderstatus) AS VARCHAR) AS mx_1,
+    CAST(count(o_orderpriority) AS BIGINT) AS nn_2,
+    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_2,
+    CAST(min(o_orderpriority) AS VARCHAR) AS mn_2,
+    CAST(max(o_orderpriority) AS VARCHAR) AS mx_2,
+    CAST(count(o_custkey) AS BIGINT) AS nn_3,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_3,
+    CAST(min(o_custkey) AS VARCHAR) AS mn_3,
+    CAST(max(o_custkey) AS VARCHAR) AS mx_3,
+    CAST(count(o_orderkey) AS BIGINT) AS nn_4,
+    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_4,
+    CAST(min(o_orderkey) AS VARCHAR) AS mn_4,
+    CAST(max(o_orderkey) AS VARCHAR) AS mx_4,
+    CAST(count(o_orderday) AS BIGINT) AS nn_5,
+    CAST(count(DISTINCT o_orderday) AS BIGINT) AS nd_5,
+    CAST(min(o_orderday) AS VARCHAR) AS mn_5,
+    CAST(max(o_orderday) AS VARCHAR) AS mx_5
+  FROM staged
+)
+SELECT 'o_orderstatus' AS column_name, n_rows, nn_1 AS n_nonnull,
+       nd_1 AS n_distinct, mn_1 AS min_val, mx_1 AS max_val FROM agg
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nn_2, nd_2, mn_2, mx_2 FROM agg
+UNION ALL
+SELECT 'o_custkey', n_rows, nn_3, nd_3, mn_3, mx_3 FROM agg
+UNION ALL
+SELECT 'o_orderkey', n_rows, nn_4, nd_4, mn_4, mx_4 FROM agg
+UNION ALL
+SELECT 'o_orderday', n_rows, nn_5, nd_5, mn_5, mx_5 FROM agg
+"""
+
+
+def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue volatility per day, FP-free: the rolling
+    variance is reported as its exact integer numerator
+    n·ΣQ − S² (Q = Σcents², S = Σcents over the window) — the
+    risk/stability band a monitoring dashboard draws, computed so the
+    engines cannot rounding-split.
+
+    Plan: one fact aggregate to the day spine, then a single
+    ROWS-frame window over that calendar-bounded spine (~2.4k rows —
+    the SinglePartition sort is over the aggregate, never the fact
+    table).  The squares ride DECIMAL(38,0) / HUGEINT internally;
+    the emitted numerator is DECIMAL(38,0) on both engines (type-audit
+    kind-identical), n and S plain BIGINTs."""
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    roll = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("cents").over(w).cast("long").alias("s_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        )
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("qq"),
+    )
+    return roll.select(
+        "d",
+        "n_days",
+        "s_cents",
+        (
+            F.col("n_days").cast("decimal(19,0)") * F.col("qq")
+            - F.col("s_cents").cast("decimal(19,0)")
+            * F.col("s_cents").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("var_num"),
+    )
+
+
+ORACLE_ROLLING_VOLATILITY = """
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), roll AS (
+  SELECT d,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s_cents,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER w
+              AS HUGEINT) AS qq
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT d, n_days, s_cents,
+       CAST(CAST(n_days AS HUGEINT) * qq
+            - CAST(s_cents AS HUGEINT) * s_cents
+            AS DECIMAL(38,0)) AS var_num
+FROM roll
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15248,6 +15488,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "runs_test": q_runs_test,
     "survival_counts": q_survival_counts,
     "sigma_outliers": q_sigma_outliers,
+    "recursive_reach": q_recursive_reach,
+    "value_profile": q_value_profile,
+    "rolling_volatility": q_rolling_volatility,
 }
 
 _ORACLES: dict[str, str] = {
@@ -15513,6 +15756,9 @@ _ORACLES: dict[str, str] = {
     "runs_test": ORACLE_RUNS_TEST,
     "survival_counts": ORACLE_SURVIVAL_COUNTS,
     "sigma_outliers": ORACLE_SIGMA_OUTLIERS,
+    "recursive_reach": ORACLE_RECURSIVE_REACH,
+    "value_profile": ORACLE_VALUE_PROFILE,
+    "rolling_volatility": ORACLE_ROLLING_VOLATILITY,
 }
 
 
