@@ -15228,6 +15228,129 @@ FROM roll
 """
 
 
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count per event type by day — the
+    cumulative-audience curve every growth dashboard draws.  The
+    oracle uses the NATIVE windowed distinct aggregate
+    (``COUNT(DISTINCT …) OVER``, which DuckDB supports and Spark
+    rejects); the Spark side is the scalable first-seen rewrite: a
+    user contributes on the day of their FIRST event of that type, and
+    the running distinct count is the cumulative sum of first-seen
+    counts over the day spine.
+
+    Plan: one (type, user) min-day aggregate (the only fact-sized
+    shuffle — and the rewrite's point: the window never carries a
+    distinct-set state, which at 100 TB would hold every user id in
+    every frame), a (type, day) count, and a cumulative sum over the
+    calendar-bounded spine.  NULL users are excluded on both sides
+    (COUNT DISTINCT ignores NULL; the rewrite must too)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    staged = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        "user_id",
+    )
+    days = staged.select("event_type", "d").distinct()
+    first_seen = staged.groupBy("event_type", "user_id").agg(
+        F.min("d").alias("d")
+    )
+    news = first_seen.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(news, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.sum("n_new").over(w).cast("long").alias("n_cum_users"),
+        )
+    )
+
+
+ORACLE_WINDOW_DISTINCT_COUNT = """
+WITH staged AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 86400000000 AS d,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT DISTINCT event_type, d,
+       CAST(COUNT(DISTINCT user_id)
+            OVER (PARTITION BY event_type ORDER BY d
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_cum_users
+FROM staged
+"""
+
+
+def q_embedding_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization audit of the embedding corpus: per dimension,
+    how many components clip outside the int8 envelope at scale 100
+    and the exact quantized mass — the go/no-go report before
+    compressing a vector index 4× (float32 → int8).
+
+    Plan: one posexplode scan → one bounded aggregate (rows =
+    dimensionality, not corpus size).  Float-origin values NEVER meet
+    a decimal cast: the float32 widens exactly to double on both
+    engines, then ``floor(x·100 + 0.5)`` integerizes it in one
+    identical IEEE tree (the float-promotion rule the r5 parity
+    measurements pinned), so every output is an exact integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("val").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    clipped = (F.col("qv") > 127) | (F.col("qv") < -128)
+    return comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.when(clipped, 1).otherwise(0)).cast("long").alias(
+            "n_clipped"
+        ),
+        F.sum(
+            F.when(F.col("qv") > 127, F.lit(127))
+            .when(F.col("qv") < -128, F.lit(-128))
+            .otherwise(F.col("qv"))
+        )
+        .cast("long")
+        .alias("sum_q"),
+    )
+
+
+ORACLE_EMBEDDING_QUANT_AUDIT = """
+WITH comp AS (
+  -- generate_subscripts (1-based) stands in for WITH ORDINALITY,
+  -- which the pinned duckdb 1.0.0 does not implement
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 100 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(SUM(CASE WHEN qv > 127 OR qv < -128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       CAST(SUM(CASE WHEN qv > 127 THEN 127
+                     WHEN qv < -128 THEN -128
+                     ELSE qv END) AS BIGINT) AS sum_q
+FROM comp GROUP BY dim
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15491,6 +15614,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_reach": q_recursive_reach,
     "value_profile": q_value_profile,
     "rolling_volatility": q_rolling_volatility,
+    "window_distinct_count": q_window_distinct_count,
+    "embedding_quant_audit": q_embedding_quant_audit,
 }
 
 _ORACLES: dict[str, str] = {
@@ -15759,6 +15884,8 @@ _ORACLES: dict[str, str] = {
     "recursive_reach": ORACLE_RECURSIVE_REACH,
     "value_profile": ORACLE_VALUE_PROFILE,
     "rolling_volatility": ORACLE_ROLLING_VOLATILITY,
+    "window_distinct_count": ORACLE_WINDOW_DISTINCT_COUNT,
+    "embedding_quant_audit": ORACLE_EMBEDDING_QUANT_AUDIT,
 }
 
 
