@@ -14781,7 +14781,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.col("o_orderpriority").alias("p"),
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d"),
+        _day("o_orderdate").alias("d"),
     ).agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -14817,7 +14817,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RUNS_TEST = """
 WITH daily AS (
   SELECT o_orderpriority AS p,
-         epoch_us(o_orderdate) // 86400000000 AS d,
+         CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS d,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS cents
   FROM orders GROUP BY 1, 2
@@ -14934,10 +14934,12 @@ def q_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one groupBy for the (S, Q, n) moments (25 rows, broadcast
     back), one re-scan for the per-row test — two fact passes, zero
-    shuffles beyond the 25-row aggregate.  The squares ride
-    DECIMAL(38,0) on the Spark side and HUGEINT on the oracle side
-    (internal only — outputs are plain BIGINTs): ~10²² peak magnitude,
-    16 orders of headroom."""
+    shuffles beyond the 25-row aggregate.  The squares AND the second
+    moment Q ride DECIMAL(38,0) on the Spark side and HUGEINT on the
+    oracle side (internal only — outputs are plain BIGINTs): ~10²²
+    peak magnitude, 16 orders of headroom.  Q must NOT be narrowed to
+    BIGINT: per-group Σx² crosses 2⁶³ at ~3·10⁷ rows/group (~SF 5000),
+    well inside the 100 TB regime."""
     cu = load_table(spark, sf_dir, "customer").filter(
         F.col("c_acctbal").isNotNull()
     )
@@ -14949,14 +14951,18 @@ def q_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = staged.groupBy("nation").agg(
         F.sum("x").cast("long").alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
         F.count(F.lit(1)).alias("n"),
     )
     joined = staged.join(F.broadcast(stats), "nation")
     diff = (F.col("x") * F.col("n") - F.col("s")).cast("decimal(19,0)")
     lhs = diff * diff
     rhs = (
-        F.col("n").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+        F.col("n").cast("decimal(19,0)") * F.col("q")
         - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
     ) * F.lit(4)
     return joined.groupBy("nation").agg(
@@ -14973,8 +14979,10 @@ WITH staged AS (
          CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
   FROM customer WHERE c_acctbal IS NOT NULL
 ), stats AS (
+  -- q stays HUGEINT: per-group SUM(x*x) crosses 2^63 at ~3e7
+  -- rows/group, well inside the target scale
   SELECT nation, CAST(SUM(x) AS BIGINT) AS s,
-         CAST(SUM(x * x) AS BIGINT) AS q,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
          count(*) AS n
   FROM staged GROUP BY nation
 )
@@ -15004,13 +15012,10 @@ def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound).  4 fixed hops = 4 shuffles over the edge relation; the
     min-depth collapse is one aggregate.  Cites
     `ext/graph.py:khop_reach` for the bounded-frontier design."""
-    from fink_broker_spark.ext.graph import copurchase_edges
+    from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    und = copurchase_edges(li, min_support=2)
-    edges = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = symmetrize(copurchase_edges(li, min_support=2))
     seeds = (
         edges.filter(F.col("src") % 50 == 0)
         .select(F.col("src").alias("node"))
@@ -15080,9 +15085,7 @@ def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_custkey",
         "o_orderkey",
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias(
-            "o_orderday"
-        ),
+        _day("o_orderdate").alias("o_orderday"),
     )
     cols = [
         "o_orderstatus",
@@ -15118,7 +15121,8 @@ def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALUE_PROFILE = """
 WITH staged AS (
   SELECT o_orderstatus, o_orderpriority, o_custkey, o_orderkey,
-         epoch_us(o_orderdate) // 86400000000 AS o_orderday
+         CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT)
+           AS o_orderday
   FROM orders
 ), agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -15171,9 +15175,7 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted numerator is DECIMAL(38,0) on both engines (type-audit
     kind-identical), n and S plain BIGINTs."""
     od = load_table(spark, sf_dir, "orders")
-    daily = od.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("d")
-    ).agg(
+    daily = od.groupBy(_day("o_orderdate").alias("d")).agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).alias("cents")
@@ -15207,7 +15209,7 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLING_VOLATILITY = """
 WITH daily AS (
-  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+  SELECT CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS d,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS cents
   FROM orders GROUP BY 1
@@ -15249,7 +15251,7 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = ev.select(
         "event_type",
-        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+        _day("ts").alias("d"),
         "user_id",
     )
     days = staged.select("event_type", "d").distinct()
@@ -15282,7 +15284,7 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOW_DISTINCT_COUNT = """
 WITH staged AS (
   SELECT DISTINCT event_type,
-         epoch_us(ts) // 86400000000 AS d,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
          user_id
   FROM events WHERE user_id IS NOT NULL
 )
