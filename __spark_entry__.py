@@ -15353,6 +15353,161 @@ FROM comp GROUP BY dim
 """
 
 
+def q_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across three tables: per declared
+    key, row count, distinct key count, duplicate surplus, and the
+    worst key's multiplicity — the constraint check a lake without
+    enforced PKs runs before every publish (the key-integrity sibling
+    of ``fk_orphans``' referential audit).
+
+    Plan: one groupBy per table on its key (the multiplicity relation)
+    followed by a 1-row re-aggregate — map-side partials do the heavy
+    lifting, the shuffle carries one row per DISTINCT key.  A NULL key
+    forms its own group on both engines (SQL GROUP BY semantics), so
+    the nullfk layout counts identically.  All outputs exact
+    integers."""
+    parts = []
+    for name, table, key in [
+        ("orders", "orders", "o_orderkey"),
+        ("customer", "customer", "c_custkey"),
+        ("events", "events", "event_id"),
+    ]:
+        df = load_table(spark, sf_dir, table)
+        per = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        parts.append(
+            per.agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_multiplicity"),
+            ).select(
+                F.lit(name).alias("entity"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+                "max_multiplicity",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE_UNIQUENESS_AUDIT = """
+WITH o AS (
+  SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+), c AS (
+  SELECT count(*) AS c FROM customer GROUP BY c_custkey
+), e AS (
+  SELECT count(*) AS c FROM events GROUP BY event_id
+)
+SELECT 'orders' AS entity, CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(MAX(c) AS BIGINT) AS max_multiplicity
+FROM o
+UNION ALL
+SELECT 'customer', CAST(SUM(c) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(SUM(c) - count(*) AS BIGINT), CAST(MAX(c) AS BIGINT)
+FROM c
+UNION ALL
+SELECT 'events', CAST(SUM(c) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(SUM(c) - count(*) AS BIGINT), CAST(MAX(c) AS BIGINT)
+FROM e
+"""
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table content fingerprint for replication / migration
+    audits: every row hashes to a 32-bit integer through the
+    cross-engine md5-hex → integer tree, and the table's checksum is
+    the (count, sum, min, max) of those row hashes — two lakes agree
+    on all four ⇒ near-certainly identical content, cheap to compare
+    across clusters.
+
+    Plan: ONE scan per table, all map-side (the final aggregate is
+    1 row) — the checksum shuffles nothing but partial aggregates.
+    Doubles are integerized (cents / epoch-µs) before entering the
+    hash string; NULLs render as an explicit sentinel via coalesce so
+    a NULL column cannot alias a shifted field (concat_ws would skip
+    it silently).  The hash sum rides DECIMAL(38,0): 2³²-bounded
+    summands overflow BIGINT around 10⁹ rows."""
+    parts = []
+    specs = {
+        "orders": (
+            "orders",
+            "concat_ws('|', coalesce(cast(o_orderkey as string), '~'), "
+            "coalesce(cast(o_custkey as string), '~'), "
+            "coalesce(o_orderstatus, '~'), "
+            "coalesce(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as string), '~'), "
+            "coalesce(cast(unix_micros(o_orderdate) as string), '~'), "
+            "coalesce(o_orderpriority, '~'))",
+        ),
+        "events": (
+            "events",
+            "concat_ws('|', coalesce(cast(event_id as string), '~'), "
+            "coalesce(cast(user_id as string), '~'), "
+            "coalesce(event_type, '~'), "
+            "coalesce(cast(cast(floor(value * 100 + 0.5) as bigint)"
+            " as string), '~'), "
+            "coalesce(cast(unix_micros(ts) as string), '~'))",
+        ),
+    }
+    for name, (table, rowexpr) in specs.items():
+        df = load_table(spark, sf_dir, table)
+        h = F.expr(
+            f"cast(conv(substr(md5({rowexpr}), 1, 8), 16, 10) as bigint)"
+        )
+        parts.append(
+            df.select(h.alias("h")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("h").cast("decimal(38,0)").alias("hash_sum"),
+                F.min("h").alias("hash_min"),
+                F.max("h").alias("hash_max"),
+            ).select(F.lit(name).alias("entity"), "*")
+        )
+    return parts[0].unionAll(parts[1])
+
+
+ORACLE_TABLE_CHECKSUM = """
+WITH oh AS (
+  SELECT CAST('0x' || substr(md5(
+           concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), '~'),
+                     coalesce(CAST(o_custkey AS VARCHAR), '~'),
+                     coalesce(o_orderstatus, '~'),
+                     coalesce(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), '~'),
+                     coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '~'),
+                     coalesce(o_orderpriority, '~'))
+         ), 1, 8) AS BIGINT) AS h
+  FROM orders
+), eh AS (
+  SELECT CAST('0x' || substr(md5(
+           concat_ws('|', coalesce(CAST(event_id AS VARCHAR), '~'),
+                     coalesce(CAST(user_id AS VARCHAR), '~'),
+                     coalesce(event_type, '~'),
+                     coalesce(CAST(CAST(FLOOR(value * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), '~'),
+                     coalesce(CAST(epoch_us(ts) AS VARCHAR), '~'))
+         ), 1, 8) AS BIGINT) AS h
+  FROM events
+)
+SELECT 'orders' AS entity, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS DECIMAL(38,0)) AS hash_sum,
+       CAST(MIN(h) AS BIGINT) AS hash_min,
+       CAST(MAX(h) AS BIGINT) AS hash_max
+FROM oh
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT),
+       CAST(SUM(h) AS DECIMAL(38,0)),
+       CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT)
+FROM eh
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15618,6 +15773,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_volatility": q_rolling_volatility,
     "window_distinct_count": q_window_distinct_count,
     "embedding_quant_audit": q_embedding_quant_audit,
+    "uniqueness_audit": q_uniqueness_audit,
+    "table_checksum": q_table_checksum,
 }
 
 _ORACLES: dict[str, str] = {
@@ -15888,6 +16045,8 @@ _ORACLES: dict[str, str] = {
     "rolling_volatility": ORACLE_ROLLING_VOLATILITY,
     "window_distinct_count": ORACLE_WINDOW_DISTINCT_COUNT,
     "embedding_quant_audit": ORACLE_EMBEDDING_QUANT_AUDIT,
+    "uniqueness_audit": ORACLE_UNIQUENESS_AUDIT,
+    "table_checksum": ORACLE_TABLE_CHECKSUM,
 }
 
 
