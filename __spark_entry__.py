@@ -15508,6 +15508,61 @@ FROM eh
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations (§2.9's bag-semantics half):
+    ``INTERSECT ALL`` / ``EXCEPT ALL`` over the customer-key bags of
+    finished vs open orders — multiplicities survive, so 'a customer
+    with 3 F-orders and 1 O-order' contributes 1 row to the
+    intersection and 2 rows to the difference (the distinct-set twin
+    ``set_ops`` cannot express that).  The audit collapses each result
+    bag to exact counts.
+
+    Plan: Spark's native exceptAll/intersectAll physical rewrites
+    (left-anti-style aggregates on the key — one shuffle each, no
+    row-by-row state); the final collapse is a 2-row aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    f_bag = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_bag = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    inter = f_bag.intersectAll(o_bag).select(
+        F.lit("intersect_all").alias("label"), "o_custkey"
+    )
+    exc = f_bag.exceptAll(o_bag).select(
+        F.lit("except_all").alias("label"), "o_custkey"
+    )
+    return (
+        inter.unionAll(exc)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_keys"),
+            F.min("o_custkey").alias("min_key"),
+            F.max("o_custkey").alias("max_key"),
+        )
+    )
+
+
+ORACLE_SET_OPS_ALL = """
+WITH inter AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+), exc AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT 'intersect_all' AS label, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+       MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key
+FROM inter
+UNION ALL
+SELECT 'except_all', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       MIN(o_custkey), MAX(o_custkey)
+FROM exc
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15775,6 +15830,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quant_audit": q_embedding_quant_audit,
     "uniqueness_audit": q_uniqueness_audit,
     "table_checksum": q_table_checksum,
+    "set_ops_all": q_set_ops_all,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16047,6 +16103,7 @@ _ORACLES: dict[str, str] = {
     "embedding_quant_audit": ORACLE_EMBEDDING_QUANT_AUDIT,
     "uniqueness_audit": ORACLE_UNIQUENESS_AUDIT,
     "table_checksum": ORACLE_TABLE_CHECKSUM,
+    "set_ops_all": ORACLE_SET_OPS_ALL,
 }
 
 
