@@ -15563,6 +15563,90 @@ FROM exc
 """
 
 
+def q_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation surface: the oracle uses the ANSI
+    ``FILTER (WHERE …)`` aggregate modifier (which Spark SQL does not
+    parse); the Spark side is the equivalent CASE-WHEN aggregate tree
+    — the canonical translation every Spark migration of a
+    Postgres/DuckDB workload performs.  Per nation: customer count,
+    positive/negative-balance counts, and the positive balance mass in
+    exact cents.
+
+    Plan: ONE aggregate pass (all four measures fold into the same
+    map-side partials); 25 output rows."""
+    cu = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    staged = cu.select(
+        F.col("c_nationkey").alias("nation"), cents.alias("x")
+    )
+    return staged.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("x") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("x") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum(F.when(F.col("x") > 0, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("positive_cents"),
+    )
+
+
+ORACLE_FILTER_CLAUSE_AGG = """
+WITH staged AS (
+  SELECT c_nationkey AS nation,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+  FROM customer
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE x > 0) AS BIGINT) AS n_positive,
+       CAST(count(*) FILTER (WHERE x < 0) AS BIGINT) AS n_negative,
+       CAST(coalesce(SUM(x) FILTER (WHERE x > 0), 0) AS BIGINT)
+         AS positive_cents
+FROM staged GROUP BY nation
+"""
+
+
+def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause surface: the oracle filters on a window function
+    directly in the ``QUALIFY`` clause (DuckDB/Snowflake/BigQuery
+    syntax that Spark SQL lacks); the Spark side is the standard
+    rank-then-filter rewrite.  Picks each nation's single
+    highest-balance customer, ties broken by key.
+
+    Plan: one window over the nation partitioning (a single shuffle on
+    the group key), filter rn = 1 — identical physical work to the
+    QUALIFY form, which is syntax sugar over exactly this plan."""
+    cu = load_table(spark, sf_dir, "customer")
+    staged = cu.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("bal_cents").desc(), F.col("custkey")
+    )
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nation", "custkey", "bal_cents")
+    )
+
+
+ORACLE_QUALIFY_LATEST = """
+SELECT c_nationkey AS nation, c_custkey AS custkey,
+       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+FROM customer
+QUALIFY row_number() OVER (
+  PARTITION BY c_nationkey
+  ORDER BY CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DESC, c_custkey
+) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15831,6 +15915,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_audit": q_uniqueness_audit,
     "table_checksum": q_table_checksum,
     "set_ops_all": q_set_ops_all,
+    "filter_clause_agg": q_filter_clause_agg,
+    "qualify_latest": q_qualify_latest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16104,6 +16190,8 @@ _ORACLES: dict[str, str] = {
     "uniqueness_audit": ORACLE_UNIQUENESS_AUDIT,
     "table_checksum": ORACLE_TABLE_CHECKSUM,
     "set_ops_all": ORACLE_SET_OPS_ALL,
+    "filter_clause_agg": ORACLE_FILTER_CLAUSE_AGG,
+    "qualify_latest": ORACLE_QUALIFY_LATEST,
 }
 
 
