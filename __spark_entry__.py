@@ -15647,6 +15647,65 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-sensitive string aggregation surface: the oracle uses
+    ``string_agg(x, ',' ORDER BY …)`` — an ordered aggregate Spark
+    does not offer (``collect_list`` order is partition-dependent).
+    The deterministic rewrite: rank inside the group, keep the top 5,
+    ``array_sort`` the collected (rank, key) structs, project the key
+    out, ``array_join``.  Emits each nation's top-5 customer keys by
+    balance as one CSV string — the \"leaderboard column\" every
+    report sink wants.
+
+    Plan: one window shuffle (rank), one groupBy whose state is ≤5
+    structs per group — the rank-filter BEFORE the collect is what
+    makes the aggregate state bounded at 100 TB (never collect_list
+    an unbounded group)."""
+    cu = load_table(spark, sf_dir, "customer")
+    staged = cu.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("bal_cents").desc(), F.col("custkey")
+    )
+    top = staged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    return top.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_listed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "custkey"))
+                ),
+                lambda s: s["custkey"].cast("string"),
+            ),
+            ",",
+        ).alias("top5_csv"),
+    )
+
+
+ORACLE_STRING_AGG_ORDERED = """
+WITH ranked AS (
+  SELECT c_nationkey AS nation, c_custkey AS custkey,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                    c_custkey
+         ) AS rk
+  FROM customer
+)
+SELECT nation, CAST(count(*) AS BIGINT) AS n_listed,
+       string_agg(CAST(custkey AS VARCHAR), ',' ORDER BY rk) AS top5_csv
+FROM ranked WHERE rk <= 5
+GROUP BY nation
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15917,6 +15976,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_all": q_set_ops_all,
     "filter_clause_agg": q_filter_clause_agg,
     "qualify_latest": q_qualify_latest,
+    "string_agg_ordered": q_string_agg_ordered,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16192,6 +16252,7 @@ _ORACLES: dict[str, str] = {
     "set_ops_all": ORACLE_SET_OPS_ALL,
     "filter_clause_agg": ORACLE_FILTER_CLAUSE_AGG,
     "qualify_latest": ORACLE_QUALIFY_LATEST,
+    "string_agg_ordered": ORACLE_STRING_AGG_ORDERED,
 }
 
 
