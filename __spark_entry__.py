@@ -15464,7 +15464,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             df.select(h.alias("h")).agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum("h").cast("decimal(38,0)").alias("hash_sum"),
+                # the SUMMANDS must already be decimal: a LongType sum
+                # of 2³²-bounded hashes overflows (ANSI: throws) near
+                # 4·10⁹ rows — casting only the result would not help
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("hash_sum"),
                 F.min("h").alias("hash_min"),
                 F.max("h").alias("hash_max"),
             ).select(F.lit(name).alias("entity"), "*")
@@ -15519,25 +15524,25 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: Spark's native exceptAll/intersectAll physical rewrites
     (left-anti-style aggregates on the key — one shuffle each, no
-    row-by-row state); the final collapse is a 2-row aggregate."""
+    row-by-row state).  Each bag collapses through a SCALAR aggregate
+    (never groupBy(label)): a scalar agg emits its one row even when
+    the bag is EMPTY — exactly like the oracle's GROUP-BY-less
+    aggregates — where a groupBy would emit nothing and the row
+    shapes would diverge on a dataset with an empty bag."""
     od = load_table(spark, sf_dir, "orders")
     f_bag = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_bag = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    inter = f_bag.intersectAll(o_bag).select(
-        F.lit("intersect_all").alias("label"), "o_custkey"
-    )
-    exc = f_bag.exceptAll(o_bag).select(
-        F.lit("except_all").alias("label"), "o_custkey"
-    )
-    return (
-        inter.unionAll(exc)
-        .groupBy("label")
-        .agg(
+
+    def _collapse(bag: DataFrame, label: str) -> DataFrame:
+        return bag.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("o_custkey").alias("n_keys"),
             F.min("o_custkey").alias("min_key"),
             F.max("o_custkey").alias("max_key"),
-        )
+        ).select(F.lit(label).alias("label"), "*")
+
+    return _collapse(f_bag.intersectAll(o_bag), "intersect_all").unionAll(
+        _collapse(f_bag.exceptAll(o_bag), "except_all")
     )
 
 
