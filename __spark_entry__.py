@@ -14737,8 +14737,15 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nb = daily.groupBy("p").agg(F.count(F.lit(1)).alias("n_buckets"))
-    return pairs.join(nb, "p").select(
-        F.col("p").alias("priority"), "n_buckets", "n_pairs", "s_stat"
+    # LEFT join from the bucket counts: a single-bucket group has NO
+    # pairs (the pair join is empty) but its statistic is defined —
+    # S = 0 over 0 pairs — not "absent" (a hypothesis property test
+    # caught the inner join silently dropping it)
+    return nb.join(pairs, "p", "left").select(
+        F.col("p").alias("priority"),
+        "n_buckets",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("s_stat", F.lit(0)).cast("long").alias("s_stat"),
     )
 
 
@@ -14754,14 +14761,18 @@ WITH daily AS (
          CASE WHEN b.cents > a.cents THEN 1
               WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
   FROM daily a JOIN daily b ON a.p = b.p AND a.bucket < b.bucket
+), pagg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM pairs GROUP BY p
 ), nb AS (
   SELECT p, CAST(count(*) AS BIGINT) AS n_buckets FROM daily GROUP BY p
 )
-SELECT pr.p AS priority, nb.n_buckets,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(SUM(sgn) AS BIGINT) AS s_stat
-FROM pairs pr JOIN nb ON pr.p = nb.p
-GROUP BY pr.p, nb.n_buckets
+-- LEFT join: a single-bucket group has no pairs but S = 0 is defined
+SELECT nb.p AS priority, nb.n_buckets,
+       CAST(coalesce(pagg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(pagg.s_stat, 0) AS BIGINT) AS s_stat
+FROM nb LEFT JOIN pagg ON nb.p = pagg.p
 """
 
 

@@ -295,3 +295,189 @@ def test_interpolate_at_matches_numpy_interp(spark, ref_pts, obs_ts):
     for i, t in enumerate(obs_ts):
         want = float(np.interp(t, xs, ys))
         assert got[i] == pytest.approx(want, abs=1e-9), (t, ref_pts)
+
+
+# ---------------------------------------------------------------------------
+# round-6 integer-exact statistics: the q_* functions run against
+# hypothesis-generated mini-lakes (real parquet through load_table, the
+# exact production path) and must match trivially-correct Python oracles.
+# The DuckDB parity gate varies the LAYOUT of one dataset; these vary
+# the DATA — ties, single-row groups, constant series, empty buckets.
+# ---------------------------------------------------------------------------
+
+order_series = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),  # priority group
+        st.integers(0, 120),          # day offset from EPOCH
+        st.integers(1, 500),          # totalprice (whole dollars)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _orders_lake(spark, tmp_path_factory, rows):
+    sf = str(tmp_path_factory.mktemp("lake"))
+    spark.createDataFrame(
+        [
+            (f"{p}-PRIO", EPOCH + timedelta(days=d), float(v), i)
+            for i, (p, d, v) in enumerate(rows)
+        ],
+        "o_orderpriority string, o_orderdate timestamp, "
+        "o_totalprice double, o_custkey long",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=order_series)
+def test_mann_kendall_matches_naive(spark, tmp_path_factory, rows):
+    import __spark_entry__ as em
+
+    sf = _orders_lake(spark, tmp_path_factory, rows)
+    got = {
+        r.priority: (r.n_buckets, r.n_pairs, r.s_stat)
+        for r in em.q_mann_kendall_trend(spark, sf).collect()
+    }
+    # naive: exact cents per (priority, 30-day bucket), then the
+    # quadratic double loop over ordered buckets.  Buckets are
+    # UNIX-epoch-aligned (the query floors absolute epoch-µs), not
+    # aligned to this test's EPOCH constant.
+    epoch_day0 = int(EPOCH.timestamp()) // 86400
+    series: dict = {}
+    for p, d, v in rows:
+        key = f"{p}-PRIO"
+        series.setdefault(key, {})
+        b = (epoch_day0 + d) // 30
+        series[key][b] = series[key].get(b, 0) + v * 100
+    want = {}
+    for p, by_bucket in series.items():
+        xs = [by_bucket[b] for b in sorted(by_bucket)]
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        want[p] = (len(xs), len(xs) * (len(xs) - 1) // 2, s)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=order_series)
+def test_runs_test_matches_naive(spark, tmp_path_factory, rows):
+    import __spark_entry__ as em
+
+    sf = _orders_lake(spark, tmp_path_factory, rows)
+    got = {
+        r.priority: (r.n_up, r.n_down, r.n_runs)
+        for r in em.q_runs_test(spark, sf).collect()
+    }
+    series: dict = {}
+    for p, d, v in rows:
+        key = f"{p}-PRIO"
+        series.setdefault(key, {})
+        series[key][d] = series[key].get(d, 0) + v * 100
+    want = {}
+    for p, by_day in series.items():
+        xs = [by_day[d] for d in sorted(by_day)]
+        signs = [
+            1 if b > a else -1
+            for a, b in zip(xs, xs[1:])
+            if b != a
+        ]
+        n_up = sum(1 for s in signs if s == 1)
+        n_down = len(signs) - n_up
+        n_runs = 0
+        prev = None
+        for s in signs:
+            if s != prev:
+                n_runs += 1
+            prev = s
+        if signs:
+            want[p] = (n_up, n_down, n_runs)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=order_series)
+def test_survival_counts_matches_naive(spark, tmp_path_factory, rows):
+    import __spark_entry__ as em
+
+    # reuse (priority) as the customer id modulo 3 so lifespans vary
+    sf = str(tmp_path_factory.mktemp("lake"))
+    spark.createDataFrame(
+        [
+            (i % 3, EPOCH + timedelta(days=d))
+            for i, (_, d, _) in enumerate(rows)
+        ],
+        "o_custkey long, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    got = {
+        r.bucket: (r.n_at_risk, r.n_events, r.n_censored)
+        for r in em.q_survival_counts(spark, sf).collect()
+    }
+    per: dict = {}
+    for i, (_, d, _) in enumerate(rows):
+        k = i % 3
+        lo, hi = per.get(k, (d, d))
+        per[k] = (min(lo, d), max(hi, d))
+    max_day = max(d for _, d, _ in rows)
+    tab: dict = {}
+    for lo, hi in per.values():
+        bucket = (hi - lo) // 30
+        cens = 1 if (max_day - hi) < 90 else 0
+        ev, ce = tab.get(bucket, (0, 0))
+        tab[bucket] = (ev + (1 - cens), ce + cens)
+    want = {}
+    running = 0
+    for b in sorted(tab, reverse=True):
+        ev, ce = tab[b]
+        running += ev + ce
+        want[b] = (running, ev, ce)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evts=events)
+def test_window_distinct_count_matches_naive(
+    spark, tmp_path_factory, evts
+):
+    import __spark_entry__ as em
+
+    if not evts:
+        return
+    sf = str(tmp_path_factory.mktemp("lake"))
+    spark.createDataFrame(
+        [
+            (i, EPOCH + timedelta(days=m), u, "click")
+            for i, (u, m) in enumerate(evts)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.d: r.n_cum_users
+        for r in em.q_window_distinct_count(spark, sf).collect()
+    }
+    days = sorted({m for _, m in evts})
+    epoch_day0 = int(EPOCH.timestamp()) // 86400
+    want = {}
+    for d in days:
+        seen = {u for u, m in evts if m <= d}
+        want[epoch_day0 + d] = len(seen)
+    assert got == want
