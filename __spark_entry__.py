@@ -1242,19 +1242,9 @@ def q_stream_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant (``bin/fink_test_ztf:100-148``). The oracle *is* the batch
     group-count."""
     configure_session(spark)
-    import shutil
-    import tempfile
-
-    # the file source streams *directories*; stage the single-file table
-    src = os.path.join(sf_dir, "events.parquet")
-    stage = tempfile.mkdtemp(prefix="fbs_replay_")
-    try:
-        os.symlink(src, os.path.join(stage, "events.parquet"))
-    except OSError:
-        shutil.copy(src, os.path.join(stage, "events.parquet"))
     return replay_to_table(
         spark,
-        stage,
+        _stream_stage(sf_dir, "events"),
         lambda sdf: sdf.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events")
         ),
@@ -1262,8 +1252,66 @@ def q_stream_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_stage(sf_dir: str, table: str) -> str:
+    """Directory the file-stream source can replay for *table*.
+
+    The file source streams *directories*: a directory-of-parts table
+    (multi-file lake) streams as-is; a single-file table gets staged
+    behind a symlink dir (falling back to a copy on filesystems
+    without symlinks)."""
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return src
+    stage = tempfile.mkdtemp(prefix="fbs_replay_")
+    try:
+        os.symlink(src, os.path.join(stage, f"{table}.parquet"))
+    except OSError:
+        shutil.copy(src, os.path.join(stage, f"{table}.parquet"))
+    return stage
+
+
 ORACLE_STREAM_REPLAY = """
 SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k snapshot: replay the events table as a file
+    stream, maintain per-USER running counts in keyed streaming state
+    (|users| distinct keys — real keyed-state cardinality, unlike the
+    5-group event_type replay), and emit the final top-10 leaderboard.
+    The oracle is the batch top-k — the stream/batch equivalence
+    invariant, per key this time.
+
+    Plan: streaming groupBy state holds one long per user; the
+    leaderboard is a batch TakeOrderedAndProject over the drained
+    result table.  Complete output mode re-emits the running table per
+    trigger — fine for a drained AvailableNow replay; a continuous
+    100 TB deployment would run update mode into an idempotent
+    merge sink (`sinks/parquet.py` manifest writer) instead, keeping
+    the same per-key state.  NULL users carry no identity and are
+    excluded on both sides."""
+    configure_session(spark)
+    totals = replay_to_table(
+        spark,
+        _stream_stage(sf_dir, "events"),
+        lambda sdf: sdf.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        output_mode="complete",
+    )
+    return totals.orderBy(F.desc("n_events"), "user_id").limit(10)
+
+
+ORACLE_STREAM_TOPK_USERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 10
 """
 
 
@@ -15764,6 +15812,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_neardup": q_minhash_lsh,
     "simhash_neardup": q_simhash,
     "stream_replay_counts": q_stream_replay_counts,
+    "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
     "set_ops": q_set_ops,
     "map_recode": q_map_recode,
@@ -16031,6 +16080,7 @@ _ORACLES: dict[str, str] = {
     "repetition_rules": ORACLE_REPETITION_RULES,
     "jaccard_neardup": ORACLE_JACCARD_NEARDUP,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
+    "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,
     "set_ops": ORACLE_SET_OPS,
     "map_recode": ORACLE_MAP_RECODE,
