@@ -15770,6 +15770,45 @@ GROUP BY nation
 """
 
 
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage audit per order priority: how many days
+    inside each group's own [first, last] span carry NO orders — the
+    freshness/completeness gate a daily-ingest monitor raises before a
+    partition is declared late (the reference's nightly cadence,
+    ``bin/fink_start_stream``-family, makes a missing night an
+    incident).
+
+    Plan: one fact aggregate to the distinct (priority, day) spine,
+    then a 5-row per-group (count, min, max) collapse — expected days
+    = span+1 is pure integer arithmetic, so missing-day counts are
+    exact on both engines."""
+    od = load_table(spark, sf_dir, "orders")
+    days = od.select(
+        F.col("o_orderpriority").alias("priority"),
+        _day("o_orderdate").alias("d"),
+    ).distinct()
+    return days.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days_present"),
+        (F.max("d") - F.min("d") + 1).alias("n_days_expected"),
+        (F.max("d") - F.min("d") + 1 - F.count(F.lit(1))).alias(
+            "n_days_missing"
+        ),
+    )
+
+
+ORACLE_CALENDAR_GAPS = """
+WITH days AS (
+  SELECT DISTINCT o_orderpriority AS priority,
+         CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS d
+  FROM orders
+)
+SELECT priority, CAST(count(*) AS BIGINT) AS n_days_present,
+       CAST(max(d) - min(d) + 1 AS BIGINT) AS n_days_expected,
+       CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS n_days_missing
+FROM days GROUP BY priority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16042,6 +16081,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_clause_agg": q_filter_clause_agg,
     "qualify_latest": q_qualify_latest,
     "string_agg_ordered": q_string_agg_ordered,
+    "calendar_gaps": q_calendar_gaps,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16319,6 +16359,7 @@ _ORACLES: dict[str, str] = {
     "filter_clause_agg": ORACLE_FILTER_CLAUSE_AGG,
     "qualify_latest": ORACLE_QUALIFY_LATEST,
     "string_agg_ordered": ORACLE_STRING_AGG_ORDERED,
+    "calendar_gaps": ORACLE_CALENDAR_GAPS,
 }
 
 
