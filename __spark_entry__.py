@@ -15809,6 +15809,108 @@ FROM days GROUP BY priority
 """
 
 
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — the classic 'for all' operator SQL lacks
+    a keyword for: customers who placed an order in EVERY calendar
+    year the lake covers.  Division is the set-containment query
+    behind 'suppliers stocking the full catalog' / 'users active in
+    every cohort window'; neither Spark nor ANSI SQL names it, so both
+    sides express it as count-distinct equality against the divisor
+    cardinality.
+
+    Plan: one (custkey, year) distinct collapse, a per-customer
+    distinct count, and a 1-row divisor-cardinality broadcast into the
+    HAVING — the fact table is scanned once; no per-year join chain
+    (the naive division is |years| stacked semi-joins).  Years need
+    calendar boundaries (epoch-day floor-division cannot express
+    them), so both engines extract them from the SAME normalized
+    timestamp: Spark ``year()`` ≡ DuckDB ``year()``, both
+    Gregorian-UTC on a µs-normalized column."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    cy = od.select(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("y"),
+    ).distinct()
+    divisor = cy.select("y").distinct().agg(
+        F.count(F.lit(1)).alias("n_years")
+    )
+    per = cy.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_cust_years"))
+    full = (
+        per.crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_cust_years") == F.col("n_years"))
+    )
+    return full.agg(
+        F.count(F.lit(1)).alias("n_full_coverage"),
+        F.min("custkey").alias("min_custkey"),
+        F.max("custkey").alias("max_custkey"),
+        F.max("n_years").alias("n_years"),
+    )
+
+
+ORACLE_RELATIONAL_DIVISION = """
+WITH cy AS (
+  SELECT DISTINCT o_custkey AS custkey, year(o_orderdate) AS y
+  FROM orders WHERE o_custkey IS NOT NULL
+), divisor AS (
+  SELECT count(DISTINCT y) AS n_years FROM cy
+), full_cov AS (
+  SELECT custkey, count(*) AS n_cust_years
+  FROM cy GROUP BY custkey
+  HAVING count(*) = (SELECT n_years FROM divisor)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_full_coverage,
+       MIN(custkey) AS min_custkey,
+       MAX(custkey) AS max_custkey,
+       CAST((SELECT n_years FROM divisor) AS BIGINT) AS n_years
+FROM full_cov
+"""
+
+
+def q_xor_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent XOR fingerprint per nation: every customer
+    row hashes to a 32-bit integer (the cross-engine md5 tree) and the
+    group fingerprint is the ``bit_xor`` fold — XOR's self-inverse
+    property makes the fingerprint INCREMENTALLY MAINTAINABLE (apply
+    the same XOR to add or retract a row), the property a streaming
+    integrity monitor needs that ``table_checksum``'s sum lacks for
+    retractions at full width.
+
+    Plan: one scan, one groupBy carrying a single long per group —
+    map-side partial XOR does almost all the work."""
+    cu = load_table(spark, sf_dir, "customer")
+    h = F.expr(
+        "cast(conv(substr(md5(concat_ws('|',"
+        " coalesce(cast(c_custkey as string), '~'),"
+        " coalesce(c_name, '~'),"
+        " coalesce(cast(cast(floor(c_acctbal * 100 + 0.5) as bigint)"
+        "   as string), '~'),"
+        " coalesce(c_mktsegment, '~'))), 1, 8), 16, 10) as bigint)"
+    )
+    return (
+        cu.select(F.col("c_nationkey").alias("nation"), h.alias("h"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_fingerprint"),
+        )
+    )
+
+
+ORACLE_XOR_FINGERPRINT = """
+SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST('0x' || substr(md5(
+         concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), '~'),
+                   coalesce(c_name, '~'),
+                   coalesce(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                      AS BIGINT) AS VARCHAR), '~'),
+                   coalesce(c_mktsegment, '~'))
+       ), 1, 8) AS BIGINT)) AS BIGINT) AS xor_fingerprint
+FROM customer GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16082,6 +16184,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qualify_latest": q_qualify_latest,
     "string_agg_ordered": q_string_agg_ordered,
     "calendar_gaps": q_calendar_gaps,
+    "relational_division": q_relational_division,
+    "xor_fingerprint": q_xor_fingerprint,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16360,6 +16464,8 @@ _ORACLES: dict[str, str] = {
     "qualify_latest": ORACLE_QUALIFY_LATEST,
     "string_agg_ordered": ORACLE_STRING_AGG_ORDERED,
     "calendar_gaps": ORACLE_CALENDAR_GAPS,
+    "relational_division": ORACLE_RELATIONAL_DIVISION,
+    "xor_fingerprint": ORACLE_XOR_FINGERPRINT,
 }
 
 
