@@ -243,16 +243,22 @@ def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans once and shuffles once — the two Window operators share the
     # event_type exchange, the final aggregate is partial-ready
     w = Window.partitionBy("event_type")
-    dev = ev.withColumn(
-        "med", F.expr("percentile(value, 0.5)").over(w)
-    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    # value pinned to DOUBLE before the percentile: on a DECIMAL-typed
+    # lake Spark interpolates in double while DuckDB's quantile_cont
+    # would interpolate in decimal and round the midpoint to the
+    # column scale (decimalprice driftlab layout, r6)
+    dev = (
+        ev.withColumn("v", F.col("value").cast("double"))
+        .withColumn("med", F.expr("percentile(v, 0.5)").over(w))
+        .withColumn("adev", F.abs(F.col("v") - F.col("med")))
+    )
     flagged = dev.withColumn(
         "mad", F.expr("percentile(adev, 0.5)").over(w)
     )
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(
-            F.abs(F.col("value") - F.col("med")) > 5.0 * F.col("mad")
+            F.abs(F.col("v") - F.col("med")) > 5.0 * F.col("mad")
         ).alias("n_anomalies"),
         F.first("med").alias("med"),
         F.first("mad").alias("mad"),
@@ -260,12 +266,16 @@ def q_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANOMALY_SCORES = """
-WITH stats AS (
+-- CAST AS DOUBLE mirrors the operator's double-pinned percentile
+-- (decimalprice driftlab layout, r6)
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+), stats AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+  FROM ev GROUP BY event_type
 ), dev AS (
   SELECT e.event_type, e.value, s.med, abs(e.value - s.med) AS adev
-  FROM events e JOIN stats s USING (event_type)
+  FROM ev e JOIN stats s USING (event_type)
 ), mads AS (
   SELECT event_type, quantile_cont(adev, 0.5) AS mad, min(med) AS med
   FROM dev GROUP BY event_type
@@ -3026,7 +3036,11 @@ def q_tracklet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline is ANSI-transcribable for the oracle."""
     from fink_broker_spark.operators.tracklets import tracklet_candidate_cut
 
-    ev = load_table(spark, sf_dir, "events")
+    # value pinned to DOUBLE: decimal % double modulo trees differ
+    # between engines (decimalprice driftlab layout, r6)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
     staged = ev.select(
         "event_type",
         (F.abs(F.col("value")) % 3.0 + F.lit(0.01)).alias("distnr"),
@@ -3058,7 +3072,12 @@ def q_tracklet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRACKLET_CANDIDATES = """
-WITH staged AS (
+-- CAST AS DOUBLE mirrors the operator's pinned staging
+-- (decimalprice driftlab layout, r6)
+WITH ev AS (
+  SELECT event_type, event_id, user_id, CAST(value AS DOUBLE) AS value
+  FROM events
+), staged AS (
   SELECT event_type,
          abs(value) % 3.0 + 0.01 AS distnr,
          15.0 + (user_id % 70) / 10.0 AS magnr,
@@ -3066,7 +3085,7 @@ WITH staged AS (
          CASE WHEN event_id % 11 = 0 THEN '12345' ELSE 'null' END AS ssnamenr,
          CAST(1 + event_id % 3 AS INTEGER) AS ndethist,
          CASE WHEN value >= 0 THEN 't' ELSE 'f' END AS isdiffpos
-  FROM events
+  FROM ev
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_candidates,
@@ -3652,10 +3671,13 @@ def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = li.select(
         "l_orderkey",
         "l_linenumber",
+        # uniform DOUBLE legs: stack REQUIRES same-typed columns, and a
+        # DECIMAL-typed lake (decimalprice driftlab layout) would mix
+        # decimal prices with a double quantity — an analyzer error
         F.expr(
-            "stack(3, 'quantity', l_quantity, "
-            "'extendedprice', l_extendedprice, "
-            "'discount', l_discount) AS (metric, val)"
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (metric, val)"
         ),
     )
     return long.groupBy("metric").agg(
@@ -3668,11 +3690,14 @@ def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_UNPIVOT_STACK = """
 WITH long AS (
-  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS val FROM lineitem
   UNION ALL
-  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
   UNION ALL
-  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
 )
 SELECT metric, CAST(count(*) AS BIGINT) AS n,
        CAST(ROUND(SUM(CAST(val AS DECIMAL(18,9))), 2) AS DOUBLE) AS total
@@ -3699,7 +3724,12 @@ def q_schema_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SCHEMA_DEFAULTS = """
-SELECT c_custkey, c_name, 'unknown' AS c_phone, c_acctbal FROM customer
+-- CAST mirrors the operator's typed projection: the request pins
+-- c_acctbal to DOUBLE regardless of the lake's physical type
+-- (decimalprice driftlab layout, r6)
+SELECT c_custkey, c_name, 'unknown' AS c_phone,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
 """
 
 
@@ -3876,10 +3906,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PERCENTILES = """
+-- CAST AS DOUBLE mirrors the operator: on a DECIMAL-typed lake,
+-- quantile_cont would otherwise interpolate in decimal and round the
+-- midpoint to the column scale (decimalprice driftlab layout, r6)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS p50_price,
-       quantile_cont(l_extendedprice, 0.9) AS p90_price,
-       quantile_cont(l_quantity, 0.5) AS p50_qty
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50_price,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS p90_price,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -7664,7 +7697,13 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE window over the user partition (8 bounded lags of O(1)
     state); the user-id modulus is output thinning, pushed to the scan."""
-    ev = load_table(spark, sf_dir, "events")
+    # value pinned to DOUBLE up front: on a DECIMAL-typed lake the
+    # engines evaluate decimal×double terms with different promotion
+    # trees (1-ulp splits — decimalprice driftlab layout, r6); the
+    # cast is a no-op on the committed double lake
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.expr("unix_micros(ts)"), "event_id"
     )
@@ -7690,14 +7729,19 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EWMA_SMOOTH = """
-WITH seq AS (
+-- CAST AS DOUBLE mirrors the operator's pinned staging
+-- (decimalprice driftlab layout, r6)
+WITH ev AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value
+  FROM events
+), seq AS (
   SELECT user_id, event_id, value,
          lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
          lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
          lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
          lag(value, 7) OVER w AS v7,
          row_number() OVER w AS rn
-  FROM events
+  FROM ev
   WHERE user_id % 20 = 0
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
@@ -7918,12 +7962,16 @@ def q_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MAD_SCORES = """
-WITH med AS (
+-- CAST AS DOUBLE mirrors grouped_percentiles' double-pinned input
+-- (decimalprice driftlab layout, r6)
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS value FROM events
+), med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY 1
+  FROM ev GROUP BY 1
 ), dev AS (
   SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
-  FROM events e JOIN med m USING (event_type)
+  FROM ev e JOIN med m USING (event_type)
 )
 SELECT event_type, ANY_VALUE(med) AS med,
        quantile_cont(ad, 0.5) AS mad

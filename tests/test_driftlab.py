@@ -79,6 +79,19 @@ NULLFK_REGRESSIONS = [
     "grid_quantiles",
     "semi_anti_join",
 ]
+#: the 5 queries the first decimalprice sweep split (quantile_cont's
+#: in-decimal interpolation, stack's same-type requirement, and
+#: decimal×double promotion-tree ulp drift) plus the two percentile
+#: siblings sharing the fixed operator
+DECIMALPRICE_REGRESSIONS = [
+    "percentiles",
+    "unpivot_stack",
+    "schema_defaults",
+    "ewma_smooth",
+    "tracklet_candidates",
+    "anomaly_scores",
+    "mad_scores",
+]
 
 
 @pytest.mark.parametrize(
@@ -88,6 +101,7 @@ NULLFK_REGRESSIONS = [
         ("boundary", BOUNDARY_REGRESSIONS),
         ("int32keys", INT32KEYS_REGRESSIONS),
         ("nullfk", NULLFK_REGRESSIONS),
+        ("decimalprice", DECIMALPRICE_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(
@@ -199,3 +213,28 @@ def test_nanos_variant_preserves_micros_truncation(tmp_path_factory):
     src_us = src.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
     var_us = pc.divide(var.column("ts").cast(pa.int64()), pa.scalar(1000))
     assert src_us.combine_chunks().equals(var_us.combine_chunks())
+
+
+def test_decimalprice_variant_types_and_values(tmp_path_factory):
+    """The decimalprice layout must store money columns as physical
+    DECIMAL(15,2) whose values are the half-up 2-decimal quantization
+    of the originals (the engines' own floor(x*100+0.5) cents tree)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("dp"))
+    dest = generate_variant(
+        "/root/testdata/sf0.001", out, 2, "decimalprice"
+    )
+    src = pq.read_table("/root/testdata/sf0.001/customer.parquet")
+    var = pq.read_table(f"{dest}/customer.parquet")
+    assert var.schema.field("c_acctbal").type == pa.decimal128(15, 2)
+    orig = src.column("c_acctbal").to_pylist()
+    got = var.column("c_acctbal").to_pylist()
+    for o, g in zip(orig[:500], got[:500]):
+        if o is None:
+            assert g is None
+            continue
+        assert int(g.scaleb(2)) == math.floor(o * 100 + 0.5)
