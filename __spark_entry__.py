@@ -14633,8 +14633,13 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blast radius BEFORE mutating 100 TB.
 
     Plan: each hop is one semi-join down the FK chain, counted with a
-    single aggregate; dimension-sized request keys broadcast.  Counts
-    are exact BIGINTs."""
+    single aggregate; only the genuinely dimension-sized request-key
+    set (~1 % of CUSTOMER) broadcasts — the orders hop's key set is
+    FACT-derived (~1 % of ORDERS, unbounded at 100 TB), so the
+    lineitem semi-join is a plain shuffle join and AQE is free to
+    pick broadcast at runtime when the hop happens to be small
+    (ADVICE r6: a forced broadcast there OOMs the driver at scale).
+    Counts are exact BIGINTs."""
     cu = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % 97 == 0
     ).select(F.col("c_custkey").alias("k"))
@@ -14646,7 +14651,7 @@ def q_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     okeys = del_orders.select(F.col("o_orderkey").alias("ok"))
     del_lines = li.join(
-        F.broadcast(okeys), li["l_orderkey"] == okeys["ok"], "left_semi"
+        okeys, li["l_orderkey"] == okeys["ok"], "left_semi"
     )
     del_events = ev.join(
         F.broadcast(cu), ev["user_id"] == cu["k"], "left_semi"
@@ -15889,11 +15894,17 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(divisor))
         .filter(F.col("n_cust_years") == F.col("n_years"))
     )
-    return full.agg(
-        F.count(F.lit(1)).alias("n_full_coverage"),
-        F.min("custkey").alias("min_custkey"),
-        F.max("custkey").alias("max_custkey"),
-        F.max("n_years").alias("n_years"),
+    # n_years comes from the 1-row divisor, NOT from max() over the
+    # surviving rows: on a lake where NO customer spans every year,
+    # full is empty and max would emit NULL while the oracle's scalar
+    # subquery still emits the divisor (ADVICE r6 — latent hash split)
+    return (
+        full.agg(
+            F.count(F.lit(1)).alias("n_full_coverage"),
+            F.min("custkey").alias("min_custkey"),
+            F.max("custkey").alias("max_custkey"),
+        )
+        .crossJoin(F.broadcast(divisor))
     )
 
 

@@ -298,13 +298,49 @@ ORACLE_PROBE_ENV_SUBUS_TS = _oracle_rows(
 
 
 #: registration maps consumed by __spark_entry__; iteration order is the
-#: pinned probe-tier order at the head of the driver rotation
+#: pinned probe-tier order at the head of the driver rotation.
+#:
+#: ROUND-7 SHRINK (VERDICT r6 "Next round" #1-2): the round-6 artifact
+#: answered every environment question the 10-probe tier was built to
+#: ask — driver DuckDB = 1.0.x, Spark = 4.1.x, µs lake, double prices,
+#: int64 keys, no NULL FKs, no sub-µs jitter, and the canonicalizer is
+#: HUGEINT-sensitive (the designed-red ``probe_type_hugeint`` row that
+#: confirmed the r5 root cause; diagnosis recorded permanently in
+#: ``admin/typeaudit.py`` and CORRECTNESS_r06.json).  Re-asserting the
+#: settled answers cost 20 % of the 50-row driver sample window per
+#: round, directly slowing the never-sampled-query drain.  The tier now
+#: keeps exactly two expected-green sentinels:
+#:
+#: - ``probe_env_conf_policy`` — the one probe whose answer can silently
+#:   CHANGE under the engine's feet (a driver session rejecting the UTC /
+#:   nanosAsLong confs invalidates every timestamp oracle at once);
+#: - ``probe_type_int32`` — the expected-green type canary: a red here
+#:   means the driver canonicalizer regressed on plain fixed-width ints,
+#:   i.e. the typeaudit gate's ground assumptions moved.
+#:
+#: The retired 8 stay importable below (RETIRED_PROBE_QUERIES) and are
+#: deliberately NOT registered anywhere: an unregistered name can never
+#: be re-pinned by the rotation's failed-first tier, which is how the
+#: standing-red hugeint canary is retired per its documented contract.
+#: Re-arm by moving a row back into PROBE_QUERIES/PROBE_ORACLES if the
+#: driver environment ever shifts (e.g. a DuckDB version bump in a
+#: future round's conf-policy echo).
 PROBE_QUERIES = {
-    "probe_type_hugeint": q_probe_type_hugeint,
+    "probe_env_conf_policy": q_probe_env_conf_policy,
     "probe_type_int32": q_probe_type_int32,
+}
+
+PROBE_ORACLES = {
+    "probe_env_conf_policy": ORACLE_PROBE_ENV_CONF_POLICY,
+    "probe_type_int32": ORACLE_PROBE_TYPE_INT32,
+}
+
+#: answered-and-settled probes (r6 telemetry recorded); kept importable
+#: for tests and potential re-arming, never registered
+RETIRED_PROBE_QUERIES = {
+    "probe_type_hugeint": q_probe_type_hugeint,
     "probe_env_duckdb_version": q_probe_env_duckdb_version,
     "probe_env_spark_version": q_probe_env_spark_version,
-    "probe_env_conf_policy": q_probe_env_conf_policy,
     "probe_env_ts_unit": q_probe_env_ts_unit,
     "probe_env_price_type": q_probe_env_price_type,
     "probe_env_key_type": q_probe_env_key_type,
@@ -312,12 +348,10 @@ PROBE_QUERIES = {
     "probe_env_subus_ts": q_probe_env_subus_ts,
 }
 
-PROBE_ORACLES = {
+RETIRED_PROBE_ORACLES = {
     "probe_type_hugeint": ORACLE_PROBE_TYPE_HUGEINT,
-    "probe_type_int32": ORACLE_PROBE_TYPE_INT32,
     "probe_env_duckdb_version": ORACLE_PROBE_ENV_DUCKDB_VERSION,
     "probe_env_spark_version": ORACLE_PROBE_ENV_SPARK_VERSION,
-    "probe_env_conf_policy": ORACLE_PROBE_ENV_CONF_POLICY,
     "probe_env_ts_unit": ORACLE_PROBE_ENV_TS_UNIT,
     "probe_env_price_type": ORACLE_PROBE_ENV_PRICE_TYPE,
     "probe_env_key_type": ORACLE_PROBE_ENV_KEY_TYPE,

@@ -91,6 +91,17 @@ def bm25_topk(
 ) -> DataFrame:
     """Rational-IDF BM25 top-``k`` retrieval for a literal term query.
 
+    .. warning:: **Not drop-in Okapi/Robertson BM25.**  The log-IDF
+       ``ln(1 + (N-df+0.5)/(df+0.5))`` is replaced by its (monotone)
+       argument, so each term's ranking is preserved but the SUM over
+       several query terms weighs rare terms more heavily than the
+       log-compressed original — multi-term rankings can differ from
+       published BM25.  The trade buys bit-exact cross-engine
+       reproducibility (see the module docstring); the raw integer
+       operands (tf, df, dl) ride along in the output for downstream
+       re-scoring with a true log-IDF where approximate FP parity is
+       acceptable.  ``rational_bm25_topk`` is the honest alias.
+
     Per matched (doc, term), with N docs, T total tokens, and integer
     constants A/L = k1+1, B/L = k1(1-b), C/L = k1·b::
 
@@ -174,6 +185,11 @@ def bm25_topk(
     ).limit(k)
 
 
+#: honest name for the scorer (ADVICE r6): the IDF is the rational RSJ
+#: weight, not its log — see the warning in the docstring
+rational_bm25_topk = bm25_topk
+
+
 def bm25_topk_oracle_sql(
     query_terms: list[str],
     k: int = 20,
@@ -241,6 +257,13 @@ def dsir_importance(
     candidate set and per-token monotonicity while being bit-stable
     across engines — see the module docstring).  High value = looks
     like the target corpus ⇒ keep for resampling.
+
+    .. warning:: **Not drop-in Xie et al. DSIR.**  Summing the ratio
+       instead of its log means tokens with extreme ratios dominate a
+       document's score more than in the published log-sum — document
+       RANKINGS can differ from the paper's importance weights.  Use
+       the emitted exact operands for a log re-score where approximate
+       FP parity is acceptable.
 
     Plan shape: one logical tokenize+explode relation feeds the counts
     aggregate and the scoring join; target and raw counts ride a SINGLE

@@ -70,3 +70,78 @@ def test_load_bench_tolerates_full_artifact():
     if os.path.exists(path):
         q = load_bench(path)
         assert len(q) > 100
+
+
+def test_bench_stdout_last_line_parses_under_noisy_teardown(tmp_path):
+    """Pin the round-5 artifact-loss failure mode: a stray thread /
+    atexit hook writing to stdout AFTER the JSON line broke the
+    driver's parse (BENCH_r05 was lost to a StateStore maintenance
+    stack trace).  bench.py's defense is teardown-before-print +
+    ``os._exit(0)`` immediately after the flush; this test runs the
+    REAL bench main in a subprocess with a 2-query registry, arms an
+    atexit stdout writer AND a post-``spark.stop`` printer thread, and
+    asserts the process's final stdout line still parses as the bench
+    JSON object."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver = tmp_path / "noisy_bench.py"
+    driver.write_text(
+        """
+import atexit, json, sys, threading, time
+sys.path.insert(0, %r)
+
+import __spark_entry__ as em
+
+def _tiny(spark, sf_dir):
+    return spark.range(5).toDF("i")
+
+em._QUERIES = {"tiny_a": _tiny, "tiny_b": _tiny}
+em.queries = lambda: dict(em._QUERIES)
+em.BENCH_SKIP = ()
+
+# noise source 1: atexit hook (runs on normal interpreter exit; the
+# bench's os._exit(0) must prevent it)
+atexit.register(lambda: print("FAKE TRACEBACK: noise after json"))
+
+# noise source 2: the r5 shape — a thread that wakes AFTER the session
+# stops and prints to stdout; only a hard exit beats it
+from pyspark.sql import SparkSession
+_real_stop = SparkSession.stop
+def _noisy_stop(self):
+    def late_noise():
+        time.sleep(1.0)
+        print("26/08/15 WARN StateStore: fake maintenance stack trace")
+        sys.stdout.flush()
+    threading.Thread(target=late_noise, daemon=False).start()
+    _real_stop(self)
+SparkSession.stop = _noisy_stop
+
+import bench
+bench.main()
+"""
+        % repo
+    )
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="2",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(driver)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "no stdout at all"
+    parsed = json.loads(lines[-1])  # the contract: LAST line is the JSON
+    assert parsed["metric"] == "total_query_wall_time"
+    assert set(parsed["queries"]) == {"tiny_a", "tiny_b"}
+    assert "FAKE TRACEBACK" not in proc.stdout
+    assert "StateStore" not in proc.stdout

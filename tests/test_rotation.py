@@ -115,12 +115,22 @@ def test_live_wiring():
     never = [n for n in entry._QUERIES if n not in ever_checked]
     window = set(names[:50])
     # urgent = artifact-failed first, then never-checked; the window
-    # holds BOTH tiers, so the fit test must count their union
-    urgent = set(never) | set(read_ledger(REPO)[1])
-    if len(urgent) <= 50:
+    # holds BOTH tiers, so the fit test must count their union.  The
+    # pinned probe tier is EXEMPT on both sides of the comparison: probes
+    # occupy their head slots by design even once green (their row counts
+    # are standing telemetry), and the r6 round proved the old invariant
+    # breaks the moment a driver artifact lands after commit — a green
+    # probe is pinned, not urgent (VERDICT r6, What's wrong #1).
+    urgent = (set(never) | set(read_ledger(REPO)[1])) - set(PROBE_QUERIES)
+    free = [n for n in names[:50] if n not in PROBE_QUERIES]
+    if len(urgent) <= len(free):
         missing = urgent - window
         assert not missing, f"outside 50-row driver window: {missing}"
     else:
-        # more urgent work than the window holds: every slot must go
-        # to an urgent (never-checked or artifact-failed) query
-        assert all(n in urgent for n in window)
+        # more urgent work than the non-pinned window holds: every
+        # non-pinned slot must go to an urgent query
+        assert all(n in urgent for n in free)
+    # the pinned tier must stay small — sample slots are the scarcest
+    # resource in the whole verification loop (VERDICT r6 #1: the
+    # 10-probe tier taxed the drain 20% per round)
+    assert len(PROBE_QUERIES) <= 2
