@@ -15970,6 +15970,291 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union-length of overlapping time intervals — the SLA /
+    uptime / active-time primitive (and billing's "don't double-count
+    overlapping sessions").  Each event opens a deterministic interval
+    ``[ts, ts + (event_id % 120 + 1) minutes)``; the answer per user is
+    total covered µs, interval count, and the number of merged islands.
+
+    The classic sweep, declaratively: order intervals by (start, id);
+    the running MAX of ``end`` over all PRIOR rows is the coverage
+    frontier, so each row contributes ``max(0, end − max(start,
+    frontier))`` — overlap never double-counts, containment contributes
+    0, and a row starting past the frontier opens a new island.  ONE
+    window + ONE groupBy, all integer µs (``unix_micros`` ≡ DuckDB
+    ``epoch_us``), no floats.
+
+    Scale: the window partitions by user_id (high cardinality — state
+    per partition is one running max, nothing unbounded); contrast
+    ``max_concurrency``, which must chunk because its sweep key is
+    5-valued."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.col("event_id") % 120 + 1) * F.lit(60_000_000).cast("long")
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn("prev_end", F.max("e").over(w))
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce("prev_end", F.col("s"))),
+                F.lit(0).cast("long"),
+            )
+        ).alias("covered_us"),
+        F.count_if(
+            F.col("prev_end").isNull() | (F.col("prev_end") <= F.col("s"))
+        ).alias("n_islands"),
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 120 + 1) * 60000000 AS e
+  FROM events WHERE user_id IS NOT NULL
+), marked AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM iv
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_end, s)), 0))
+            AS BIGINT) AS covered_us,
+       CAST(SUM(CASE WHEN prev_end IS NULL OR prev_end <= s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+FROM marked GROUP BY user_id
+"""
+
+
+def q_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO audit: per event type, the last-arrival
+    watermark, its lag behind the lake-wide high-water mark, and
+    whether it is inside a 7-day staleness SLO — the first dashboard a
+    lake operator builds over every ingest feed (reference analog: the
+    nightly DB-sanity path around ``bin/ztf/archive_statistics.py``).
+
+    Plan: ONE groupBy for per-type watermarks, a 1-row global max
+    broadcast back — the as-of point is derived from the DATA (not
+    ``now()``, which could never oracle).  All integer µs."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    glob = per.agg(F.max("last_ts_us").alias("as_of_us"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_events",
+        "last_ts_us",
+        (F.col("as_of_us") - F.col("last_ts_us")).alias("lag_us"),
+        (
+            F.col("as_of_us") - F.col("last_ts_us")
+            <= F.lit(7 * 86_400_000_000).cast("long")
+        ).alias("within_slo"),
+    )
+
+
+ORACLE_FRESHNESS_SLO = """
+WITH per AS (
+  SELECT event_type, MAX(epoch_us(ts)) AS last_ts_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+), g AS (SELECT MAX(last_ts_us) AS as_of_us FROM per)
+SELECT event_type, n_events, last_ts_us,
+       CAST(g.as_of_us - last_ts_us AS BIGINT) AS lag_us,
+       (g.as_of_us - last_ts_us) <= 604800000000 AS within_slo
+FROM per, g
+"""
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph
+    (``ext/graph.py:link_prediction``): the top 25 unlinked part pairs
+    ranked by shared neighbors, tie-broken by the exact-integer
+    resource-allocation index ``Σ 10^9 div deg(w)`` (Zhou et al. 2009).
+    The recommender / graph-completion primitive the triangle and
+    k-core queries stop short of.
+
+    Scale: wedge volume is Σ min(deg, 200)² via the hub-prune on the
+    MIDDLE node (same cap discipline as PPJoin's prefix cut); the
+    existing-edge exclusion is a left_anti equi-join; final top-k is
+    TakeOrderedAndProject."""
+    from fink_broker_spark.ext.graph import copurchase_edges, link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    return link_prediction(edges, k=25, max_degree=200)
+
+
+ORACLE_LINK_PREDICTION = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+), deg AS (
+  SELECT src AS w, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), adj AS (
+  SELECT s.src AS w, s.dst AS x, d.deg
+  FROM sym s JOIN deg d ON s.src = d.w
+  WHERE d.deg <= 200
+), wedges AS (
+  SELECT l.x AS a, r.x AS b, l.deg AS wdeg
+  FROM adj l JOIN adj r ON l.w = r.w
+  WHERE l.x < r.x
+), scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(1000000000 // wdeg) AS BIGINT) AS ra_scaled9
+  FROM wedges GROUP BY a, b
+)
+SELECT a, b, common_neighbors, ra_scaled9
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.u = s.a AND p.v = s.b)
+ORDER BY common_neighbors DESC, ra_scaled9 DESC, a, b
+LIMIT 25
+"""
+
+
+def q_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style neighborhood feature aggregation
+    (``ext/graph.py:neighbor_feature_agg``): per part node of the
+    co-purchase graph, the sum/count/fixed-point-mean of neighbor
+    retail prices (cents) over 1-hop neighbors and 2-hop walks — the
+    unnormalized A·x / A²·x message-passing aggregates a GraphSAGE-
+    family sampler materializes as training features (Hamilton et al.
+    2017).  Means are ``(sum·10^4) div n`` — integral division,
+    bit-identical both engines; features enter as the exact
+    ``floor(price·100 + 0.5)`` cent tree.
+
+    Scale: 2-hop walks self-join through degree-capped middles
+    (Σ min(deg, 200)²); feature lookups are key equi-joins (AQE
+    broadcasts the part dimension when it fits)."""
+    from fink_broker_spark.ext.graph import (
+        copurchase_edges,
+        neighbor_feature_agg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, min_support=2)
+    feats = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("feat"),
+    )
+    return neighbor_feature_agg(edges, feats, max_degree=200)
+
+
+ORACLE_NEIGHBOR_FEATURE_AGG = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT u AS src, v AS dst FROM pairs
+  UNION ALL SELECT v, u FROM pairs
+), fx AS (
+  SELECT p_partkey AS x,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS feat
+  FROM part
+), h1 AS (
+  SELECT s.src AS node,
+         CAST(SUM(f.feat) AS BIGINT) AS h1_sum,
+         CAST(count(*) AS BIGINT) AS h1_n
+  FROM sym s JOIN fx f ON s.dst = f.x
+  GROUP BY s.src
+), deg AS (
+  SELECT src AS w, count(*) AS deg FROM sym GROUP BY src
+), walks AS (
+  SELECT a.src AS node, b.dst AS x
+  FROM sym a
+  JOIN deg d ON a.dst = d.w AND d.deg <= 200
+  JOIN sym b ON a.dst = b.src
+  WHERE b.dst <> a.src
+), h2 AS (
+  SELECT w.node,
+         CAST(SUM(f.feat) AS BIGINT) AS h2_sum,
+         CAST(count(*) AS BIGINT) AS h2_n
+  FROM walks w JOIN fx f ON w.x = f.x
+  GROUP BY w.node
+)
+SELECT h1.node, h1.h1_sum, h1.h1_n,
+       CAST((h1.h1_sum * 10000) // h1.h1_n AS BIGINT) AS h1_mean_scaled,
+       CAST(COALESCE(h2.h2_sum, 0) AS BIGINT) AS h2_sum,
+       CAST(COALESCE(h2.h2_n, 0) AS BIGINT) AS h2_n,
+       CAST(CASE WHEN h2.h2_n IS NOT NULL AND h2.h2_n > 0
+                 THEN (h2.h2_sum * 10000) // h2.h2_n
+                 ELSE 0 END AS BIGINT) AS h2_mean_scaled
+FROM h1 LEFT JOIN h2 ON h1.node = h2.node
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-source negative sampling for contrastive
+    pairs (``ext/pipeline.py:negative_sampling``): every document
+    draws up to 3 pseudo-random negatives from OTHER sources via
+    md5-bucketed routing — no ``rand()``, so the training pairs are
+    reproducible on any engine and any rerun.  The all-pairs sampler
+    this replaces is a cross join; the bucketed plan is one equi-join
+    with |docs|²/n_buckets candidate volume and a bounded per-anchor
+    row_number."""
+    from fink_broker_spark.ext.pipeline import negative_sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sampling(docs, k=3, n_buckets=16)
+
+
+ORACLE_NEGATIVE_SAMPLING = """
+WITH cand AS (
+  SELECT doc_id AS cand_id, source AS cand_grp,
+         CAST('0x' || substr(md5(concat_ws('|', 'cand',
+           CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) % 16 AS bkt
+  FROM documents
+), anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_grp,
+         CAST('0x' || substr(md5(concat_ws('|', 'probe',
+           CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) % 16 AS bkt
+  FROM documents
+), ranked AS (
+  SELECT a.anchor_id, c.cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY md5(concat_ws('|', 'pair',
+                        CAST(a.anchor_id AS VARCHAR),
+                        CAST(c.cand_id AS VARCHAR))), c.cand_id
+         ) AS rnk
+  FROM anchors a JOIN cand c ON a.bkt = c.bkt
+  WHERE c.cand_grp <> a.anchor_grp
+)
+SELECT anchor_id, cand_id AS neg_id, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16245,6 +16530,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_gaps": q_calendar_gaps,
     "relational_division": q_relational_division,
     "xor_fingerprint": q_xor_fingerprint,
+    "interval_coverage": q_interval_coverage,
+    "freshness_slo": q_freshness_slo,
+    "link_prediction": q_link_prediction,
+    "neighbor_feature_agg": q_neighbor_feature_agg,
+    "negative_sampling": q_negative_sampling,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16525,6 +16815,11 @@ _ORACLES: dict[str, str] = {
     "calendar_gaps": ORACLE_CALENDAR_GAPS,
     "relational_division": ORACLE_RELATIONAL_DIVISION,
     "xor_fingerprint": ORACLE_XOR_FINGERPRINT,
+    "interval_coverage": ORACLE_INTERVAL_COVERAGE,
+    "freshness_slo": ORACLE_FRESHNESS_SLO,
+    "link_prediction": ORACLE_LINK_PREDICTION,
+    "neighbor_feature_agg": ORACLE_NEIGHBOR_FEATURE_AGG,
+    "negative_sampling": ORACLE_NEGATIVE_SAMPLING,
 }
 
 

@@ -219,3 +219,149 @@ def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
     n2 = reach.groupBy("node").agg(F.count(F.lit(1)).alias("n_2hop"))
     n1 = one.distinct().groupBy("node").agg(F.count(F.lit(1)).alias("n_1hop"))
     return n1.join(n2, "node")
+
+
+#: resource-allocation fixed-point scale: RA = Σ 10^9 div deg(w)
+RA_UNIT = 1_000_000_000
+
+
+def link_prediction(
+    edges: DataFrame,
+    k: int = 25,
+    max_degree: int = 200,
+) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    for node pairs NOT currently connected, score the likelihood of a
+    future edge by (a) the common-neighbor count and (b) the
+    resource-allocation index Σ_{w ∈ CN(a,b)} 1/deg(w) (Zhou et al.
+    2009 — down-weights hub-mediated wedges).  Returns the top ``k``
+    candidate pairs.
+
+    Exactness: RA is computed as ``Σ (10^9 div deg(w))`` — one integral
+    division per common neighbor (Spark ``div`` ≡ DuckDB ``//`` on
+    positive operands), summed as BIGINT; no floats anywhere.
+
+    Scale shape: wedges are generated by ONE self-join of the
+    symmetrized adjacency through the middle node ``w``, so candidate
+    volume is Σ_w deg(w)² — quadratic in HUB degree.  ``max_degree``
+    prunes hub middles *before* the wedge join (the same df-cap
+    discipline as PPJoin's prefix cut): at 100 TB the routing relation
+    is bounded by Σ min(deg, D)², and dropping hub-mediated wedges
+    biases AGAINST exactly the pairs RA down-weights anyway.  The
+    existing-edge exclusion is a broadcast-size-agnostic left_anti
+    equi-join; the final top-k is a TakeOrderedAndProject.
+    """
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = deg.filter(F.col("deg") <= max_degree)
+    # adjacency annotated with the middle node's degree, hubs pruned
+    adj = sym.join(
+        mid, sym["src"] == mid["w"]
+    ).select(F.col("src").alias("w"), F.col("dst").alias("x"), "deg")
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "w")
+        .filter(F.col("l.x") < F.col("r.x"))
+        .select(
+            F.col("l.x").alias("a"),
+            F.col("r.x").alias("b"),
+            F.col("l.deg").alias("wdeg"),
+        )
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(
+            F.expr(f"CAST({RA_UNIT} AS BIGINT) div wdeg")
+        ).alias("ra_scaled9"),
+    )
+    candidates = scored.join(
+        edges,
+        (scored["a"] == edges["u"]) & (scored["b"] == edges["v"]),
+        "left_anti",
+    )
+    return candidates.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("ra_scaled9").desc(),
+        F.col("a"),
+        F.col("b"),
+    ).limit(k)
+
+
+def neighbor_feature_agg(
+    edges: DataFrame,
+    feats: DataFrame,
+    max_degree: int = 200,
+    mean_scale: int = 10_000,
+) -> DataFrame:
+    """GNN-style neighborhood feature aggregation (the GraphSAGE /
+    message-passing sampling shape, Hamilton et al. 2017): for every
+    node, the sum/count/scaled-mean of an integer feature over its
+    1-hop neighbors and over its 2-hop WALKS (multiplicity preserved —
+    each length-2 path contributes once, exactly the unnormalized
+    A²·x message-passing aggregate, self-walks excluded).
+
+    Exactness: features are exact BIGINTs; means are emitted as
+    ``(sum · mean_scale) div n`` fixed-point integers (integral
+    division, identical truncation both engines) — no FP anywhere.
+
+    Scale shape: 1-hop is ONE equi-join adjacency→features + groupBy;
+    2-hop walks are ONE self-join through the middle node with the
+    same ``max_degree`` hub prune as :func:`link_prediction` (volume
+    Σ min(deg, D)²).  Feature lookups join on the DESTINATION node —
+    at 100 TB both joins are plain shuffles, AQE free to broadcast the
+    (node, feat) dimension when it fits.
+
+    ``feats``: (node, feat) with feat integral (e.g. price cents).
+    """
+    sym = symmetrize(edges)
+    fx = feats.select(F.col("node").alias("x"), F.col("feat"))
+    one = sym.select(F.col("src").alias("node"), F.col("dst").alias("x"))
+    h1 = (
+        one.join(fx, "x")
+        .groupBy("node")
+        .agg(
+            F.sum("feat").alias("h1_sum"),
+            F.count(F.lit(1)).alias("h1_n"),
+        )
+    )
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = deg.filter(F.col("deg") <= max_degree).select("w")
+    walks = (
+        sym.alias("a")
+        .join(mid, F.col("a.dst") == mid["w"])
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("b.dst") != F.col("a.src"))
+        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("x"))
+    )
+    h2 = (
+        walks.join(fx, "x")
+        .groupBy("node")
+        .agg(
+            F.sum("feat").alias("h2_sum"),
+            F.count(F.lit(1)).alias("h2_n"),
+        )
+    )
+    return (
+        h1.join(h2, "node", "left")
+        .select(
+            "node",
+            "h1_sum",
+            "h1_n",
+            F.expr(f"(h1_sum * CAST({int(mean_scale)} AS BIGINT)) div h1_n")
+            .alias("h1_mean_scaled"),
+            F.coalesce("h2_sum", F.lit(0).cast("long")).alias("h2_sum"),
+            F.coalesce("h2_n", F.lit(0).cast("long")).alias("h2_n"),
+            F.when(
+                F.col("h2_n").isNotNull() & (F.col("h2_n") > 0),
+                F.expr(
+                    f"(h2_sum * CAST({int(mean_scale)} AS BIGINT)) div h2_n"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("h2_mean_scaled"),
+        )
+    )

@@ -350,3 +350,86 @@ def weighted_sample_key_expr(
         ).cast("long"),
     )
     return F.array_max(draws)
+
+
+def md5_bucket_expr(*cols, buckets: int, salt: str = "") -> Column:
+    """Deterministic cross-engine bucket id in ``[0, buckets)`` from the
+    md5-hex → integer tree (the repo's only engine-portable hash —
+    ``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+    ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``); ``salt`` decorrelates
+    independent bucketings of the same key."""
+    concat = F.concat_ws(
+        "|", F.lit(salt), *[F.col(c).cast("string") for c in cols]
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("bigint"),
+        F.lit(int(buckets)),
+    )
+
+
+def negative_sampling(
+    docs: DataFrame,
+    k: int = 3,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training pairs: each anchor document draws ``k`` pseudo-random
+    negatives from a DIFFERENT ``group_col`` value (hard-negative
+    mining's cheap baseline — cross-source negatives; Karpukhin et al.
+    2020 use in-batch analogues).  Fully reproducible: no ``rand()``
+    anywhere — the candidate pool, the anchor→pool routing, and the
+    per-anchor ranking all derive from md5 of the ids, so the same
+    lake always yields the same pairs on any engine.
+
+    Plan shape (and the 100 TB story): a naive sampler is an all-pairs
+    cross join.  Here every document lands in one of ``n_buckets``
+    md5-buckets (one column, no shuffle yet); each anchor probes ONE
+    pseudo-random bucket (salted md5, decorrelated from the candidate
+    bucketing) — so the join is a plain EQUI-join with fan-out
+    |docs|·(|docs|/n_buckets), tunable by ``n_buckets`` to any target
+    candidate budget; the per-anchor top-``k`` is a bounded
+    row_number window inside the (anchor, bucket) candidate set.
+    Anchors whose probed bucket holds no cross-group candidate emit
+    fewer than ``k`` rows (deterministically) — the trade every
+    bucketed sampler makes against an all-pairs scan.
+    """
+    cand = docs.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(group_col).alias("cand_grp"),
+        md5_bucket_expr(id_col, buckets=n_buckets, salt="cand").alias(
+            "bkt"
+        ),
+    )
+    anchors = docs.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(group_col).alias("anchor_grp"),
+        md5_bucket_expr(id_col, buckets=n_buckets, salt="probe").alias(
+            "bkt"
+        ),
+    )
+    ranked = (
+        anchors.join(cand, "bkt")
+        .filter(F.col("cand_grp") != F.col("anchor_grp"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit("pair"),
+                            F.col("anchor_id").cast("string"),
+                            F.col("cand_id").cast("string"),
+                        )
+                    ),
+                    F.col("cand_id"),
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= int(k))
+    )
+    return ranked.select(
+        "anchor_id", F.col("cand_id").alias("neg_id"), "rnk"
+    )

@@ -594,3 +594,101 @@ def test_ppjoin_prefix_filter_is_complete(spark, tmp_path):
         if inter and 5 * inter >= 4 * (len(sets[a]) + len(sets[b]) - inter):
             want[(a, b)] = inter
     assert got == want == {(1, 2): 8}
+
+
+# -- round-7 additions: link prediction / neighbor features / neg sampling --
+
+
+def test_link_prediction_hand_graph(spark):
+    """Kite graph: edges (1,2),(1,3),(2,3),(2,4),(3,4) — the only
+    unlinked pair is (1,4) with common neighbors {2,3} (deg 3 each),
+    so CN = 2 and RA = 2 · (10^9 div 3)."""
+    from fink_broker_spark.ext.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "u long, v long"
+    )
+    got = {(r.a, r.b): r for r in link_prediction(edges, k=10).collect()}
+    assert set(got) == {(1, 4)}
+    assert got[(1, 4)].common_neighbors == 2
+    assert got[(1, 4)].ra_scaled9 == 2 * (10**9 // 3)
+
+
+def test_link_prediction_hub_prune_and_existing_edges(spark):
+    """A star hub above max_degree routes no wedges (the scale guard),
+    and already-linked pairs never appear as candidates."""
+    from fink_broker_spark.ext.graph import link_prediction
+
+    # hub 0 connects 1..5 (deg 5); pair (1,2) also directly linked
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(star, "u long, v long")
+    # cap below the hub degree: only middle nodes 1 and 2 (deg 2) can
+    # route wedges → candidates are (0-side pairs via 1/2) minus edges
+    got = {(r.a, r.b) for r in
+           link_prediction(edges, k=100, max_degree=2).collect()}
+    # wedges through 1: (0,2)? 0-1-2 gives pair (0,2) but 0-2 is an
+    # edge; through 2: (0,1) is an edge too — nothing survives
+    assert got == set()
+    # with the hub admitted, all non-adjacent spoke pairs appear
+    got2 = {(r.a, r.b) for r in
+            link_prediction(edges, k=100, max_degree=10).collect()}
+    assert (3, 4) in got2 and (1, 2) not in got2 and (0, 1) not in got2
+
+
+def test_neighbor_feature_agg_hand_graph(spark):
+    """Path 1-2-3 with feats 10/20/30: checks 1-hop sums and that
+    2-hop walks exclude the self-return (1-2-1)."""
+    from fink_broker_spark.ext.graph import neighbor_feature_agg
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "node long, feat long"
+    )
+    rows = {r.node: r for r in
+            neighbor_feature_agg(edges, feats).collect()}
+    assert rows[1].h1_sum == 20 and rows[1].h1_n == 1
+    assert rows[2].h1_sum == 40 and rows[2].h1_n == 2
+    assert rows[3].h1_sum == 20 and rows[3].h1_n == 1
+    # 2-hop: 1→2→3 only (1→2→1 excluded); 2 has no non-returning walk
+    assert rows[1].h2_sum == 30 and rows[1].h2_n == 1
+    assert rows[2].h2_sum == 0 and rows[2].h2_n == 0
+    assert rows[3].h2_sum == 10 and rows[3].h2_n == 1
+    # fixed-point means: (sum · 10^4) div n
+    assert rows[2].h1_mean_scaled == 40 * 10_000 // 2
+    assert rows[2].h2_mean_scaled == 0
+
+
+def test_negative_sampling_contract(spark):
+    """Determinism, per-anchor bound k, cross-group-only, no self."""
+    from fink_broker_spark.ext.pipeline import negative_sampling
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 3 else "books") for i in range(60)],
+        "doc_id long, source string",
+    )
+    a = sorted(map(tuple, negative_sampling(docs, k=3, n_buckets=4).collect()))
+    b = sorted(map(tuple, negative_sampling(docs, k=3, n_buckets=4).collect()))
+    assert a == b and a  # deterministic and non-empty
+    by_anchor: dict = {}
+    src = {i: ("web" if i % 3 else "books") for i in range(60)}
+    for anchor, neg, rnk in a:
+        assert anchor != neg
+        assert src[anchor] != src[neg]
+        by_anchor.setdefault(anchor, []).append(rnk)
+    for rnks in by_anchor.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3
+
+
+def test_md5_bucket_expr_range_and_salt(spark):
+    from fink_broker_spark.ext.pipeline import md5_bucket_expr
+
+    df = spark.range(500).select(
+        md5_bucket_expr("id", buckets=8, salt="a").alias("ba"),
+        md5_bucket_expr("id", buckets=8, salt="b").alias("bb"),
+    )
+    rows = df.collect()
+    assert all(0 <= r.ba < 8 and 0 <= r.bb < 8 for r in rows)
+    # different salts decorrelate: the two bucketings must disagree
+    # on a healthy fraction of keys
+    assert sum(r.ba != r.bb for r in rows) > 300

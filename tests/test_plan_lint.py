@@ -46,6 +46,17 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "
         "broadcast",
     ),
+    "freshness_slo": (
+        {"broadcast_nested_loop_join"},
+        "1-row lake-wide high-water-mark aggregate broadcast back into "
+        "the per-type lag projection",
+    ),
+    "relational_division": (
+        {"broadcast_nested_loop_join"},
+        "1-row divisor-cardinality aggregate broadcast twice: into the "
+        "HAVING filter and into the final projection (the r7 fix — it "
+        "must survive an empty full-coverage set)",
+    ),
     "collocation_lift": (
         {"broadcast_nested_loop_join"},
         "1-row (n_tokens, n_bigrams) corpus-totals aggregates broadcast "
