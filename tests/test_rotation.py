@@ -121,7 +121,12 @@ def test_live_wiring():
     # are standing telemetry), and the r6 round proved the old invariant
     # breaks the moment a driver artifact lands after commit — a green
     # probe is pinned, not urgent (VERDICT r6, What's wrong #1).
-    urgent = (set(never) | set(read_ledger(REPO)[1])) - set(PROBE_QUERIES)
+    # intersect with the REGISTERED names: a retired query (e.g. the
+    # r7-retired hugeint canary) can leave a permanent failed row in
+    # the ledger that no window could ever contain
+    urgent = (
+        (set(never) | set(read_ledger(REPO)[1])) & set(entry._QUERIES)
+    ) - set(PROBE_QUERIES)
     free = [n for n in names[:50] if n not in PROBE_QUERIES]
     if len(urgent) <= len(free):
         missing = urgent - window
