@@ -16257,6 +16257,232 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — THE canonical Structured-Streaming
+    deployment shape (a fact stream joined to a broadcast dimension,
+    then aggregated): replay the events table as a file stream, join
+    each micro-batch to the static customer dimension on user_id, and
+    maintain running per-market-segment counts + exact value cents.
+    The oracle is the equivalent batch join+aggregate — the
+    stream ≡ batch invariant, now across a join (the reference's
+    raw2science enrichment joins static CDS catalogs into the alert
+    stream the same way).
+
+    Plan: the static side broadcasts into every micro-batch (no
+    state beyond the aggregation); streaming state is one row per
+    segment.  ``value`` pins to DOUBLE before the cent tree so a
+    DECIMAL-typed physical lake cannot change the arithmetic
+    (driftlab decimalprice rule)."""
+    configure_session(spark)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cents = F.floor(
+        F.col("value").cast("double") * 100 + F.lit(0.5)
+    ).cast("long")
+    return replay_to_table(
+        spark,
+        _stream_stage(sf_dir, "events"),
+        lambda sdf: sdf.join(F.broadcast(dim), "user_id")
+        .select("segment", cents.alias("cents"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        ),
+        output_mode="complete",
+    )
+
+
+ORACLE_STREAM_STATIC_ENRICH = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGrouped-map pandas UDF surface (the §2.12 API Spark calls
+    ``groupBy().cogroup().applyInPandas``): per user, align every order
+    to the LATEST event at-or-before the order date and aggregate the
+    matched exact cents — the feature-backfill shape (e.g. "the user's
+    last activity before each purchase") where BOTH sides of a key
+    arrive as in-memory pandas frames and the alignment is a
+    vectorized ``searchsorted``, not a join.
+
+    Determinism: timestamps enter pandas as ``unix_micros`` int64
+    (never datetime dtypes — Arrow unit drift can't bite); events are
+    pre-collapsed declaratively to one row per (user, µs) keeping the
+    max cent value, so the as-of pick is unique whatever the partition
+    order; NULL keys are excluded (a cogroup key must be a key).
+
+    The oracle is a literal DuckDB ``ASOF LEFT JOIN`` on the same
+    integers — the engine-native operator this UDF re-expresses.
+
+    Scale: the cogroup key is a 256-way md5-stable USER BUCKET, not the
+    raw user id — per-user groups mean one Python/Arrow round-trip per
+    user (measured 16 s at sf0.1 on 15k users; bucketed: 1.5 s), while
+    inside a bucket ``pd.merge_asof(by=user)`` aligns every user
+    vectorized.  Each side shuffles ONCE on the bucket; bucket state is
+    Σ per-user activity over ~|users|/256 users, and a 100 TB
+    deployment scales the bucket count with the lake exactly like
+    ``negative_sampling``'s n_buckets knob."""
+    import pandas as pd
+
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate")).alias("t_us"),
+            F.pmod(F.col("o_custkey"), F.lit(256)).alias("bkt"),
+        )
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("user_id", "t_us")
+        .agg(F.max("cents").alias("cents"))
+        .withColumn("bkt", F.pmod(F.col("user_id"), F.lit(256)))
+    )
+
+    def align(odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # bucket has events but no orders: no output rows
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "n_matched": pd.Series(dtype="int64"),
+                    "sum_matched_cents": pd.Series(dtype="int64"),
+                }
+            )
+        left = odf.sort_values(["t_us", "user_id"]).reset_index(drop=True)
+        if edf.empty:
+            left["cents"] = pd.Series(dtype="float64")
+        else:
+            right = edf.sort_values(["t_us", "user_id"]).reset_index(
+                drop=True
+            )
+            left = pd.merge_asof(
+                left,
+                right[["user_id", "t_us", "cents"]],
+                on="t_us",
+                by="user_id",
+                direction="backward",
+            )
+        g = left.groupby("user_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_orders": g.size(),
+                "n_matched": g["cents"].count(),
+                "sum_matched_cents": g["cents"].sum().fillna(0),
+            }
+        ).reset_index()
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["n_matched"] = out["n_matched"].astype("int64")
+        out["sum_matched_cents"] = out["sum_matched_cents"].astype("int64")
+        return out[
+            ["user_id", "n_orders", "n_matched", "sum_matched_cents"]
+        ]
+
+    return (
+        od.groupBy("bkt")
+        .cogroup(ev.groupBy("bkt"))
+        .applyInPandas(
+            align,
+            "user_id long, n_orders long, n_matched long, "
+            "sum_matched_cents long",
+        )
+    )
+
+
+ORACLE_COGROUP_ASOF = """
+WITH od AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us
+  FROM orders WHERE o_custkey IS NOT NULL
+), ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         MAX(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
+           AS cents
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, epoch_us(ts)
+), aligned AS (
+  SELECT od.user_id, ev.cents
+  FROM od ASOF LEFT JOIN ev
+    ON od.user_id = ev.user_id AND ev.t_us <= od.t_us
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(cents) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_matched_cents
+FROM aligned GROUP BY user_id
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a feature column (the ML
+    preprocessing transform: map each value to its empirical quantile,
+    uniform on [0, 1]) — per source, every document's ``n_chars``
+    becomes ``(rank−1)·10⁹ div (n−1)``, an exact fixed-point integer
+    on both engines (single-member groups map to 0).
+
+    Plan: ONE window shuffle on the group key carrying rank and group
+    size together.  Rank transforms inherently require a per-group
+    ordering; at 100 TB the per-source sort is the honest cost (and
+    sources partition it) — a deployment that can tolerate ±1/accuracy
+    error swaps in ``percentile_approx`` bucketing instead (the same
+    trade as ``archive/statistics.py``'s size gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "rnk",
+            F.when(
+                F.col("n") > 1,
+                F.expr(
+                    "((rnk - 1) * CAST(1000000000 AS BIGINT)) div (n - 1)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("q_scaled9"),
+        )
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, rnk,
+       CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS q_scaled9
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16537,6 +16763,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,
     "neighbor_feature_agg": q_neighbor_feature_agg,
     "negative_sampling": q_negative_sampling,
+    "stream_static_enrich": q_stream_static_enrich,
+    "cogroup_asof": q_cogroup_asof,
+    "quantile_normalize": q_quantile_normalize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -16822,6 +17051,9 @@ _ORACLES: dict[str, str] = {
     "link_prediction": ORACLE_LINK_PREDICTION,
     "neighbor_feature_agg": ORACLE_NEIGHBOR_FEATURE_AGG,
     "negative_sampling": ORACLE_NEGATIVE_SAMPLING,
+    "stream_static_enrich": ORACLE_STREAM_STATIC_ENRICH,
+    "cogroup_asof": ORACLE_COGROUP_ASOF,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
 }
 
 

@@ -731,3 +731,95 @@ def test_interval_coverage_touching_intervals_merge(spark, tmp_path):
     assert got[7].covered_us == 5 * 60_000_000  # 2 + 3 min, no overlap
     assert got[8].n_islands == 2
     assert got[8].covered_us == (4 + 5) * 60_000_000
+
+
+def test_cogroup_asof_edges(spark, tmp_path):
+    """CoGrouped-map as-of alignment: a user with orders but no events
+    emits zero matches; a user with events but no orders emits NO row
+    (oracle is orders-driven); ties at the exact order instant match
+    (<=); the pre-collapse keeps the max cent value per (user, ts)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as em
+
+    t = datetime.datetime(2024, 3, 1)
+    m = datetime.timedelta(minutes=1)
+    orders = [
+        (1, 10, t + 5 * m),   # after both events of user 10
+        (2, 10, t - 5 * m),   # before every event: no match
+        (3, 11, t),           # user with NO events
+        (4, 12, t),           # exact-tie with user 12's event
+    ]
+    events = [
+        (10, t, 1.00),
+        (10, t, 2.00),        # same µs: collapse keeps max (200 cents)
+        (10, t + 2 * m, 7.25),
+        (12, t, 3.10),        # equal to order 4's instant: matches
+        (99, t, 9.99),        # user with no orders: no output row
+    ]
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+            "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+            "o_orderdate": pa.array([o[2] for o in orders],
+                                    pa.timestamp("us")),
+        }),
+        os.path.join(tmp_path, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(1, len(events) + 1), pa.int64()),
+            "user_id": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[1] for e in events], pa.timestamp("us")),
+            "value": pa.array([e[2] for e in events], pa.float64()),
+        }),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    got = {r.user_id: r for r in
+           em.q_cogroup_asof(spark, str(tmp_path)).collect()}
+    assert set(got) == {10, 11, 12}
+    # user 10: order 1 matches the t+2m event (725), order 2 no match
+    assert got[10].n_orders == 2 and got[10].n_matched == 1
+    assert got[10].sum_matched_cents == 725
+    # user 11: orders but zero events
+    assert got[11].n_orders == 1 and got[11].n_matched == 0
+    assert got[11].sum_matched_cents == 0
+    # user 12: exact-instant tie matches; collapse picked max at same µs
+    assert got[12].n_matched == 1 and got[12].sum_matched_cents == 310
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """The streaming join+aggregate must equal the same plan run as a
+    plain batch query over the same lake (the stream ≡ batch invariant
+    across a stream-static join)."""
+    import __spark_entry__ as em
+    from fink_broker_spark.sources.parquet import load_table
+    from tests.conftest import SF0001
+
+    streamed = {
+        r.segment: (r.n_events, r.value_cents)
+        for r in em.q_stream_static_enrich(spark, SF0001).collect()
+    }
+    ev = load_table(spark, SF0001, "events")
+    cu = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = {
+        r.segment: (r.n_events, r.value_cents)
+        for r in ev.join(F.broadcast(cu), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+                .cast("long")
+            ).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert streamed == batch and streamed
