@@ -6943,7 +6943,12 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "lag",
         "n",
-        (num / F.sqrt(den_y * den_l)).alias("acf"),
+        # a constant (or single-pair) series has zero variance in one
+        # arm: acf is undefined → NULL, never a division (ANSI throws
+        # where DuckDB would emit inf/nan — driftlab sparse layout)
+        F.when(
+            (den_y > 0) & (den_l > 0), num / F.sqrt(den_y * den_l)
+        ).alias("acf"),
     )
 
 
@@ -6977,6 +6982,13 @@ g AS (
   GROUP BY event_type, lag
 )
 SELECT event_type, lag, n,
+       CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+                   - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                   AS DOUBLE) > 0
+             AND CAST(CAST(n AS DECIMAL(38,0)) * CAST(sll AS DECIMAL(38,0))
+                   - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
+                   AS DOUBLE) > 0
+       THEN
        CAST(CAST(n AS DECIMAL(38,0)) * CAST(syl AS DECIMAL(38,0))
             - CAST(sy AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
             AS DOUBLE)
@@ -6985,7 +6997,8 @@ SELECT event_type, lag, n,
                    AS DOUBLE)
               * CAST(CAST(n AS DECIMAL(38,0)) * CAST(sll AS DECIMAL(38,0))
                      - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
-                     AS DOUBLE)) AS acf
+                     AS DOUBLE))
+       END AS acf
 FROM g
 """
 
@@ -7044,7 +7057,10 @@ closed AS (
 )
 SELECT a, count(*) AS n_triangles FROM closed GROUP BY a
 UNION ALL
-SELECT CAST(NULL AS BIGINT), count(*) FROM closed
+-- engine-native rollup semantics: Spark's rollup over an EMPTY closed
+-- set emits zero rows (the Expand has no input), so the grand-total
+-- row exists only when triangles exist (driftlab sparse layout)
+SELECT CAST(NULL AS BIGINT), count(*) FROM closed HAVING count(*) > 0
 """
 
 
@@ -11971,14 +11987,18 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_edges",
             "intra_edges",
             "sum_deg_sq",
-            (
+            # EMPTY GRAPH (driftlab sparse layout): m_edges = 0 must
+            # yield NULL, not a division — Spark runs ANSI-on and
+            # throws where DuckDB's double division would give NaN
+            F.when(
+                F.col("m_edges") > 0,
                 F.col("intra_edges").cast("double") / F.col("m_edges")
                 - F.col("sum_deg_sq").cast("double")
                 / (
                     F.lit(4.0)
                     * F.col("m_edges")
                     * F.col("m_edges")
-                )
+                ),
             ).alias("modularity"),
         )
     )
@@ -12035,9 +12055,10 @@ dsq AS (
   )
 )
 SELECT m_edges, intra_edges, sum_deg_sq,
-       CAST(intra_edges AS DOUBLE) / m_edges
-         - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m_edges * m_edges)
-         AS modularity
+       CASE WHEN m_edges > 0 THEN
+         CAST(intra_edges AS DOUBLE) / m_edges
+           - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m_edges * m_edges)
+       END AS modularity
 FROM m_cnt, intra, dsq
 """
 

@@ -45,6 +45,13 @@ cannot see physical-layout drift. This module closes that gap:
      EWMA and modulo expressions.  All fixed by pinning the value
      column to DOUBLE at staging on BOTH sides (a no-op on double
      lakes).
+   - ``sparse`` (round 7) — fact tables decimated to ~1-in-K rows
+     (dimensions whole, ``_SPARSE_KEEP_1_IN``): manufactures EMPTY
+     intermediate sets (full-coverage sets, funnel completions,
+     candidate pools) — the empty-input row-shape class where a Spark
+     aggregate over zero rows (NULL max, missing row) and an oracle
+     scalar subquery can disagree (ADVICE r6's relational_division
+     NULL divisor; the r6 set_ops_all fix).
 
 2. **Parity sweep** — the same repr-hash compare the external driver
    runs (vanilla SparkSession vs DuckDB views), pointed at a variant
@@ -122,6 +129,21 @@ _MONEY_COLS = frozenset(
 )
 
 
+#: ``sparse`` layout: fact tables keep ~1-in-K rows (dimensions stay
+#: whole).  The goal is EMPTY intermediate sets — full-coverage sets,
+#: funnel completions, cross-source candidate pools — the row-shape
+#: class where a Spark aggregate over zero rows and an oracle scalar
+#: subquery can disagree (ADVICE r6: relational_division; r6 fix:
+#: set_ops_all).
+_SPARSE_KEEP_1_IN = {
+    "orders": 20,
+    "lineitem": 20,
+    "events": 20,
+    "documents": 10,
+    "embeddings": 10,
+}
+
+
 def _rng_ints(seed: int, tag: str, n: int, mod: int):
     """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
     variant content depends only on (seed, tag, row index)."""
@@ -147,6 +169,15 @@ def generate_variant(
     os.makedirs(dest, exist_ok=True)
     for name in LAKE_TABLES:
         t = pq.read_table(os.path.join(src_sf_dir, f"{name}.parquet"))
+        if layout == "sparse" and name in _SPARSE_KEEP_1_IN:
+            # decimate the FACT tables (dims stay whole): harsh
+            # sparsity manufactures EMPTY intermediate sets — the
+            # empty-input row-shape class (relational_division's NULL
+            # divisor, set_ops_all's vanished row) that no dense lake
+            # can reproduce.  Deterministic per (seed, table).
+            k = _SPARSE_KEEP_1_IN[name]
+            keep = _rng_ints(seed, f"sparse.{name}", len(t), k) == 0
+            t = t.filter(pa.array(keep, type=pa.bool_()))
         cols = {}
         for field in t.schema:
             col = t.column(field.name)
@@ -391,7 +422,7 @@ def main(argv=None) -> int:
         "--layouts", nargs="+", default=["nanos", "boundary"],
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
-            "decimalprice",
+            "decimalprice", "sparse",
         ],
     )
     p.add_argument(

@@ -97,6 +97,15 @@ def brute_force_topk_kernel(
     bit-exact oracle parity matters.
     """
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf.empty:
+        # empty query set (driftlab sparse layout): np.array over zero
+        # vectors collapses to 1-D and every axis-1 reduction explodes —
+        # the correct answer is simply no rows
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} bigint, {id_col} bigint, cosine double, "
+            "rank integer",
+        )
     qids = qpdf[id_col].to_numpy()
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -525,6 +534,14 @@ def pq_topk(
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     qpd = queries.select(id_col, vec_col).toPandas()
+    if qpd.empty:
+        # empty query set (driftlab sparse layout): the LUT stack would
+        # index a 1-D empty matrix; no queries → no rows
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id bigint, {id_col} bigint, cosine double, "
+            "rank integer",
+        )
     qids = qpd[id_col].to_numpy()
     qx = np.array([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]])
     # per-query, per-subspace, per-code squared-distance lookup tables

@@ -96,6 +96,12 @@ def triangle_counts(edges: DataFrame, regime: str = "auto") -> DataFrame:
     The rollup gives both groupings in ONE aggregation — a union of two
     groupBys would re-execute the whole wedge/closure pipeline twice
     (anchor ids are never null, so the NULL row is unambiguous).
+
+    Empty-graph contract: a triangle-free graph returns an EMPTY
+    DataFrame — engine-native rollup semantics (the Expand has no
+    input rows), NOT a (NULL, 0) grand-total row; consumers wanting
+    the explicit zero should coalesce driver-side (driftlab ``sparse``
+    layout pins this on both engines).
     """
     closed = triangle_closure(edges, regime)
     return closed.rollup("a").agg(F.count(F.lit(1)).alias("n_triangles"))

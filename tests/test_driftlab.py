@@ -92,6 +92,18 @@ DECIMALPRICE_REGRESSIONS = [
     "anomaly_scores",
     "mad_scores",
 ]
+#: the 3 queries the first sparse (empty-intermediate-set) sweep split
+#: in round 7: ANSI divide-by-zero on an empty graph's 2m total, and
+#: Spark rollup-over-empty emitting zero rows where the oracle's
+#: unconditional UNION ALL grand total emitted (NULL, 0); plus the two
+#: r6-era empty-input fixes the layout exists to guard
+SPARSE_REGRESSIONS = [
+    "graph_modularity",
+    "triangle_count",
+    "triangle_count_merge",
+    "relational_division",
+    "set_ops_all",
+]
 
 
 @pytest.mark.parametrize(
@@ -102,6 +114,7 @@ DECIMALPRICE_REGRESSIONS = [
         ("int32keys", INT32KEYS_REGRESSIONS),
         ("nullfk", NULLFK_REGRESSIONS),
         ("decimalprice", DECIMALPRICE_REGRESSIONS),
+        ("sparse", SPARSE_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(

@@ -823,3 +823,24 @@ def test_stream_static_enrich_equals_batch(spark):
         .collect()
     }
     assert streamed == batch and streamed
+
+
+def test_ann_empty_query_set_returns_empty(spark):
+    """An empty query set (driftlab sparse layout) must return an empty
+    frame with the standard top-k schema, not explode on 1-D numpy
+    arrays (r7 sparse-sweep finding)."""
+    from fink_broker_spark.ext.ann import (
+        brute_force_topk_kernel,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF0001, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0)
+    got = brute_force_topk_kernel(emb, none, k=5)
+    assert got.count() == 0
+    assert set(got.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    books = pq_codebooks(emb, m=8, ncodes=16, sample_size=200)
+    got2 = pq_topk(emb, none, books, k=5, refine=20)
+    assert got2.count() == 0
+    assert set(got2.columns) == {"query_id", "vec_id", "cosine", "rank"}
