@@ -16354,13 +16354,23 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``negative_sampling``'s n_buckets knob."""
     import pandas as pd
 
+    from fink_broker_spark.ext.pipeline import md5_bucket_expr
+
+    # md5-stable routing (NOT pmod on the raw id: strided surrogate
+    # keys — e.g. all multiples of 256 — would funnel every user into
+    # one bucket and recreate the unbounded per-group frame the
+    # bucketing exists to bound).  Spark-side only; the oracle output
+    # is per-user and never sees the bucket.
+    def _bkt(col):
+        return md5_bucket_expr(col, buckets=256, salt="cga")
+
     od = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_custkey").isNotNull())
         .select(
             F.col("o_custkey").alias("user_id"),
             F.unix_micros(F.col("o_orderdate")).alias("t_us"),
-            F.pmod(F.col("o_custkey"), F.lit(256)).alias("bkt"),
+            _bkt("o_custkey").alias("bkt"),
         )
     )
     ev = (
@@ -16375,7 +16385,7 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "t_us")
         .agg(F.max("cents").alias("cents"))
-        .withColumn("bkt", F.pmod(F.col("user_id"), F.lit(256)))
+        .withColumn("bkt", _bkt("user_id"))
     )
 
     def align(odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
@@ -16493,7 +16503,7 @@ ORACLE_QUANTILE_NORMALIZE = """
 WITH r AS (
   SELECT doc_id, source,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY n_chars, doc_id) AS rnk,
+                            ORDER BY n_chars NULLS FIRST, doc_id) AS rnk,
          COUNT(*) OVER (PARTITION BY source) AS n
   FROM documents
 )

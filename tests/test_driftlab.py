@@ -101,6 +101,7 @@ SPARSE_REGRESSIONS = [
     "graph_modularity",
     "triangle_count",
     "triangle_count_merge",
+    "autocorrelation",
     "relational_division",
     "set_ops_all",
 ]

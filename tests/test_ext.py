@@ -753,6 +753,8 @@ def test_cogroup_asof_edges(spark, tmp_path):
         (2, 10, t - 5 * m),   # before every event: no match
         (3, 11, t),           # user with NO events
         (4, 12, t),           # exact-tie with user 12's event
+        (5, 10, t + 1 * m),   # as-of pick IS the duplicated instant t:
+                              # must see the MAX collapse (200 cents)
     ]
     events = [
         (10, t, 1.00),
@@ -782,9 +784,11 @@ def test_cogroup_asof_edges(spark, tmp_path):
     got = {r.user_id: r for r in
            em.q_cogroup_asof(spark, str(tmp_path)).collect()}
     assert set(got) == {10, 11, 12}
-    # user 10: order 1 matches the t+2m event (725), order 2 no match
-    assert got[10].n_orders == 2 and got[10].n_matched == 1
-    assert got[10].sum_matched_cents == 725
+    # user 10: order 1 matches the t+2m event (725); order 2 no match;
+    # order 5's as-of pick is the duplicated instant t, whose collapse
+    # must keep the MAX value (200 cents, not 100)
+    assert got[10].n_orders == 3 and got[10].n_matched == 2
+    assert got[10].sum_matched_cents == 725 + 200
     # user 11: orders but zero events
     assert got[11].n_orders == 1 and got[11].n_matched == 0
     assert got[11].sum_matched_cents == 0
