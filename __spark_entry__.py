@@ -2723,7 +2723,12 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window partitioned by type + one aggregate; the scale caveat is
     the per-partition sort inside the window, which is the textbook
     trade for exact equi-depth (the sketch twin is ``approx_quantiles``)."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values have no position in a value distribution — and their
+    # ORDER BY placement differs across engines (Spark ASC NULLS FIRST,
+    # DuckDB NULLS LAST), shifting every bucket (driftlab nullmeasure)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         ev.withColumn("decile", F.ntile(10).over(w))
@@ -2742,7 +2747,7 @@ FROM (
   SELECT event_type, value,
          ntile(10) OVER (PARTITION BY event_type
              ORDER BY value, event_id) AS decile
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 GROUP BY event_type, decile
 """
@@ -2808,7 +2813,11 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string")
     class ChunkUDTF:
         def eval(self, text: str):
-            text = text or ""
+            if text is None:
+                # mirror the declarative twin: substr/md5 of NULL text
+                # propagate NULL, one placeholder row (nullmeasure lake)
+                yield (0, None, None)
+                return
             for start in range(0, max(len(text), 1), 150):
                 chunk = text[start : start + 200]
                 yield (
@@ -2981,6 +2990,9 @@ def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load_table(spark, sf_dir, "events")
+        # a NULL value cannot cluster (and its pandas NaN would sort
+        # differently from the oracle's NULL — driftlab nullmeasure)
+        .filter(F.col("value").isNotNull())
         .withColumn("ts_us", nanos_to_micros("ts_ns"))
         .withColumn(
             "hour",
@@ -3006,7 +3018,7 @@ def q_tracklet_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRACKLETS = """
 WITH g AS (
   SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, event_id, value
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), lagged AS (
   SELECT hour, value, event_id,
          lag(value) OVER (PARTITION BY hour ORDER BY value, event_id) AS prev
@@ -3854,8 +3866,10 @@ def q_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking functions ``window_suite`` doesn't carry. Both fractions
     are exact rationals of (rank, n) so the doubles agree bit-for-bit;
     the unique event_id tie-break pins every position."""
+    # NULL values excluded: no rank position, and cross-engine ASC NULL
+    # placement differs (driftlab nullmeasure)
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_id") < 2000
+        (F.col("event_id") < 2000) & F.col("value").isNotNull()
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3877,7 +3891,7 @@ SELECT event_type, event_id, value,
            ORDER BY value, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_low
 FROM events
-WHERE event_id < 2000
+WHERE event_id < 2000 AND value IS NOT NULL
 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
@@ -5502,7 +5516,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines compute from mirrored op trees (the
     ``text_quality`` parity discipline), so comparisons and ``max``
     agree bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no fingerprint and no quality — excluded on both
+    # sides (a NULL q inside the max_by struct would compare by
+    # engine-specific NULL rules — driftlab nullmeasure)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     from fink_broker_spark.functions.text import (
         fingerprint_expr,
         quality_score_expr,
@@ -5533,7 +5552,7 @@ WITH t AS (
                    / CAST(length(text) AS DOUBLE) END AS punct_ratio,
          len(regexp_extract_all(lower(text),
              '\b(the|a|an|and|or|of|to|in|is|it|on|for)\b')) AS stop_hits
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 staged AS (
   SELECT doc_id, fp,
@@ -14009,7 +14028,11 @@ def q_length_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grid quantiles (conditional MIN under integer thresholds), then
     one re-aggregation against the chosen cap; every output is an
     integer or a double division of exact sums."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no token length; its NULL n_tok would also ride the
+    # cumulative ORDER BY with engine-different placement (nullmeasure)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     lens = docs.select(
         "source", token_count_expr("text").cast("long").alias("n_tok")
     )
@@ -14071,7 +14094,7 @@ WITH lens AS (
          CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
               ELSE len(string_split_regex(trim(lower(text)), '\s+'))
               END AS BIGINT) AS n_tok
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 grid AS (
   SELECT source, n_tok, count(*) AS cnt FROM lens GROUP BY 1, 2

@@ -52,6 +52,18 @@ cannot see physical-layout drift. This module closes that gap:
      aggregate over zero rows (NULL max, missing row) and an oracle
      scalar subquery can disagree (ADVICE r6's relational_division
      NULL divisor; the r6 set_ops_all fix).
+   - ``nullmeasure`` (round 7) — ~2 % NULLs injected into MEASURE
+     columns (``events.value``, ``customer.c_acctbal``,
+     ``documents.n_chars``, ``documents.text``), the class ``nullfk``'s
+     key injection misses.  First sweep found 7 real latent reds, all
+     of one family: a NULLable expression reaching an ASC ORDER BY
+     (Spark defaults NULLS FIRST, DuckDB NULLS LAST — ntile buckets,
+     rank fractions, and cumulative grids all shift), plus NULL-text
+     coercion drift in a UDTF, pandas NaN sort order in a grouped-map,
+     and a numpy crash on NULL arrays.  Fix pattern: NULL measures are
+     EXCLUDED from distributional operators on both sides (a NULL has
+     no position in a value distribution), and imperative paths mirror
+     the declarative NULL propagation.
 
 2. **Parity sweep** — the same repr-hash compare the external driver
    runs (vanilla SparkSession vs DuckDB views), pointed at a variant
@@ -218,6 +230,29 @@ def generate_variant(
                     cols[field.name] = col  # would not round-trip
                 else:
                     cols[field.name] = col.cast(pa.int32())
+            elif (
+                layout == "nullmeasure"
+                and (field.name, name)
+                in {
+                    ("value", "events"),
+                    ("c_acctbal", "customer"),
+                    ("n_chars", "documents"),
+                    ("text", "documents"),
+                }
+            ):
+                # ~2 % NULLs into MEASURE columns (the class nullfk's
+                # key injection misses): NULL measures exercise
+                # aggregate-skip semantics, FLOOR(NULL) propagation,
+                # and — the latent killer — ASC orderings over derived
+                # NULLable expressions, where Spark defaults NULLS
+                # FIRST and DuckDB NULLS LAST
+                pick = _rng_ints(
+                    seed, f"nullm.{name}.{field.name}", len(t), 50
+                )
+                mask = pa.array((pick == 0), type=pa.bool_())
+                cols[field.name] = pc.if_else(
+                    mask, pa.scalar(None, type=field.type), col
+                )
             elif (
                 layout == "nullfk"
                 and (field.name, name)
@@ -422,7 +457,7 @@ def main(argv=None) -> int:
         "--layouts", nargs="+", default=["nanos", "boundary"],
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
-            "decimalprice", "sparse",
+            "decimalprice", "sparse", "nullmeasure",
         ],
     )
     p.add_argument(

@@ -298,6 +298,8 @@ def simhash_pairs(
         shifts = np.arange(nbits, dtype=np.uint64)
         out = np.zeros(len(hs), dtype=np.int64)
         for i, h in enumerate(hs):
+            if h is None:  # NULL text → NULL shingles (nullmeasure lake)
+                continue
             a = np.asarray(h, dtype=np.int64).view(np.uint64)
             if a.size == 0:
                 continue
@@ -310,7 +312,10 @@ def simhash_pairs(
         return pd.Series(out)
 
     base = (
-        docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        # NULL text carries no signature: exclude the doc (parity with
+        # every other near-dup family, and the vote UDF's None guard)
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(
             F.col(id_col),
             shingles_from_tokens_expr("__toks", n).alias("__sh"),

@@ -105,6 +105,22 @@ SPARSE_REGRESSIONS = [
     "relational_division",
     "set_ops_all",
 ]
+#: the 7 queries the first nullmeasure (~2 % NULLs in value / c_acctbal
+#: / n_chars / text) sweep split in round 7: ASC orderings over NULLable
+#: expressions (Spark NULLS FIRST vs DuckDB NULLS LAST shifting ntile
+#: buckets / rank fractions / cumulative grids), a UDTF coercing NULL
+#: text to '' where substr/md5 propagate NULL, pandas NaN sort order in
+#: the grouped-map clusterer, max_by over a NULL-quality struct, and a
+#: numpy crash on NULL shingle arrays
+NULLMEASURE_REGRESSIONS = [
+    "equidepth_histogram",
+    "distribution_ranks",
+    "length_caps",
+    "dedup_keep_best",
+    "doc_chunks_udtf",
+    "tracklet_clusters",
+    "simhash_neardup",
+]
 
 
 @pytest.mark.parametrize(
@@ -116,6 +132,7 @@ SPARSE_REGRESSIONS = [
         ("nullfk", NULLFK_REGRESSIONS),
         ("decimalprice", DECIMALPRICE_REGRESSIONS),
         ("sparse", SPARSE_REGRESSIONS),
+        ("nullmeasure", NULLMEASURE_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(
@@ -124,7 +141,14 @@ def test_layout_variants_keep_parity(
     out = str(tmp_path_factory.mktemp("driftlab"))
     dest = generate_variant("/root/testdata/sf0.001", out, 1, layout)
     res = run_parity(dest, subset, spark=spark, entry_module=entry_module)
-    bad = {k: v for k, v in res.items() if v != "ok"}
+    # rows-only means the (oracle-less) query RAN and produced a count —
+    # exactly what the simhash nullmeasure regression pins (its failure
+    # mode was a numpy crash, not a hash split)
+    bad = {
+        k: v
+        for k, v in res.items()
+        if v != "ok" and not v.startswith("rows-only")
+    }
     assert not bad, f"{layout} variant split the engines: {bad}"
 
 
