@@ -5600,7 +5600,13 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_mean_price,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL price/quantity rows excluded on both sides (nullmeasure):
+    # the UDAF's numpy path would turn NULLs into NaNs inside int
+    # casts, and the SQL twin's pairwise NULL-skip differs from n
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
     # floor(x + 0.5), not rint: convention-free on .5 ties (see
     # q_product_profit note); the UDAF uses the same tree internally
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
@@ -5635,6 +5641,7 @@ WITH t AS (
          CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
          CAST(epoch(l_shipdate) AS BIGINT) AS ep
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
@@ -8805,7 +8812,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_concurrency sweep handles; here the window input is the raw
     fact table, so the scale path would pre-aggregate per (flag,
     cents) first (noted, driver scale keeps the direct form)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL price/quantity rows carry no weight and would ride the cents
+    # ordering with engine-different NULL placement (nullmeasure)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
     t = li.select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
@@ -8851,6 +8863,7 @@ WITH t AS (
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ), g AS (
   SELECT l_returnflag, cents, SUM(w) AS w
   FROM t GROUP BY l_returnflag, cents
@@ -8879,7 +8892,11 @@ def q_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     every customer through two sequential partitions at 100 TB). The
     reference years derive from the data (max order year), so the
     query is layout-regeneration-proof. Integer-exact end-to-end."""
-    o = load_table(spark, sf_dir, "orders")
+    # NULL totalprice orders excluded: an all-NULL (cust, yr) group's
+    # NULL rev_cents would rank with engine-different NULL placement
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     rev = (
         o.select(
             "o_custkey",
@@ -8932,7 +8949,7 @@ ORACLE_RANK_DELTA = """
 WITH rev AS (
   SELECT o_custkey, year(o_orderdate) AS yr,
          SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
-  FROM orders GROUP BY 1, 2
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
 ), ym AS (
   SELECT MAX(yr) AS ymax FROM rev
 ), cur AS (
@@ -9109,7 +9126,12 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), a 1-row output — no per-row ranking ever happens."""
     li = load_table(spark, sf_dir, "lineitem")
     t = (
-        li.filter(F.col("l_returnflag").isin("R", "A"))
+        # NULL prices have no rank (nullmeasure: NULL grid row would
+        # sort with engine-different placement)
+        li.filter(
+            F.col("l_returnflag").isin("R", "A")
+            & F.col("l_extendedprice").isNotNull()
+        )
         .select(
             F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
             .cast("long")
@@ -9174,7 +9196,8 @@ WITH t AS (
   SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1,
          SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n2
-  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL
   GROUP BY 1
 ), grid AS (
   SELECT cents, n1, n2, n1 + n2 AS tt,
@@ -10101,7 +10124,10 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped mean over exact integers. Reports the clip counts too.
     Two passes over the value grid, one broadcast of the 3-row bounds
     table back onto the grid — the fact table shuffles once."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL prices excluded: no grid position (nullmeasure)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     t = li.select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
@@ -10153,7 +10179,7 @@ ORACLE_WINSORIZED_STATS = """
 WITH t AS (
   SELECT l_returnflag,
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), grid AS (
   SELECT l_returnflag, cents, count(*) AS cnt
   FROM t GROUP BY 1, 2
@@ -12926,7 +12952,10 @@ def q_quartile_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value grid stays bounded; quartiles are conditional MINs under
     pure-integer thresholds; the skewness is one fixed double tree
     over three exact integers."""
-    o = load_table(spark, sf_dir, "orders")
+    # NULL totalprice excluded: no grid position (nullmeasure)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     vals = o.select(
         "o_orderpriority",
         F.expr(
@@ -12978,7 +13007,7 @@ WITH vals AS (
   SELECT o_orderpriority,
          CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 100
            AS dollars
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 grid AS (
   SELECT o_orderpriority, dollars, count(*) AS cnt
@@ -14141,7 +14170,11 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     table), and each window's median is the grid-exact conditional
     MIN. Emits month-level summaries (mean/max of the rolling median)
     to keep the output bounded. Exact integers + one double mean."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # NULL prices excluded: an all-NULL day's NULL rev would ride the
+    # median ordering with engine-different placement (nullmeasure)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     daily = (
         li.select(
             _day("l_shipdate").alias("d"),
@@ -14193,7 +14226,7 @@ WITH daily AS (
   SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
            AS d,
          SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 ),
 win AS (
   SELECT a.d AS td, b.rev, b.d
@@ -14226,8 +14259,13 @@ def q_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically to the full series. First/last resolve through
     min_by/max_by on the exact day key (engine-deterministic: one
     value per day by construction); all values exact cents. One
-    day-grid collapse + one week aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
+    day-grid collapse + one week aggregate.  NULL prices excluded: an
+    all-NULL day's NULL rev would flow into MIN/MAX with engine-equal
+    skip semantics but min_by/max_by NULL payloads differ
+    (nullmeasure)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     daily = (
         li.select(
             _day("l_shipdate").alias("d"),
@@ -14256,7 +14294,7 @@ WITH daily AS (
   SELECT CAST(FLOOR(epoch_us(l_shipdate) / 86400000000) AS BIGINT)
            AS d,
          SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
 )
 SELECT d // 7 AS week, count(*) AS n_days,
        MIN_BY(rev, d) AS open_cents,

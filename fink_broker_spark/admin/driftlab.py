@@ -238,6 +238,10 @@ def generate_variant(
                     ("c_acctbal", "customer"),
                     ("n_chars", "documents"),
                     ("text", "documents"),
+                    ("l_extendedprice", "lineitem"),
+                    ("l_quantity", "lineitem"),
+                    ("l_discount", "lineitem"),
+                    ("o_totalprice", "orders"),
                 }
             ):
                 # ~2 % NULLs into MEASURE columns (the class nullfk's

@@ -49,10 +49,14 @@ def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
     prices/quantities here are non-negative by data contract. For
     signed inputs use ``sign(x) * floor(abs(x) + 0.5)`` on BOTH sides.
     """
-    cents = np.floor(
-        price.to_numpy(dtype="float64") * 100.0 + 0.5
-    ).astype("int64")
-    q = np.floor(qty.to_numpy(dtype="float64") + 0.5).astype("int64")
+    p = price.to_numpy(dtype="float64")
+    q_raw = qty.to_numpy(dtype="float64")
+    # pairwise NULL exclusion (SQL SUM(cents*qty) semantics): a NULL
+    # price or quantity arrives as NaN and would poison the int casts
+    # (driftlab nullmeasure)
+    keep = ~(np.isnan(p) | np.isnan(q_raw))
+    cents = np.floor(p[keep] * 100.0 + 0.5).astype("int64")
+    q = np.floor(q_raw[keep] + 0.5).astype("int64")
     den = int(q.sum()) * 100
     if den == 0:
         return float("nan")

@@ -120,6 +120,17 @@ NULLMEASURE_REGRESSIONS = [
     "doc_chunks_udtf",
     "tracklet_clusters",
     "simhash_neardup",
+    # second wave (layout extended to lineitem/orders money columns):
+    # NULL cents/rev reaching grid orderings, min_by/max_by NULL
+    # payloads, and NaN poisoning in the GROUPED_AGG UDAF's int casts
+    "weighted_median",
+    "rank_delta",
+    "mannwhitney_u",
+    "winsorized_stats",
+    "quartile_skewness",
+    "rolling_median",
+    "ohlc_weekly",
+    "grouped_agg_udaf",
 ]
 
 
