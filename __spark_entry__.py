@@ -3749,12 +3749,19 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-indexed approximate cosine top-k (scale path beside the
     brute-force baseline; recall vs exact asserted in tests/test_ext.py).
     Rows-only driver check: cell probing is index-dependent."""
-    from fink_broker_spark.ext.ann import ivf_topk
+    from fink_broker_spark.ext.ann import EmptyCorpusError, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4
-    )
+    try:
+        out = ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=16, nprobe=4
+        )
+    except EmptyCorpusError:
+        # "first night" lake (driftlab emptystream): no vectors, no
+        # index to fit — the answer is an empty top-k, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rnk int"
+        )
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("int").alias("rnk")
     )
@@ -3768,10 +3775,20 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are read exactly. Rows-only driver check (codebook fit is
     engine-specific); recall ≥ 0.6 and the refine=n ≡ brute-force
     equality are asserted in tests/test_ext.py."""
-    from fink_broker_spark.ext.ann import pq_codebooks, pq_topk
+    from fink_broker_spark.ext.ann import (
+        EmptyCorpusError,
+        pq_codebooks,
+        pq_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb, m=8, ncodes=16, sample_size=1024)
+    try:
+        books = pq_codebooks(emb, m=8, ncodes=16, sample_size=1024)
+    except EmptyCorpusError:
+        # empty lake: no codebooks to fit, no neighbors (emptystream)
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rnk int"
+        )
     out = pq_topk(
         emb, emb.filter(F.col("vec_id") < 10), books, k=5, refine=50
     )
@@ -4324,10 +4341,17 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: scalar ``(vec_id, component_idx, coord)`` rows — the vector
     is posexploded so the driver's rows-only canonicalizer (a pandas
     sort over all columns) never meets an unhashable array cell."""
+    from fink_broker_spark.ext.ann import EmptyCorpusError
     from fink_broker_spark.ext.pca import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = pca_project(emb, k=4)
+    try:
+        proj = pca_project(emb, k=4)
+    except EmptyCorpusError:
+        # empty lake: no moments to fit (emptystream)
+        return spark.createDataFrame(
+            [], "vec_id long, component_idx int, coord double"
+        )
     return proj.select(
         "vec_id", F.posexplode("pca").alias("component_idx", "coord")
     ).select("vec_id", "component_idx", F.round("coord", 6).alias("coord"))
@@ -5668,10 +5692,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI-expressible, so no DuckDB oracle exists for the cluster
     labels. This mirrors ``ivf_ann_topk``'s whitelisting.
     """
+    from fink_broker_spark.ext.ann import EmptyCorpusError
     from fink_broker_spark.ext.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    flags = semantic_dedup(emb, threshold=0.95, nlist=8, seed=42)
+    try:
+        flags = semantic_dedup(emb, threshold=0.95, nlist=8, seed=42)
+    except EmptyCorpusError:
+        # empty lake: nothing to cluster (emptystream)
+        return spark.createDataFrame(
+            [], "cluster int, n_items long, n_kept long"
+        )
     return flags.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -9004,9 +9035,14 @@ def q_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("total"),
     )
-    diff = F.abs(
-        F.col("cumn").cast("double") / F.col("total").cast("double")
-        - (F.col("dow") + 1).cast("double") / F.lit(7.0)
+    # an empty lake has no empirical CDF: ks_stat is NULL, never a
+    # division (ANSI throws where DuckDB gives NaN — emptystream)
+    diff = F.when(
+        F.col("total") > 0,
+        F.abs(
+            F.col("cumn").cast("double") / F.col("total").cast("double")
+            - (F.col("dow") + 1).cast("double") / F.lit(7.0)
+        ),
     )
     return cum.groupBy("total").agg(F.max(diff).alias("ks_stat")).select(
         F.col("total").alias("n_events"), "ks_stat"
@@ -9031,8 +9067,9 @@ WITH observed AS (
   FROM counts
 )
 SELECT total AS n_events,
-       MAX(ABS(CAST(cumn AS DOUBLE) / CAST(total AS DOUBLE)
-               - CAST(dow + 1 AS DOUBLE) / 7.0)) AS ks_stat
+       MAX(CASE WHEN total > 0 THEN
+           ABS(CAST(cumn AS DOUBLE) / CAST(total AS DOUBLE)
+               - CAST(dow + 1 AS DOUBLE) / 7.0) END) AS ks_stat
 FROM cum GROUP BY total
 """
 

@@ -64,6 +64,11 @@ cannot see physical-layout drift. This module closes that gap:
      EXCLUDED from distributional operators on both sides (a NULL has
      no position in a value distribution), and imperative paths mirror
      the declarative NULL propagation.
+   - ``emptystream`` (round 7) — zero-row events/documents/embeddings
+     with full schemas (the "first night" operational state): model
+     fits must return the empty answer, not crash (EmptyCorpusError →
+     empty-schema fast paths), and no statistic may divide by an empty
+     total under ANSI.
 
 2. **Parity sweep** — the same repr-hash compare the external driver
    runs (vanilla SparkSession vs DuckDB views), pointed at a variant
@@ -181,6 +186,17 @@ def generate_variant(
     os.makedirs(dest, exist_ok=True)
     for name in LAKE_TABLES:
         t = pq.read_table(os.path.join(src_sf_dir, f"{name}.parquet"))
+        if layout == "emptystream" and name in (
+            "events",
+            "documents",
+            "embeddings",
+        ):
+            # the "first night" operational state: the ingest-facing
+            # tables exist with their full schema but ZERO rows (a lake
+            # bootstrapped before any stream lands).  Every aggregate
+            # over them must agree on the empty answer — the extreme
+            # end of the ``sparse`` class.
+            t = t.slice(0, 0)
         if layout == "sparse" and name in _SPARSE_KEEP_1_IN:
             # decimate the FACT tables (dims stay whole): harsh
             # sparsity manufactures EMPTY intermediate sets — the
@@ -461,7 +477,7 @@ def main(argv=None) -> int:
         "--layouts", nargs="+", default=["nanos", "boundary"],
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
-            "decimalprice", "sparse", "nullmeasure",
+            "decimalprice", "sparse", "nullmeasure", "emptystream",
         ],
     )
     p.add_argument(

@@ -27,6 +27,16 @@ from fink_broker_spark.functions.vector import cosine_expr
 from fink_broker_spark.operators.relational import top_k_per_group
 
 
+class EmptyCorpusError(ValueError):
+    """A model-fitting operator received ZERO vectors.
+
+    Raised by the sampling/fit helpers (k-means centroids, PQ
+    codebooks, PCA moments) so registered queries can give the
+    empty-lake answer — an empty result with the right schema — instead
+    of a crashed driver row (driftlab ``emptystream`` layout: the
+    "first night" lake has the tables but no rows yet)."""
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -211,7 +221,7 @@ def kmeans_centroids(
         .toPandas()  # Arrow transfer: ~10× faster than row collect here
     )
     if sample.empty:
-        raise ValueError("kmeans_centroids: empty corpus")
+        raise EmptyCorpusError("kmeans_centroids: empty corpus")
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     rng = np.random.default_rng(seed)
     # k-means++ seeding: first center uniform, then ~ D^2 weighting
@@ -436,7 +446,7 @@ def pq_codebooks(
         .toPandas()
     )
     if sample.empty:
-        raise ValueError("pq_codebooks: empty corpus")
+        raise EmptyCorpusError("pq_codebooks: empty corpus")
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     dim = x.shape[1]
     if dim % m:

@@ -25,6 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from fink_broker_spark.ext.ann import EmptyCorpusError
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -65,7 +66,7 @@ def fit_pca_model(
         moments, "n bigint, s array<double>, g array<double>"
     ).collect()
     if not partials:
-        raise ValueError("fit_pca_model: empty corpus")
+        raise EmptyCorpusError("fit_pca_model: empty corpus")
     n = sum(p["n"] for p in partials)
     s = np.sum([np.asarray(p["s"]) for p in partials], axis=0)
     d = len(s)

@@ -134,6 +134,20 @@ NULLMEASURE_REGRESSIONS = [
 ]
 
 
+#: the 5 queries the first emptystream ("first night" zero-row
+#: events/documents/embeddings) sweep broke in round 7: model fits
+#: crashing on an empty corpus instead of returning the empty answer
+#: (now EmptyCorpusError → empty-schema fast path) and a KS statistic
+#: dividing by a zero event total under ANSI
+EMPTYSTREAM_REGRESSIONS = [
+    "pq_ann_topk",
+    "semantic_dedup",
+    "ivf_ann_topk",
+    "embedding_pca",
+    "ks_uniformity",
+]
+
+
 @pytest.mark.parametrize(
     ("layout", "subset"),
     [
@@ -144,6 +158,7 @@ NULLMEASURE_REGRESSIONS = [
         ("decimalprice", DECIMALPRICE_REGRESSIONS),
         ("sparse", SPARSE_REGRESSIONS),
         ("nullmeasure", NULLMEASURE_REGRESSIONS),
+        ("emptystream", EMPTYSTREAM_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(
