@@ -37,7 +37,9 @@ from fink_broker_spark.ext.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_portable,
     simhash_pairs,
+    simhash_pairs_portable,
 )
 from fink_broker_spark.functions.text import (
     bpe_token_count_expr,
@@ -1240,6 +1242,147 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; pytest checks overlap with exact Jaccard pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3, n=2)
+
+
+def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with the md5-portable hash family — the
+    exact-value-oracled twin of ``minhash_lsh_neardup`` (whose xxhash64
+    signatures cannot be replayed in ANSI SQL).  Same pipeline shape:
+    16-min signature, 4 bands of 4, band-bucket candidate join, exact
+    Jaccard ≥ 0.5 verification; the DuckDB oracle re-derives the same
+    hash bits, so banding semantics (not just row counts) sit under the
+    correctness gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(
+        docs, num_hashes=16, nbands=4, n=3, threshold=0.5
+    )
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball pairs with the md5-portable 32-bit signature —
+    the exact-value-oracled twin of ``simhash_neardup``.  Pigeonhole
+    banding (4 bands of 8 bits, max hamming 3 < 4 bands → exact recall),
+    hamming via ``bit_count(xor)`` on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_portable(
+        docs, max_hamming=3, nbits=32, nbands=4, n=2
+    )
+
+
+def _oracle_minhash_lsh_portable(
+    num_hashes: int = 16, nbands: int = 4, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs_portable` — the 16 MIN
+    aggregates and 4 band hashes are generated from the same parameters
+    the Spark plan uses, so the two sides cannot drift independently."""
+    rpb = num_hashes // nbands
+    mins = ",\n         ".join(
+        f"MIN(CAST('0x' || substr(md5('{i}#' || shingle), 1, 15) AS BIGINT))"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band,\n"
+        "         CAST('0x' || substr(md5({concat}), 1, 15) AS BIGINT)"
+        " AS bhash\n  FROM sig".format(
+            b=b,
+            concat=" || '#' || ".join(
+                f"CAST(h{i} AS VARCHAR)"
+                for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), bt AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bt x JOIN bt y ON x.band = y.band AND x.bhash = y.bhash
+  WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(i.inter AS DOUBLE)
+         / CAST(sa.nsh + sb.nsh - i.inter AS DOUBLE) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(i.inter AS DOUBLE)
+        / CAST(sa.nsh + sb.nsh - i.inter AS DOUBLE) >= {threshold}
+"""
+
+
+def _oracle_simhash_portable(
+    nbits: int = 32, nbands: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of :func:`simhash_pairs_portable` — 32 bit-vote SUMs,
+    the power-of-two recombination, and the band split are generated from
+    the same parameters as the Spark plan."""
+    band_bits = nbits // nbands
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits)
+    )
+    recombine = "\n           + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(nbits)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * band_bits}) & {(1 << band_bits) - 1} AS bkey"
+        "\n  FROM sig"
+        for b in range(nbands)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS shingle
+  FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 1
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         {recombine} AS simhash
+  FROM v
+), bt AS (
+{band_rows}
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM bt x JOIN bt y ON x.band = y.band AND x.bkey = y.bkey
+WHERE x.doc_id < y.doc_id
+  AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+
+
+ORACLE_MINHASH_LSH_PORTABLE = _oracle_minhash_lsh_portable()
+ORACLE_SIMHASH_PORTABLE = _oracle_simhash_portable()
 
 
 # --------------------------------------------------------------------------
@@ -16613,6 +16756,619 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# round-7 statistics / window / spatial additions
+# --------------------------------------------------------------------------
+
+
+def q_window_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer baseline: each order compared against the
+    average of the SAME customer's OTHER orders — the window
+    ``EXCLUDE CURRENT ROW`` idiom (DuckDB/pg syntax; Spark lacks the
+    clause) re-expressed portably as ``(sum − current) / (count − 1)``.
+
+    Plan: ONE window shuffle on the customer key carrying sum and count
+    together; the exclusion is pure per-row arithmetic, so the plan is
+    identical to a plain windowed average — no self-join, no second
+    shuffle (the naive EXCLUDE rewrite is an O(n²)-per-key self-join).
+    NULL-priced rows are excluded on both engines (nullmeasure parity).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w).alias("__s"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__s") - F.col("cents")).cast("double")
+        / (F.col("__n") - F.lit(1)).cast("double"),
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        loo.alias("loo_avg"),
+        (F.col("cents").cast("double") - loo).alias("delta_vs_peers"),
+    )
+
+
+ORACLE_WINDOW_EXCLUDE_CURRENT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY o_custkey) AS BIGINT) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, o_custkey, cents,
+       CASE WHEN n > 1
+            THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+         AS loo_avg,
+       CAST(cents AS DOUBLE)
+         - (CASE WHEN n > 1
+                 THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) END)
+         AS delta_vs_peers
+FROM base
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two md5-parity arms of
+    the order-value distribution, per order priority — the
+    continuous-metric companion to ``ab_test_zscore``'s two-proportion z.
+
+    Exact-integer moments (n, Σx, Σx² in decimal(38,0) cents — the
+    100 TB-safe accumulator; a BIGINT Σx² overflows past ~4×10⁹ rows),
+    then t and the Welch–Satterthwaite df from one IDENTICAL IEEE op
+    tree over the six exact operands — ÷ × + − √ only, no
+    transcendentals, so the doubles are bit-equal across engines.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    c2 = (
+        F.col("cents").cast("decimal(19,0)")
+        * F.col("cents").cast("decimal(19,0)")
+    )
+    base = o.select(
+        "o_orderpriority", cents.alias("cents"), arm.alias("arm")
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, c2)).alias("q_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, c2)).alias("q_b"),
+    )
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / nad
+    mb = F.col("s_b").cast("double") / nbd
+    va = (F.col("q_a").cast("double") - F.col("s_a").cast("double") * ma) / (
+        nad - F.lit(1.0)
+    )
+    vb = (F.col("q_b").cast("double") - F.col("s_b").cast("double") * mb) / (
+        nbd - F.lit(1.0)
+    )
+    aa, ab = va / nad, vb / nbd
+    se2 = aa + ab
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    den_df = aa * aa / (nad - F.lit(1.0)) + ab * ab / (nbd - F.lit(1.0))
+    return agg.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        F.when(ok, (ma - mb) / F.sqrt(se2)).alias("t_welch"),
+        F.when(ok & (den_df > 0), se2 * se2 / den_df).alias("df_welch"),
+    )
+
+
+ORACLE_WELCH_TTEST = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN cents END) AS s_a,
+         SUM(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents END)
+           AS q_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN cents END) AS s_b,
+         SUM(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents END)
+           AS q_b
+  FROM base GROUP BY o_orderpriority
+),
+m AS (
+  SELECT o_orderpriority, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         CAST(q_a AS DOUBLE) AS qad, CAST(q_b AS DOUBLE) AS qbd,
+         CAST(s_a AS DOUBLE) AS sad, CAST(s_b AS DOUBLE) AS sbd
+  FROM agg
+),
+v AS (
+  SELECT o_orderpriority, n_a, n_b, nad, nbd, ma, mb,
+         (qad - sad * ma) / (nad - 1.0) / nad AS aa,
+         (qbd - sbd * mb) / (nbd - 1.0) / nbd AS ab
+  FROM m
+)
+SELECT o_orderpriority, n_a, n_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND aa + ab > 0
+            THEN (ma - mb) / sqrt(aa + ab) END AS t_welch,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND aa + ab > 0
+             AND aa * aa / (nad - 1.0) + ab * ab / (nbd - 1.0) > 0
+            THEN (aa + ab) * (aa + ab)
+                 / (aa * aa / (nad - 1.0) + ab * ab / (nbd - 1.0)) END
+         AS df_welch
+FROM v
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs revenue cents per return
+    flag) — Pearson over FRACTIONAL ranks with exact tie handling:
+    the average rank of a tie group is ``RANK() + (ties − 1)/2``, so
+    2×rank is the exact integer ``2·RANK() + ties − 1`` and every
+    moment accumulates in decimal(38,0) with zero float error.  The
+    final ρ is one identical ÷ × + − √ tree over the six exact sums.
+
+    Plan: one window shuffle per axis on (flag) carrying RANK and the
+    tie count together, then a single map-side-combinable aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    ycents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        ycents.alias("y"),
+    )
+    wx = Window.partitionBy("l_returnflag").orderBy("x")
+    wxt = Window.partitionBy("l_returnflag", "x")
+    wy = Window.partitionBy("l_returnflag").orderBy("y")
+    wyt = Window.partitionBy("l_returnflag", "y")
+    ranked = base.select(
+        "l_returnflag",
+        (
+            F.lit(2) * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1
+        ).alias("rx"),
+        (
+            F.lit(2) * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1
+        ).alias("ry"),
+    )
+    d = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("rx")).alias("sx"),
+        F.sum(d("ry")).alias("sy"),
+        F.sum(d("rx") * d("rx")).alias("sxx"),
+        F.sum(d("ry") * d("ry")).alias("syy"),
+        F.sum(d("rx") * d("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+ORACLE_SPEARMAN_CORR = """
+WITH base AS (
+  SELECT l_returnflag, l_quantity AS x,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT l_returnflag,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS ry
+  FROM base
+),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(rx AS HUGEINT)) AS sx,
+         SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+  FROM ranked GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS spearman_rho
+FROM agg
+"""
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and weekday —
+    the feature-dependence screen (column-level MI; collocation_lift
+    is the token-level PMI cousin).  I(X;Y) = Σ p·ln(c·n / (cx·cy))
+    over the joint contingency table.
+
+    Plan: ONE groupBy builds the joint table (tiny: |types|×7 cells);
+    marginals come from broadcast equi-joins of two cell-level
+    re-aggregates, and n from a 1-row broadcast — the contingency
+    table never re-scans events.  Transcendental-sum discipline: each
+    term rounds to decimal(18,9) before the exact sum; terminal
+    quantize at scale 5 (vocab_entropy's tree).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    base = ev.select(
+        "event_type",
+        ((F.expr(f"unix_micros(ts) DIV {day_us}") + 4) % 7).alias("dow"),
+    )
+    joint = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("dow").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    cells = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = (F.col("c").cast("double") * F.col("n").cast("double")) / (
+        F.col("cx").cast("double") * F.col("cy").cast("double")
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(ratio),
+        9,
+    ).cast("decimal(18,9)")
+    return cells.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term).cast("decimal(28,9)"), 5)
+        .cast("decimal(28,5)")
+        .cast("double")
+        .alias("mi_nats"),
+    )
+
+
+ORACLE_MUTUAL_INFORMATION = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+),
+joint AS (
+  SELECT event_type, dow, COUNT(*) AS c FROM base GROUP BY event_type, dow
+),
+mx AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS cx
+       FROM joint GROUP BY event_type),
+my AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS cy FROM joint GROUP BY dow),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint),
+cells AS (
+  SELECT j.c, m1.cx, m2.cy, t.n
+  FROM joint j
+  JOIN mx m1 USING (event_type)
+  JOIN my m2 USING (dow)
+  CROSS JOIN tot t
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       CAST(CAST(round(SUM(CAST(round(
+             (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))),
+             9) AS DECIMAL(18,9))), 5) AS DECIMAL(28,5)) AS DOUBLE)
+         AS mi_nats
+FROM cells
+"""
+
+
+#: Poisson(1) inverse-CDF thresholds scaled to 2³² — floor(CDF(k)·2³²)
+#: for k = 0..4; a 32-bit md5 uniform below threshold[k] draws weight k,
+#: above all five draws 5.  Literals are embedded identically in the
+#: Spark plan and the DuckDB oracle, so the bootstrap is deterministic
+#: and engine-portable.
+_POISSON1_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value per
+    priority — THE scalable bootstrap (each row draws an independent
+    Poisson(1) replication weight per replicate; no resample pass over
+    the data, one shuffle total).  Deterministic: the weight comes from
+    a 32-bit md5 uniform through the Poisson(1) inverse CDF, so both
+    engines draw identical replicates.  B = 32; the CI is the 2nd and
+    31st order statistic of the replicate means (~93.75% coverage).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.col("o_orderkey").cast("string").alias("okey"),
+    ).select(
+        "o_orderpriority",
+        "cents",
+        "okey",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("b").cast("string"), F.col("okey"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = _POISSON1_T
+    w = (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .when(u < t[4], 4)
+        .otherwise(5)
+    )
+    rep = (
+        base.select("o_orderpriority", "b", "cents", w.alias("w"))
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(
+                (F.col("w").cast("long") * F.col("cents")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("swx"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "o_orderpriority",
+            "b",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_b"
+            ),
+        )
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("mean_b", "b")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = rep.select(
+        "o_orderpriority",
+        "mean_b",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    lo_rn = F.least(F.lit(2), F.col("cnt"))
+    hi_rn = F.greatest(F.col("cnt") - 1, F.lit(1))
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("cnt").alias("n_reps"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("mean_b"))).alias("ci_hi"),
+    )
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(o_orderkey AS VARCHAR) AS okey, i.b AS b
+  FROM orders, (SELECT unnest(range(0, 32)) AS b) i
+  WHERE o_totalprice IS NOT NULL
+),
+weighted AS (
+  SELECT o_orderpriority, b, cents,
+         CASE
+           WHEN u < {_POISSON1_T[0]} THEN 0
+           WHEN u < {_POISSON1_T[1]} THEN 1
+           WHEN u < {_POISSON1_T[2]} THEN 2
+           WHEN u < {_POISSON1_T[3]} THEN 3
+           WHEN u < {_POISSON1_T[4]} THEN 4
+           ELSE 5
+         END AS w
+  FROM (
+    SELECT *,
+           CAST('0x' || substr(
+               md5(CAST(b AS VARCHAR) || '#' || okey), 1, 8) AS BIGINT) AS u
+    FROM base
+  )
+),
+rep AS (
+  SELECT o_orderpriority, b,
+         CAST(SUM(CAST(w AS HUGEINT) * cents) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM weighted
+  GROUP BY o_orderpriority, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT o_orderpriority, mean_b,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY mean_b, b) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM rep
+)
+SELECT o_orderpriority,
+       CAST(MAX(cnt) AS BIGINT) AS n_reps,
+       MAX(CASE WHEN rn = least(2, cnt) THEN mean_b END) AS ci_lo,
+       MAX(CASE WHEN rn = greatest(cnt - 1, 1) THEN mean_b END) AS ci_hi
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+def q_sky_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor crossmatch: for a bounded deterministic query
+    set (32 md5-selected catalog sources on the cone_crossmatch integer
+    grid) find the k=3 nearest events by exact squared grid distance —
+    the "nearest counterpart" query next to cone_crossmatch's
+    fixed-radius match.
+
+    Plan: the query side is hard-bounded (TakeOrderedAndProject, never
+    a global sort) and BROADCAST against the event scan — for a bounded
+    query set, one linear scan is the honest exact-kNN plan (the
+    ANN family covers the large-query-side regime); per-query top-k is
+    a k-deep window over |queries|×|events| candidates.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 360).alias("qx"),
+        ((F.col("s_suppkey") * 29) % 180).alias("qy"),
+    )
+    q32 = sup.orderBy(
+        F.md5(F.col("s_suppkey").cast("string")), F.col("s_suppkey")
+    ).limit(32)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # an event with no user key has no grid position (nullfk lakes):
+        # a NULL distance must not compete in the ordering on either
+        # engine (Spark ranks NULLS FIRST, DuckDB LAST)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            (F.col("event_id") % 360).alias("ex"),
+            ((F.col("user_id") * 7) % 180).alias("ey"),
+        )
+    )
+    d2 = (F.col("ex") - F.col("qx")) * (F.col("ex") - F.col("qx")) + (
+        F.col("ey") - F.col("qy")
+    ) * (F.col("ey") - F.col("qy"))
+    w = Window.partitionBy("s_suppkey").orderBy("d2", "event_id")
+    return (
+        ev.crossJoin(F.broadcast(q32))
+        .select("s_suppkey", "event_id", d2.cast("long").alias("d2"))
+        .select(
+            "s_suppkey",
+            "event_id",
+            "d2",
+            F.row_number().over(w).alias("knn_rank"),
+        )
+        .filter(F.col("knn_rank") <= 3)
+    )
+
+
+ORACLE_SKY_KNN = """
+WITH q32 AS (
+  SELECT s_suppkey,
+         (s_suppkey * 13) % 360 AS qx, (s_suppkey * 29) % 180 AS qy
+  FROM supplier
+  ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 32
+),
+ev AS (
+  SELECT event_id, event_id % 360 AS ex, (user_id * 7) % 180 AS ey
+  FROM events WHERE user_id IS NOT NULL
+),
+cand AS (
+  SELECT q.s_suppkey, e.event_id,
+         CAST((e.ex - q.qx) * (e.ex - q.qx)
+              + (e.ey - q.qy) * (e.ey - q.qy) AS BIGINT) AS d2
+  FROM ev e CROSS JOIN q32 q
+)
+SELECT s_suppkey, event_id, d2, knn_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                               ORDER BY d2, event_id) AS knn_rank
+  FROM cand
+) WHERE knn_rank <= 3
+"""
+
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation: replay the events table as
+    a file stream and count events per (2-hour window, 1-hour slide,
+    event type) — the overlapping-window cousin of
+    ``stream_replay_counts``'s global group-count.  Each event lands in
+    exactly two epoch-aligned windows; the oracle re-derives them with
+    ``date_trunc`` arithmetic, pinning Spark's window-alignment
+    semantics (not just row counts) under the correctness gate.
+    """
+    configure_session(spark)
+    from fink_broker_spark.core.time import nanos_to_timestamp
+
+    def _agg(sdf):
+        # the file stream reads the lake's physical layout raw: a
+        # TIMESTAMP(NANOS) writer arrives as bigint ns under the
+        # engine's nanosAsLong conf, a micros writer as timestamp_ntz —
+        # normalize to a µs timestamp exactly like load_table's batch
+        # path before windowing
+        dt = dict(sdf.dtypes).get("ts")
+        if dt == "bigint":
+            sdf = sdf.withColumn("ts", nanos_to_timestamp("ts"))
+        elif dt == "timestamp_ntz":
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        return sdf.groupBy(
+            F.window("ts", "2 hours", "1 hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    drained = replay_to_table(
+        spark,
+        _stream_stage(sf_dir, "events"),
+        _agg,
+        output_mode="complete",
+    )
+    return drained.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+ORACLE_STREAM_SLIDING_COUNTS = """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w GROUP BY window_start, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -16652,7 +17408,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_rules": q_repetition_rules,
     "jaccard_neardup": q_jaccard_neardup,
     "minhash_lsh_neardup": q_minhash_lsh,
+    "minhash_lsh_portable": q_minhash_lsh_portable,
     "simhash_neardup": q_simhash,
+    "simhash_portable": q_simhash_portable,
+    "window_exclude_current": q_window_exclude_current,
+    "welch_ttest": q_welch_ttest,
+    "spearman_corr": q_spearman_corr,
+    "mutual_information": q_mutual_information,
+    "bootstrap_ci": q_bootstrap_ci,
+    "sky_knn": q_sky_knn,
+    "stream_sliding_counts": q_stream_sliding_counts,
     "stream_replay_counts": q_stream_replay_counts,
     "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
@@ -16932,6 +17697,15 @@ _ORACLES: dict[str, str] = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "repetition_rules": ORACLE_REPETITION_RULES,
     "jaccard_neardup": ORACLE_JACCARD_NEARDUP,
+    "minhash_lsh_portable": ORACLE_MINHASH_LSH_PORTABLE,
+    "simhash_portable": ORACLE_SIMHASH_PORTABLE,
+    "window_exclude_current": ORACLE_WINDOW_EXCLUDE_CURRENT,
+    "welch_ttest": ORACLE_WELCH_TTEST,
+    "spearman_corr": ORACLE_SPEARMAN_CORR,
+    "mutual_information": ORACLE_MUTUAL_INFORMATION,
+    "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
+    "sky_knn": ORACLE_SKY_KNN,
+    "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,

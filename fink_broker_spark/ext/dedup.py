@@ -357,6 +357,161 @@ def simhash_pairs(
     )
 
 
+def md5_int_expr(col, nhex: int = 15):
+    """Engine-portable unsigned hash from md5 hex — the repo's only
+    cross-engine hash family (``conv(substr(md5(x),1,nhex),16,10)`` ≡
+    DuckDB ``CAST('0x'||substr(md5(x),1,nhex) AS BIGINT)``).  15 hex
+    chars = 60 bits (positive BIGINT on both engines); 8 hex = 32 bits
+    when bit-level structure must stay cheap to enumerate."""
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    nbands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding near-dups with an engine-portable hash family.
+
+    Same banding pipeline as :func:`minhash_lsh_pairs` (MMDS ch.3), but
+    the hash family is md5-derived (``sig[i] = min over shingles of
+    md5int60('i#' || shingle)``, band key = md5int60 of the band's
+    signature values joined with '#') so the ENTIRE pipeline — signature,
+    banding, candidate join, exact-Jaccard verify — is expressible in
+    ANSI SQL and exact-value-checked against DuckDB.  The xxhash64 twin
+    stays the production regime (one JVM hash vs an md5 per (i, shingle));
+    this variant pins the banding SEMANTICS under the correctness gate.
+
+    Output = banding candidates ∩ exact Jaccard ≥ threshold, so LSH
+    misses cancel between engines by construction (identical hash bits).
+    """
+    rows_per_band = num_hashes // nbands
+    sh = _shingle_table(docs, id_col, text_col, n)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                md5_int_expr(F.concat(F.lit(f"{i}#"), F.col("shingle")))
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            md5_int_expr(
+                F.concat_ws(
+                    "#",
+                    *[
+                        F.col(f"__h{i}").cast("string")
+                        for i in range(
+                            b * rows_per_band, (b + 1) * rows_per_band
+                        )
+                    ],
+                )
+            ).alias("bhash"),
+        )
+        for b in range(nbands)
+    ]
+    bt = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    cands = (
+        bt.alias("x")
+        .join(bt.alias("y"), on=["band", "bhash"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    exact = jaccard_pairs(docs, threshold, n, id_col, text_col)
+    return cands.join(exact, on=["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    nbands: int = 4,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash hamming-ball near-dups with an engine-portable hash family.
+
+    Charikar bit-voting over distinct word-``n``-shingles, feature hash =
+    md5int32(shingle), so the 32-bit signature — and therefore the band
+    buckets, the candidate pairs, and the hamming distances — is
+    bit-identical in DuckDB and exact-value-checked end to end (the
+    64-bit xxhash64 twin :func:`simhash_pairs` stays the production
+    regime).  Votes are ``nbits`` map-side partial SUM aggregates over
+    the exploded shingle rows (no per-row 32-lambda HOF monster, no
+    pandas vote kernel needed at 32 bits); banding splits the signature
+    into ``nbands`` bit bands — pigeonhole gives exact recall for
+    ``max_hamming < nbands``.
+    """
+    band_bits = nbits // nbands
+    sh = _shingle_table(docs, id_col, text_col, n).select(
+        F.col(id_col), md5_int_expr(F.col("shingle"), nhex=8).alias("__h")
+    )
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(nbits)
+        ]
+    )
+    simhash = None
+    for b in range(nbits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    base = votes.select(F.col(id_col), simhash.alias("simhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bkey"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    bt = base.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col,
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    x, y = bt.alias("x"), bt.alias("y")
+    return (
+        x.join(y, on=["band", "bkey"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dedup_groups(
     pairs: DataFrame,
     a_col: str = "id_a",

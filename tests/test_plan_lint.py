@@ -41,6 +41,15 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "bounded query-matrix broadcast against the corpus scan: "
         "brute-force cosine has no join key by construction",
     ),
+    "sky_knn": (
+        {"broadcast_nested_loop_join"},
+        "32-row TakeOrdered query set broadcast against the event scan: "
+        "exact kNN for a bounded query side IS one linear scan",
+    ),
+    "mutual_information": (
+        {"broadcast_nested_loop_join"},
+        "1-row grand-total aggregate broadcast into the contingency cells",
+    ),
     "idle_customers": (
         {"broadcast_nested_loop_join"},
         "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "
