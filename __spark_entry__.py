@@ -6049,16 +6049,23 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     slope = num_m / (den_x * F.lit(1000.0))
+    # zero x-variance (all events on one day: onerow/constant lakes)
+    # has no trend line: NULL, never x/0.0 (ANSI throws, DuckDB ±inf)
     return g.select(
         "event_type",
         "n",
-        slope.alias("slope"),
-        (
-            (F.col("sym").cast("double") / F.lit(1000.0)
-             - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
+        F.when(den_x > 0, slope).alias("slope"),
+        F.when(
+            den_x > 0,
+            (
+                F.col("sym").cast("double") / F.lit(1000.0)
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
         ).alias("intercept"),
-        (num_m / F.sqrt(den_x * den_ym)).alias("corr"),
+        F.when((den_x > 0) & (den_ym > 0), num_m / F.sqrt(den_x * den_ym)).alias(
+            "corr"
+        ),
     )
 
 
@@ -6075,16 +6082,19 @@ g AS (
   FROM t GROUP BY event_type
 )
 SELECT event_type, n,
-       CAST(n * sxym - sx * sym AS DOUBLE)
-         / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) AS slope,
-       (CAST(sym AS DOUBLE) / 1000.0
-        - (CAST(n * sxym - sx * sym AS DOUBLE)
-           / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0))
-          * CAST(sx AS DOUBLE))
-         / CAST(n AS DOUBLE) AS intercept,
-       CAST(n * sxym - sx * sym AS DOUBLE)
-         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syym - sym * sym AS DOUBLE)) AS corr
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         CAST(n * sxym - sx * sym AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         (CAST(sym AS DOUBLE) / 1000.0
+          - (CAST(n * sxym - sx * sym AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0))
+            * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syym - sym * sym > 0 THEN
+         CAST(n * sxym - sx * sym AS DOUBLE)
+           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syym - sym * sym AS DOUBLE)) END AS corr
 FROM g
 """
 
@@ -7476,18 +7486,23 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0) / F.col("n_b").cast("double")
         )
     )
+    # an EMPTY arm (tiny/onerow lakes) has no proportion at all: every
+    # division sits under a count guard — ANSI Spark throws on x/0.0
+    # where DuckDB yields ±inf
+    okc = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return agg.select(
         "n_a",
         "x_a",
         "n_b",
         "x_b",
-        p_a.alias("p_a"),
-        p_b.alias("p_b"),
+        F.when(F.col("n_a") > 0, p_a).alias("p_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("p_b"),
         # lazy CASE guards the degenerate p∈{0,1} corpus (se = 0) on
         # both engines — tiny lakes can have zero conversions
-        F.when(se > F.lit(0.0), (p_a - p_b) / se)
-        .otherwise(F.lit(0.0))
-        .alias("z_score"),
+        F.when(
+            okc,
+            F.when(se > F.lit(0.0), (p_a - p_b) / se).otherwise(F.lit(0.0)),
+        ).alias("z_score"),
     )
 
 
@@ -7510,20 +7525,26 @@ WITH per_user AS (
     SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS x_b
   FROM armed
 ), derived AS (
+  -- count guards mirror the Spark plan: an empty arm yields NULL p/se
   SELECT n_a, x_a, n_b, x_b,
-         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
-         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
-         sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-              * (1.0 - CAST(x_a + x_b AS DOUBLE)
-                       / CAST(n_a + n_b AS DOUBLE))
-              * (1.0 / CAST(n_a AS DOUBLE)
-                 + 1.0 / CAST(n_b AS DOUBLE))) AS se
+         CASE WHEN n_a > 0
+              THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+         CASE WHEN n_b > 0
+              THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / CAST(n_a AS DOUBLE)
+                   + 1.0 / CAST(n_b AS DOUBLE))) END AS se
   FROM agg
 )
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
        p_a, p_b,
-       CASE WHEN se > 0.0 THEN (p_a - p_b) / se ELSE 0.0 END AS z_score
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CASE WHEN se > 0.0 THEN (p_a - p_b) / se ELSE 0.0 END
+       END AS z_score
 FROM derived
 """
 
@@ -8490,8 +8511,13 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def corr(cab, va, vb):
-        return F.col(cab).cast("double") / F.sqrt(
-            F.col(va).cast("double") * F.col(vb).cast("double")
+        # zero-variance operand (constant measure / single row) → NULL,
+        # never an x/0.0 (ANSI throws; DuckDB yields ±inf — onerow and
+        # constant driftlab layouts)
+        return F.when(
+            (F.col(va) > 0) & (F.col(vb) > 0),
+            F.col(cab).cast("double")
+            / F.sqrt(F.col(va).cast("double") * F.col(vb).cast("double")),
         )
 
     # one aggregate row unpivoted with stack — a 3-way union of the
@@ -8557,18 +8583,18 @@ WITH t AS (
   FROM t CROSS JOIN m
 )
 SELECT 'quantity_price' AS pair, n,
-       CAST(cqp AS DOUBLE)
-         / sqrt(CAST(vq AS DOUBLE) * CAST(vp AS DOUBLE)) AS corr
+       CASE WHEN vq > 0 AND vp > 0 THEN CAST(cqp AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vp AS DOUBLE)) END AS corr
 FROM g
 UNION ALL
 SELECT 'quantity_discount', n,
-       CAST(cqd AS DOUBLE)
-         / sqrt(CAST(vq AS DOUBLE) * CAST(vd AS DOUBLE))
+       CASE WHEN vq > 0 AND vd > 0 THEN CAST(cqd AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vd AS DOUBLE)) END
 FROM g
 UNION ALL
 SELECT 'price_discount', n,
-       CAST(cpd AS DOUBLE)
-         / sqrt(CAST(vp AS DOUBLE) * CAST(vd AS DOUBLE))
+       CASE WHEN vp > 0 AND vd > 0 THEN CAST(cpd AS DOUBLE)
+         / sqrt(CAST(vp AS DOUBLE) * CAST(vd AS DOUBLE)) END
 FROM g
 """
 
@@ -10552,10 +10578,12 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (big("n") * big("sxy") - big("sx") * big("sy")).cast("double")
     dx = (big("n") * big("sxx") - big("sx") * big("sx")).cast("double")
     dy = (big("n") * big("syy") - big("sy") * big("sy")).cast("double")
+    # a zero-variance series (constant lake / degenerate spine) has no
+    # correlation: NULL, never x/0.0 (ANSI throws — constant driftlab)
     return g.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n").alias("n_days"),
-        (num / F.sqrt(dx * dy)).alias("xcorr"),
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("xcorr"),
     )
 
 
@@ -10584,9 +10612,10 @@ WITH daily AS (
   FROM lagged WHERE nel IS NOT NULL GROUP BY lag
 )
 SELECT CAST(lag AS INT) AS lag, n AS n_days,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) AS xcorr
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) END AS xcorr
 FROM g
 """
 
@@ -10620,7 +10649,9 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_days",
         mean.alias("mean_daily"),
-        (var / mean).alias("fano_factor"),
+        # a single observed day has no sample variance (n − 1 = 0):
+        # NULL, never x/0.0 (ANSI throws — onerow driftlab layout)
+        F.when(F.col("n_days") > 1, var / mean).alias("fano_factor"),
     )
 
 
@@ -10637,12 +10668,13 @@ WITH daily AS (
 )
 SELECT event_type, n_days,
        CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
-       ((CAST(s2 AS DOUBLE)
-         - CAST(n_days AS DOUBLE)
-           * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
-           * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
-        / (CAST(n_days AS DOUBLE) - 1.0))
-       / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano_factor
+       CASE WHEN n_days > 1 THEN
+         ((CAST(s2 AS DOUBLE)
+           - CAST(n_days AS DOUBLE)
+             * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+          / (CAST(n_days AS DOUBLE) - 1.0))
+         / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) END AS fano_factor
 FROM g
 """
 
@@ -16860,24 +16892,48 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, c2)).alias("q_b"),
     )
     nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    ma = F.col("s_a").cast("double") / nad
-    mb = F.col("s_b").cast("double") / nbd
-    va = (F.col("q_a").cast("double") - F.col("s_a").cast("double") * ma) / (
-        nad - F.lit(1.0)
+    # every division sits under a count guard: an arm with n < 2 has no
+    # variance, and ANSI Spark throws on x/0.0 where DuckDB yields ±inf
+    # (the onerow driftlab class) — aa/ab are NULL there, and NULL
+    # propagation keeps every downstream operand division-free
+    aa = F.when(
+        F.col("n_a") >= 2,
+        (
+            F.col("q_a").cast("double")
+            - F.col("s_a").cast("double")
+            * (F.col("s_a").cast("double") / nad)
+        )
+        / (nad - F.lit(1.0))
+        / nad,
     )
-    vb = (F.col("q_b").cast("double") - F.col("s_b").cast("double") * mb) / (
-        nbd - F.lit(1.0)
+    ab = F.when(
+        F.col("n_b") >= 2,
+        (
+            F.col("q_b").cast("double")
+            - F.col("s_b").cast("double")
+            * (F.col("s_b").cast("double") / nbd)
+        )
+        / (nbd - F.lit(1.0))
+        / nbd,
     )
-    aa, ab = va / nad, vb / nbd
     se2 = aa + ab
-    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    okc = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
     den_df = aa * aa / (nad - F.lit(1.0)) + ab * ab / (nbd - F.lit(1.0))
     return agg.select(
         "o_orderpriority",
         "n_a",
         "n_b",
-        F.when(ok, (ma - mb) / F.sqrt(se2)).alias("t_welch"),
-        F.when(ok & (den_df > 0), se2 * se2 / den_df).alias("df_welch"),
+        F.when(
+            okc & (se2 > 0),
+            (
+                F.col("s_a").cast("double") / nad
+                - F.col("s_b").cast("double") / nbd
+            )
+            / F.sqrt(se2),
+        ).alias("t_welch"),
+        F.when(okc & (se2 > 0) & (den_df > 0), se2 * se2 / den_df).alias(
+            "df_welch"
+        ),
     )
 
 
@@ -16904,21 +16960,23 @@ agg AS (
 m AS (
   SELECT o_orderpriority, n_a, n_b,
          CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
-         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
          CAST(q_a AS DOUBLE) AS qad, CAST(q_b AS DOUBLE) AS qbd,
          CAST(s_a AS DOUBLE) AS sad, CAST(s_b AS DOUBLE) AS sbd
   FROM agg
 ),
 v AS (
-  SELECT o_orderpriority, n_a, n_b, nad, nbd, ma, mb,
-         (qad - sad * ma) / (nad - 1.0) / nad AS aa,
-         (qbd - sbd * mb) / (nbd - 1.0) / nbd AS ab
+  -- count guards mirror the Spark plan: an n < 2 arm yields NULL aa/ab
+  -- (never inf from x/0.0), so the t/df CASEs below see NULL se2
+  SELECT o_orderpriority, n_a, n_b, nad, nbd, sad, sbd,
+         CASE WHEN n_a >= 2
+              THEN (qad - sad * (sad / nad)) / (nad - 1.0) / nad END AS aa,
+         CASE WHEN n_b >= 2
+              THEN (qbd - sbd * (sbd / nbd)) / (nbd - 1.0) / nbd END AS ab
   FROM m
 )
 SELECT o_orderpriority, n_a, n_b,
        CASE WHEN n_a >= 2 AND n_b >= 2 AND aa + ab > 0
-            THEN (ma - mb) / sqrt(aa + ab) END AS t_welch,
+            THEN (sad / nad - sbd / nbd) / sqrt(aa + ab) END AS t_welch,
        CASE WHEN n_a >= 2 AND n_b >= 2 AND aa + ab > 0
              AND aa * aa / (nad - 1.0) + ab * ab / (nbd - 1.0) > 0
             THEN (aa + ab) * (aa + ab)
@@ -17368,6 +17426,235 @@ FROM w GROUP BY window_start, event_type
 """
 
 
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the co-purchase graph
+    (3 Bellman-Ford rounds from the minimum node) — deterministic
+    integer edge weights ``(u + v) % 97 + 1``, exact min-plus algebra,
+    so the unrolled relaxation is oracle-checkable like pagerank's
+    fixed-point iterations (the weighted companion to khop_reach).
+    """
+    from fink_broker_spark.ext.graph import bounded_sssp, copurchase_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = copurchase_edges(li, min_support=2).select(
+        "u", "v", ((F.col("u") + F.col("v")) % 97 + 1).alias("w")
+    )
+    wedges = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    return bounded_sssp(wedges, iters=3)
+
+
+ORACLE_SSSP_BOUNDED = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+wedges AS (
+  SELECT u AS src, v AS dst, (u + v) % 97 + 1 AS w FROM pairs
+  UNION ALL SELECT v, u, (u + v) % 97 + 1 FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM wedges
+  UNION SELECT DISTINCT dst FROM wedges
+),
+d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+  WHERE node = (SELECT MIN(node) FROM nodes)
+),
+d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d0.dist + e.w AS dist
+    FROM d0 JOIN wedges e ON e.src = d0.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d1.dist + e.w AS dist
+    FROM d1 JOIN wedges e ON e.src = d1.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d2.dist + e.w AS dist
+    FROM d2 JOIN wedges e ON e.src = d2.node
+  ) GROUP BY node
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+#: HyperLogLog α₆₄·m² = (0.7213 / (1 + 1.079/64)) · 64² — ONE shared
+#: Python-precomputed double literal embedded into BOTH engines'
+#: expressions (the oracle CASTs it to DOUBLE explicitly: a bare DuckDB
+#: numeric literal is DECIMAL-typed and its arithmetic overflows /
+#: promotes differently), so the estimator constant cannot drift.
+_HLL_ALPHA64_M2 = 2905.460551022604
+
+
+def q_hll_cardinality_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count with an engine-portable register set —
+    the exact-value-oracled twin of the rows-only ``approx_cardinality``
+    sketch (whose engine-native HLL buffers cannot be replayed in SQL).
+
+    md5-derived 32-bit hash → 6-bit bucket + 26-bit suffix; register =
+    max leading-rank per bucket (rank via ``27 − length(bin(w))``, both
+    engines' ``bin`` strips leading zeros identically); the harmonic
+    mean Σ2^(−M) is a sum of exact dyadic doubles (bit-exact in ANY
+    summation order — no float-reduction hazard), so the raw Flajolet
+    estimate αm²/Σ is one correctly-rounded division on both engines.
+    Map-side combinable max per bucket: ONE shuffle of ≤ 64 longs.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = ev.select(
+        F.shiftright(h, 26).alias("bucket"),
+        h.bitwiseAND(F.lit((1 << 26) - 1)).alias("wbits"),
+    ).select(
+        "bucket",
+        F.when(F.col("wbits") == 0, F.lit(27)).otherwise(
+            F.lit(27) - F.length(F.bin(F.col("wbits")))
+        ).alias("rank"),
+    )
+    regs = base.groupBy("bucket").agg(F.max("rank").alias("m"))
+    truth = ev.agg(F.count_distinct("user_id").alias("n_true"))
+    est = regs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr("1.0 / CAST(shiftleft(1L, m) AS DOUBLE)")).alias("s"),
+    ).select(
+        "nb",
+        F.when(
+            F.col("nb") > 0,
+            F.lit(_HLL_ALPHA64_M2)
+            / (F.col("s") + (F.lit(64) - F.col("nb")).cast("double")),
+        ).alias("hll_estimate"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("nb").alias("n_buckets_hit"), "n_true", "hll_estimate"
+    )
+
+
+ORACLE_HLL_CARDINALITY_PORTABLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+base AS (
+  SELECT h >> 26 AS bucket,
+         CASE WHEN (h & {(1 << 26) - 1}) = 0 THEN 27
+              ELSE 27 - length(bin(h & {(1 << 26) - 1})) END AS rank
+  FROM ev
+),
+regs AS (SELECT bucket, MAX(rank) AS m FROM base GROUP BY bucket),
+est AS (
+  SELECT COUNT(*) AS nb,
+         SUM(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
+  FROM regs
+),
+truth AS (SELECT COUNT(DISTINCT user_id) AS n_true
+          FROM events WHERE user_id IS NOT NULL)
+SELECT CAST(est.nb AS BIGINT) AS n_buckets_hit, truth.n_true,
+       CASE WHEN est.nb > 0
+            THEN CAST({_HLL_ALPHA64_M2!r} AS DOUBLE)
+                 / (est.s + CAST(64 - est.nb AS DOUBLE)) END
+         AS hll_estimate
+FROM est CROSS JOIN truth
+"""
+
+
+#: Two-sided-geometric (discrete Laplace, decay ½, truncated ±8)
+#: inverse-CDF thresholds scaled to 2³² — the geometric mechanism's
+#: noise table, embedded identically in both engines.
+_DLAP_T = (
+    (-8, 5607006), (-7, 16821020), (-6, 39249048), (-5, 84105103),
+    (-4, 173817214), (-3, 353241435), (-2, 712089878), (-1, 1429786763),
+    (0, 2865180532), (1, 3582877417), (2, 3941725860), (3, 4121150081),
+    (4, 4210862192), (5, 4255718247), (6, 4278146275), (7, 4289360289),
+)
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-STYLE noisy release of per-type event
+    counts via the geometric mechanism (two-sided geometric noise, the
+    discrete Laplace — Ghosh et al. 2009), with the noise draw
+    DETERMINISTIC from an md5 uniform so the release is replayable and
+    oracle-checkable.  NOT private in the cryptographic sense (a seeded
+    draw is disclosure-equivalent to the truth — a real deployment
+    swaps in a CSPRNG); what this pins is the mechanism's integer
+    pipeline: counts, inverse-CDF noise, post-processing clamp at 0.
+
+    Plan: one map-side-combinable count per type + O(1) per-group noise
+    arithmetic — the 100 TB shape of every DP aggregate release.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp#"), F.col("event_type"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    noise = F.lit(8)
+    for k, t in reversed(_DLAP_T):
+        noise = F.when(u < t, F.lit(k)).otherwise(noise)
+    return counts.select(
+        "event_type",
+        "n_true",
+        noise.cast("long").alias("noise"),
+        F.greatest(F.col("n_true") + noise, F.lit(0).cast("long")).alias(
+            "n_noisy"
+        ),
+    )
+
+
+def _oracle_dp_noisy_counts() -> str:
+    cases = "\n           ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in _DLAP_T
+    )
+    return f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
+),
+drawn AS (
+  SELECT event_type, n_true,
+         CASE
+           {cases}
+           ELSE 8
+         END AS noise
+  FROM (
+    SELECT *,
+           CAST('0x' || substr(md5('dp#' || event_type), 1, 8)
+                AS BIGINT) AS u
+    FROM counts
+  )
+)
+SELECT event_type, n_true, CAST(noise AS BIGINT) AS noise,
+       CAST(greatest(n_true + noise, 0) AS BIGINT) AS n_noisy
+FROM drawn
+"""
+
+
+ORACLE_DP_NOISY_COUNTS = _oracle_dp_noisy_counts()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17418,6 +17705,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "sky_knn": q_sky_knn,
     "stream_sliding_counts": q_stream_sliding_counts,
+    "sssp_bounded": q_sssp_bounded,
+    "hll_cardinality_portable": q_hll_cardinality_portable,
+    "dp_noisy_counts": q_dp_noisy_counts,
     "stream_replay_counts": q_stream_replay_counts,
     "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
@@ -17706,6 +17996,9 @@ _ORACLES: dict[str, str] = {
     "bootstrap_ci": ORACLE_BOOTSTRAP_CI,
     "sky_knn": ORACLE_SKY_KNN,
     "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
+    "sssp_bounded": ORACLE_SSSP_BOUNDED,
+    "hll_cardinality_portable": ORACLE_HLL_CARDINALITY_PORTABLE,
+    "dp_noisy_counts": ORACLE_DP_NOISY_COUNTS,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,

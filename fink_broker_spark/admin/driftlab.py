@@ -161,6 +161,29 @@ _SPARSE_KEEP_1_IN = {
 }
 
 
+#: ``constant`` layout: categorical columns collapsed to ONE value —
+#: combined with the measure/embedding collapse below, the lake has
+#: zero variance anywhere: stddev = 0 denominators, all-tie ranks,
+#: single-group aggregates, degenerate correlation/regression/entropy.
+_CONSTANT_CATEGORICALS = {
+    ("event_type", "events"),
+    ("o_orderpriority", "orders"),
+    ("l_returnflag", "lineitem"),
+    ("l_linestatus", "lineitem"),
+    ("lang", "documents"),
+    ("source", "documents"),
+}
+
+#: integer measure columns also collapsed by ``constant``
+_CONSTANT_INT_MEASURES = {("n_chars", "documents")}
+
+#: ``onerow`` layout: fact tables sliced to EXACTLY ONE row (dims stay
+#: whole) — the n = 1 statistics class between ``emptystream`` (n = 0)
+#: and ``sparse``: sample variance divides by n − 1 = 0, windows and
+#: quantiles see a single value, lags/autocorrelation outrun the data.
+_ONEROW_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
+
+
 def _rng_ints(seed: int, tag: str, n: int, mod: int):
     """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
     variant content depends only on (seed, tag, row index)."""
@@ -197,6 +220,14 @@ def generate_variant(
             # over them must agree on the empty answer — the extreme
             # end of the ``sparse`` class.
             t = t.slice(0, 0)
+        if layout == "onerow" and name in _ONEROW_TABLES:
+            # exactly one seed-chosen row per fact table: the n = 1
+            # statistics regime (n − 1 = 0 variance denominators,
+            # single-value quantiles/windows), plus naturally-broken FK
+            # chains (the one lineitem row's order is usually not the
+            # one orders row) manufacturing empty joins downstream
+            off = int(_rng_ints(seed, f"onerow.{name}", 1, max(len(t), 1))[0])
+            t = t.slice(off, 1)
         if layout == "sparse" and name in _SPARSE_KEEP_1_IN:
             # decimate the FACT tables (dims stay whole): harsh
             # sparsity manufactures EMPTY intermediate sets — the
@@ -310,6 +341,37 @@ def generate_variant(
                 cols[field.name] = pa.array(
                     vals, type=pa.decimal128(15, 2)
                 )
+            elif layout == "constant" and (
+                pa.types.is_float64(field.type)
+                or (field.name, name) in _CONSTANT_CATEGORICALS
+                or (field.name, name) in _CONSTANT_INT_MEASURES
+                or (name == "embeddings" and field.name in ("embedding", "label"))
+            ):
+                # zero-variance lake: every measure / categorical /
+                # embedding collapses to ONE seed-chosen existing value
+                # (so magnitudes stay realistic).  Hunts the stddev = 0
+                # / all-ties / single-group class: z-scores, correlation
+                # and regression denominators, entropy of a point mass,
+                # rank ties, degenerate top-k ordering.
+                vals = col.to_pylist()
+                nonnull = [v for v in vals if v is not None]
+                if not nonnull:
+                    cols[field.name] = col
+                else:
+                    c = nonnull[
+                        int(
+                            _rng_ints(
+                                seed,
+                                f"const.{name}.{field.name}",
+                                1,
+                                len(nonnull),
+                            )[0]
+                        )
+                    ]
+                    cols[field.name] = pa.array(
+                        [None if v is None else c for v in vals],
+                        type=field.type,
+                    )
             elif (
                 layout == "boundary"
                 and pa.types.is_float64(field.type)
@@ -478,6 +540,7 @@ def main(argv=None) -> int:
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
+            "constant", "onerow",
         ],
     )
     p.add_argument(

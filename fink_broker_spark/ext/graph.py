@@ -205,6 +205,45 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
     return ranks.select("node", F.col("ru").alias("rank_units"))
 
 
+def bounded_sssp(
+    wedges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Single-source shortest paths, Bellman-Ford relaxation unrolled
+    ``iters`` rounds, from the minimum node id of a symmetric weighted
+    edge list ``(src, dst, w)`` — exact integer distances, so the
+    iterative min-plus algebra is reproducible bit-for-bit anywhere
+    (the weighted companion to :func:`khop_reach`'s unweighted BFS).
+
+    Scale shape: per round ONE src-keyed join of the frontier with the
+    edge list + ONE dst-keyed min — the PageRank shuffle pattern; the
+    distance table is ≤ |nodes| rows.  Nodes farther than ``iters``
+    hops are absent (their distance is not yet settled — a bounded
+    relaxation reports only what it has proven).
+    """
+    nodes = (
+        wedges.select(F.col("src").alias("node"))
+        .unionByName(wedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    src0 = nodes.agg(F.min("node").alias("node"))
+    dist = nodes.join(F.broadcast(src0), "node").select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(iters):
+        relaxed = dist.join(
+            wedges, dist["node"] == wedges["src"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
     """Per-node 1-hop and ≤2-hop reachable-set sizes (exact, distinct).
 

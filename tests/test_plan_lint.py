@@ -50,6 +50,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         {"broadcast_nested_loop_join"},
         "1-row grand-total aggregate broadcast into the contingency cells",
     ),
+    "hll_cardinality_portable": (
+        {"broadcast_nested_loop_join"},
+        "1-row true-cardinality aggregate broadcast next to the 1-row "
+        "estimate for the comparison column",
+    ),
     "idle_customers": (
         {"broadcast_nested_loop_join"},
         "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "
