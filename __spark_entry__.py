@@ -9389,11 +9389,19 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = nn.cast("double")
     sigma = F.sqrt(a * (b - c / (d * (d - F.lit(1.0)))) / F.lit(12.0))
     z = (u1_2.cast("double") / F.lit(2.0) - a / F.lit(2.0)) / sigma
+    # degenerate samples (an empty arm, or a single ranked row where
+    # the tie-correction divides by N−1 = 0) have no z: NULL on both
+    # engines, never x/0.0 (ANSI throws — onerow driftlab layout)
+    okc = (
+        (F.col("n1t") >= 1)
+        & (F.col("n2t") >= 1)
+        & (F.col("n1t") + F.col("n2t") >= 2)
+    )
     return agg.select(
         F.col("n1t").alias("n_returned"),
         F.col("n2t").alias("n_accepted"),
         u1_2.cast("long").alias("u1_doubled"),
-        z.alias("z_score"),
+        F.when(okc, F.when(sigma > 0, z)).alias("z_score"),
     )
 
 
@@ -9419,14 +9427,22 @@ WITH t AS (
 )
 SELECT n1t AS n_returned, n2t AS n_accepted,
        CAST(r1_2 - n1t * (n1t + 1) AS BIGINT) AS u1_doubled,
-       (CAST(r1_2 - n1t * (n1t + 1) AS DOUBLE) / 2.0
-        - CAST(n1t * n2t AS DOUBLE) / 2.0)
-       / sqrt(CAST(n1t * n2t AS DOUBLE)
-              * (CAST(n1t + n2t + 1 AS DOUBLE)
-                 - CAST(tie3 AS DOUBLE)
-                   / (CAST(n1t + n2t AS DOUBLE)
-                      * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
-              / 12.0) AS z_score
+       CASE WHEN n1t >= 1 AND n2t >= 1 AND n1t + n2t >= 2 THEN
+         CASE WHEN sqrt(CAST(n1t * n2t AS DOUBLE)
+                * (CAST(n1t + n2t + 1 AS DOUBLE)
+                   - CAST(tie3 AS DOUBLE)
+                     / (CAST(n1t + n2t AS DOUBLE)
+                        * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
+                / 12.0) > 0 THEN
+           (CAST(r1_2 - n1t * (n1t + 1) AS DOUBLE) / 2.0
+            - CAST(n1t * n2t AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1t * n2t AS DOUBLE)
+                  * (CAST(n1t + n2t + 1 AS DOUBLE)
+                     - CAST(tie3 AS DOUBLE)
+                       / (CAST(n1t + n2t AS DOUBLE)
+                          * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
+                  / 12.0) END
+       END AS z_score
 FROM agg
 """
 
@@ -17655,6 +17671,239 @@ FROM drawn
 ORACLE_DP_NOISY_COUNTS = _oracle_dp_noisy_counts()
 
 
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between document-length
+    distributions: the lexicographically-first source vs the rest of
+    the corpus — the drift test a curator runs before mixing a new
+    source in (ks_uniformity is the one-sample twin).
+
+    Exactness: D = max |cA·nB − cB·nA| / (nA·nB) is carried as the
+    EXACT integer numerator (cum counts × totals) and divided once at
+    the end — no per-step float CDFs.  Plan: collapse to the distinct
+    value grid (ONE shuffle), one windowed cum-sum over the grid
+    (|distinct| rows, not |docs|), one global max.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    src0 = docs.agg(F.min("source").alias("src_a"))
+    t = (
+        docs.crossJoin(F.broadcast(src0))
+        .select(
+            "n_chars",
+            (F.col("source") == F.col("src_a")).cast("long").alias("ina"),
+            "src_a",
+        )
+        .groupBy("src_a", "n_chars")
+        .agg(
+            F.sum("ina").alias("ca"),
+            F.sum(1 - F.col("ina")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = t.select(
+        "src_a",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    # totals ride the same grid (max of a nondecreasing cum IS the
+    # total), so the numerator never needs a second scan of the docs
+    wtot = Window.partitionBy(F.lit(1))
+    scored = cum.select(
+        "src_a",
+        "cuma",
+        "cumb",
+        F.max("cuma").over(wtot).alias("n_a"),
+        F.max("cumb").over(wtot).alias("n_b"),
+    ).select(
+        "src_a",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")
+        ).alias("dnum"),
+    )
+    return scored.groupBy("src_a", "n_a", "n_b").agg(
+        F.max("dnum").alias("d_num")
+    ).select(
+        "src_a",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("ks_d"),
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = """
+WITH d AS (
+  SELECT n_chars, source FROM documents WHERE n_chars IS NOT NULL
+),
+s0 AS (SELECT MIN(source) AS src_a FROM d),
+t AS (
+  SELECT s0.src_a, n_chars,
+         SUM(CASE WHEN source = s0.src_a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = s0.src_a THEN 0 ELSE 1 END) AS cb
+  FROM d CROSS JOIN s0
+  GROUP BY s0.src_a, n_chars
+),
+cum AS (
+  SELECT src_a,
+         SUM(ca) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY n_chars
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM t
+),
+scored AS (
+  SELECT src_a, cuma, cumb,
+         MAX(cuma) OVER () AS n_a, MAX(cumb) OVER () AS n_b
+  FROM cum
+)
+SELECT src_a, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(MAX(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(MAX(abs(cuma * n_b - cumb * n_a)) AS DOUBLE)
+           / CAST(n_a * n_b AS DOUBLE) END AS ks_d
+FROM scored GROUP BY src_a, n_a, n_b
+"""
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the order-priority groups on order value
+    — the k-sample rank test completing the mannwhitney_u (2-sample) /
+    welch_ttest (parametric) family.  No tie correction (documented;
+    identical on both engines).
+
+    Exact fractional ranks WITHOUT a per-row global sort: collapse to
+    the distinct value grid, cum-sum the grid (|distinct| rows), then
+    2×avg-rank(v) = 2·cum_prev + n_v + 1 is exact integer algebra and
+    each group's rank sum is Σ n_gv · avgrank2(v) — one grid join, one
+    group aggregate, H from one fixed double tree over decimal(38,0)
+    sums (R² reaches ~2⁷⁰ at sf1: wide-decimal, converted to double
+    only after the division-safe guards).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    t = o.select("o_orderpriority", cents.alias("c"))
+    grid = t.groupBy("c").agg(F.count(F.lit(1)).alias("nv"))
+    wg = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked_grid = grid.select(
+        "c",
+        (
+            2 * (F.sum("nv").over(wg) - F.col("nv")) + F.col("nv") + 1
+        ).alias("ar2"),
+    )
+    per_gv = t.groupBy("o_orderpriority", "c").agg(
+        F.count(F.lit(1)).alias("ngv")
+    )
+    rsum = (
+        per_gv.join(ranked_grid, "c")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("ngv").alias("n_g"),
+            F.sum(
+                (F.col("ngv") * F.col("ar2")).cast("decimal(38,0)")
+            ).alias("r2_g"),
+        )
+    )
+    tot = rsum.agg(
+        F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    # Σ R2_g² / n_g: the terms are NOT exact doubles, so a hash-stable
+    # sum must fix the reduction ORDER — a group-key-ordered cumulative
+    # window (the embedding_neardup cumsum idiom), never a groupBy SUM
+    # whose partial-merge order is engine-dependent
+    terms = rsum.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n",
+        "k",
+        (
+            F.col("r2_g").cast("double")
+            * F.col("r2_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("term"),
+    )
+    wseq = Window.orderBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = terms.select(
+        "n",
+        "k",
+        F.sum("term").over(wseq).alias("s"),
+        F.row_number()
+        .over(Window.orderBy("o_orderpriority"))
+        .alias("rn"),
+    ).filter(F.col("rn") == F.col("k"))
+    nd = F.col("n").cast("double")
+    return seq.select(
+        F.col("n"),
+        F.col("k"),
+        F.when(
+            F.col("n") >= 2,
+            F.lit(3.0) / (nd * (nd + F.lit(1.0))) * F.col("s")
+            - F.lit(3.0) * (nd + F.lit(1.0)),
+        ).alias("h_stat"),
+    )
+
+
+ORACLE_KRUSKAL_WALLIS = """
+WITH t AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+grid AS (SELECT c, COUNT(*) AS nv FROM t GROUP BY c),
+ranked_grid AS (
+  SELECT c,
+         2 * (SUM(nv) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - nv)
+           + nv + 1 AS ar2
+  FROM grid
+),
+per_gv AS (
+  SELECT o_orderpriority, c, COUNT(*) AS ngv
+  FROM t GROUP BY o_orderpriority, c
+),
+rsum AS (
+  SELECT o_orderpriority, SUM(ngv) AS n_g,
+         SUM(CAST(ngv AS HUGEINT) * ar2) AS r2_g
+  FROM per_gv JOIN ranked_grid USING (c)
+  GROUP BY o_orderpriority
+),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k FROM rsum),
+terms AS (
+  SELECT o_orderpriority, tot.n, tot.k,
+         CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+           / CAST(n_g AS DOUBLE) AS term
+  FROM rsum CROSS JOIN tot
+),
+-- group-key-ordered cumulative sum pins the float reduction order
+-- (terms are inexact doubles; a plain SUM's merge order is
+-- engine-dependent)
+seq AS (
+  SELECT n, k,
+         SUM(term) OVER (ORDER BY o_orderpriority
+                         ROWS UNBOUNDED PRECEDING) AS s,
+         ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS rn
+  FROM terms
+)
+SELECT n, k,
+       CASE WHEN n >= 2 THEN
+         3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0) END AS h_stat
+FROM seq WHERE rn = k
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17708,6 +17957,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssp_bounded": q_sssp_bounded,
     "hll_cardinality_portable": q_hll_cardinality_portable,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "ks_two_sample": q_ks_two_sample,
+    "kruskal_wallis": q_kruskal_wallis,
     "stream_replay_counts": q_stream_replay_counts,
     "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
@@ -17999,6 +18250,8 @@ _ORACLES: dict[str, str] = {
     "sssp_bounded": ORACLE_SSSP_BOUNDED,
     "hll_cardinality_portable": ORACLE_HLL_CARDINALITY_PORTABLE,
     "dp_noisy_counts": ORACLE_DP_NOISY_COUNTS,
+    "ks_two_sample": ORACLE_KS_TWO_SAMPLE,
+    "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,

@@ -55,6 +55,14 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row true-cardinality aggregate broadcast next to the 1-row "
         "estimate for the comparison column",
     ),
+    "ks_two_sample": (
+        {"broadcast_nested_loop_join"},
+        "1-row min-source scalar broadcast labels the A sample",
+    ),
+    "kruskal_wallis": (
+        {"broadcast_nested_loop_join"},
+        "1-row (N, k) totals aggregate broadcast into the k group terms",
+    ),
     "idle_customers": (
         {"broadcast_nested_loop_join"},
         "TPC-H Q22 scalar subquery (global avg acctbal) is a 1-row "

@@ -236,6 +236,58 @@ def test_dp_noisy_counts_mechanism(spark):
         assert n_noisy == max(n_true + noise, 0)
 
 
+def test_ks_two_sample_matches_brute_force(spark):
+    """D recomputed in Python from the raw samples (sup over the merged
+    value grid of |ecdf_A − ecdf_B|) equals the query's exact rational."""
+    row = em.queries()["ks_two_sample"](spark, SF001).collect()[0]
+    docs = em.load_table(spark, SF001, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    a = sorted(r["n_chars"] for r in docs if r["source"] == row["src_a"])
+    b = sorted(r["n_chars"] for r in docs if r["source"] != row["src_a"])
+    assert (len(a), len(b)) == (row["n_a"], row["n_b"])
+    import bisect
+
+    dmax = 0
+    for x in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, x)
+        cb = bisect.bisect_right(b, x)
+        dmax = max(dmax, abs(ca * len(b) - cb * len(a)))
+    assert dmax == row["d_num"]
+    assert row["ks_d"] == dmax / (len(a) * len(b))
+
+
+def test_kruskal_wallis_matches_rank_formula(spark):
+    """H recomputed in Python with average ranks (no tie correction, as
+    documented) agrees with the query's grid-algebra value."""
+    row = em.queries()["kruskal_wallis"](spark, SF001).collect()[0]
+    o = em.load_table(spark, SF001, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    ).collect()
+    vals = sorted(r["c"] for r in o)
+    # average rank per value
+    import collections
+
+    first = {}
+    cnt = collections.Counter(vals)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    avgrank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    groups = collections.defaultdict(list)
+    for r in o:
+        groups[r["o_orderpriority"]].append(avgrank[r["c"]])
+    n = len(o)
+    s = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    assert row["n"] == n and row["k"] == len(groups)
+    assert row["h_stat"] == pytest.approx(h, rel=1e-9)
+
+
 def test_mutual_information_nonnegative(spark):
     row = em.queries()["mutual_information"](spark, SF001).collect()[0]
     # MI ≥ 0 up to the scale-5 terminal quantize
