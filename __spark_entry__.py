@@ -1273,12 +1273,15 @@ def _oracle_minhash_lsh_portable(
     num_hashes: int = 16, nbands: int = 4, threshold: float = 0.5
 ) -> str:
     """DuckDB twin of :func:`minhash_lsh_pairs_portable` — the 16 MIN
-    aggregates and 4 band hashes are generated from the same parameters
-    the Spark plan uses, so the two sides cannot drift independently."""
+    aggregates (affine Carter–Wegman family over the two 40-bit halves
+    of one md5 per shingle) and 4 band hashes are generated from the
+    same parameters the Spark plan uses, so the two sides cannot drift
+    independently."""
+    from fink_broker_spark.ext.dedup import MINHASH_PRIME
+
     rpb = num_hashes // nbands
     mins = ",\n         ".join(
-        f"MIN(CAST('0x' || substr(md5('{i}#' || shingle), 1, 15) AS BIGINT))"
-        f" AS h{i}"
+        f"MIN((a + {i} * b) % {MINHASH_PRIME}) AS h{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n  UNION ALL\n".join(
@@ -1300,10 +1303,15 @@ WITH tok AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
   FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), seeds AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(shingle), 11, 10) AS BIGINT) AS b
+  FROM sh
 ), sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM seeds GROUP BY doc_id
 ), bt AS (
 {band_rows}
 ), cand AS (
