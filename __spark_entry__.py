@@ -8934,9 +8934,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero observations still report. One fact pass, 9-row output."""
     o = load_table(spark, sf_dir, "orders")
     obs = (
+        # Benford's law is defined on MAGNITUDES: abs() before the
+        # digit string, or a credit-note lake (negvalue driftlab) puts
+        # '-' in the first-char slot and the int cast throws under ANSI
         o.select(
             F.substring(
-                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                F.floor(F.abs(F.col("o_totalprice")))
+                .cast("long")
+                .cast("string"),
                 1,
                 1,
             )
@@ -8984,7 +8989,8 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BENFORD_DIGITS = """
 WITH obs AS (
-  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+  -- abs: Benford on magnitudes (credit-note lakes carry negatives)
+  SELECT CAST(substr(CAST(CAST(FLOOR(abs(o_totalprice)) AS BIGINT) AS VARCHAR),
               1, 1) AS INT) AS digit,
          count(*) AS n
   FROM orders GROUP BY 1
@@ -11999,6 +12005,12 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("x"))
+        # Theil is defined on POSITIVE incomes: a credit-note lake
+        # (negvalue driftlab) can push a customer's net revenue ≤ 0,
+        # where ln(x/µ) hard-errors in DuckDB and NULLs in Spark —
+        # exclude on both sides (the standard inequality-index
+        # convention)
+        .filter(F.col("x") > 0)
         .join(cu.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(na.select("n_nationkey", "n_name")),
@@ -12031,12 +12043,15 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_THEIL_INDEX = """
 WITH x AS (
+  -- HAVING x > 0: Theil is defined on positive incomes (credit-note
+  -- lakes can net a customer below zero; ln would hard-error here)
   SELECT n_name,
          SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name, o_custkey
+  HAVING SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) > 0
 ),
 stats AS (
   SELECT n_name, count(*) AS n, SUM(x) AS s FROM x GROUP BY n_name
@@ -17912,6 +17927,78 @@ FROM seq WHERE rn = k
 """
 
 
+def q_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the fully exact-integer portable pipeline — the
+    oracle-checked twin of the rows-only ``ivf_ann_topk`` (k-means fit
+    is engine-specific; md5-first deterministic centroids are not).
+    Pins the IVF SEMANTICS — integerized components, cell argmin,
+    nprobe probe choice, candidate equi-join, exact re-rank — under
+    the exact-value gate with zero floats anywhere."""
+    from fink_broker_spark.ext.ann import ivf_portable_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_portable_topk(
+        emb, n_cells=8, nprobe=2, k=5, scale=10000, n_queries=10
+    )
+
+
+ORACLE_IVF_ANN_PORTABLE = """
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          FOR x IN embedding] AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT e AS ce,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) AS cid
+  FROM iv
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT iv.vec_id, iv.e, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY list_reduce(
+               [(iv.e[i] - s.ce[i]) * (iv.e[i] - s.ce[i])
+                FOR i IN range(1, len(iv.e) + 1)], (x, y) -> x + y),
+               s.cid) AS rk
+    FROM iv CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT iv.vec_id AS query_id, iv.e AS qe, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY list_reduce(
+               [(iv.e[i] - s.ce[i]) * (iv.e[i] - s.ce[i])
+                FOR i IN range(1, len(iv.e) + 1)], (x, y) -> x + y),
+               s.cid) AS rk
+    FROM iv CROSS JOIN seeds s
+    WHERE iv.vec_id < 10
+  ) WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_reduce(
+           [(p.qe[i] - a.e[i]) * (p.qe[i] - a.e[i])
+            FOR i IN range(1, len(p.qe) + 1)], (x, y) -> x + y) AS d2
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17967,6 +18054,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_noisy_counts": q_dp_noisy_counts,
     "ks_two_sample": q_ks_two_sample,
     "kruskal_wallis": q_kruskal_wallis,
+    "ivf_ann_portable": q_ivf_ann_portable,
     "stream_replay_counts": q_stream_replay_counts,
     "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
@@ -18260,6 +18348,7 @@ _ORACLES: dict[str, str] = {
     "dp_noisy_counts": ORACLE_DP_NOISY_COUNTS,
     "ks_two_sample": ORACLE_KS_TWO_SAMPLE,
     "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
+    "ivf_ann_portable": ORACLE_IVF_ANN_PORTABLE,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,

@@ -183,6 +183,17 @@ _CONSTANT_INT_MEASURES = {("n_chars", "documents")}
 #: quantiles see a single value, lags/autocorrelation outrun the data.
 _ONEROW_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 
+#: ``negvalue`` layout: ~1-in-12 of these measure rows flip sign
+#: (credit notes / reversals — a real lake state).  Hunts the
+#: math-domain class: DuckDB hard-errors on ln/log2/sqrt of a negative
+#: where Spark returns NULL, ratios flip sign under ASC orderings, and
+#: share-of-total denominators can pass through zero.
+_NEGVALUE_COLS = {
+    ("value", "events"),
+    ("o_totalprice", "orders"),
+    ("l_extendedprice", "lineitem"),
+}
+
 
 def _rng_ints(seed: int, tag: str, n: int, mod: int):
     """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
@@ -340,6 +351,20 @@ def generate_variant(
                 ]
                 cols[field.name] = pa.array(
                     vals, type=pa.decimal128(15, 2)
+                )
+            elif (
+                layout == "negvalue"
+                and (field.name, name) in _NEGVALUE_COLS
+            ):
+                pick = _rng_ints(
+                    seed, f"neg.{name}.{field.name}", len(t), 12
+                )
+                null_mask = np.asarray(col.is_null())
+                v = col.to_numpy(zero_copy_only=False).copy()
+                flip = (pick == 0) & ~null_mask
+                v[flip] = -v[flip]
+                cols[field.name] = pa.array(
+                    v, type=field.type, mask=null_mask
                 )
             elif layout == "constant" and (
                 pa.types.is_float64(field.type)
@@ -540,7 +565,7 @@ def main(argv=None) -> int:
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
-            "constant", "onerow",
+            "constant", "onerow", "negvalue",
         ],
     )
     p.add_argument(

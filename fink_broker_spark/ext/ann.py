@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fink_broker_spark.functions.vector import cosine_expr
@@ -316,6 +316,115 @@ def ivf_topk(
     return top_k_per_group(
         scored, [query_id_col], [F.desc("cosine"), F.asc(id_col)], k
     ).select(query_id_col, id_col, "cosine", "rank")
+
+
+def ivf_portable_topk(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    scale: int = 10000,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with an engine-portable, FULLY EXACT-INTEGER pipeline —
+    the oracle-checkable twin of :func:`ivf_topk` (whose k-means fit is
+    engine-specific).  Components integerize through the identical
+    ``FLOOR(x·scale + 0.5)`` IEEE tree (the label_centroids pattern),
+    centroids are the ``n_cells`` md5-first vectors (a deterministic
+    coarse quantizer — no Lloyd iterations to replay), and every
+    distance is an exact BIGINT squared-L2, so cell assignment, probe
+    choice, candidate set, and ranking are bit-identical in ANSI SQL.
+
+    100 TB shape unchanged from the production twin: the centroid set
+    is a tiny broadcast model, assignment is a per-row expression
+    (via an ``n_cells``-row broadcast argmin), candidates come from an
+    equi-join on the cell key — scored pairs shrink by ~nprobe/n_cells.
+    """
+    ivec = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    iv = corpus.select(F.col(id_col), ivec.alias("__e"))
+    seeds = (
+        iv.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col("__e").alias("__ce"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            )
+            .alias("cid"),
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    wcell = Window.partitionBy(id_col).orderBy("__d2", "cid")
+    assigned = (
+        iv.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col, "__e", "cid", d2(F.col("__e"), F.col("__ce")).alias("__d2")
+        )
+        .select(
+            id_col, "__e", "cid", F.row_number().over(wcell).alias("__rk")
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "__e", "cid")
+    )
+    probes = (
+        iv.filter(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__e").alias("__qe"),
+            "cid",
+            d2(F.col("__e"), F.col("__ce")).alias("__d2"),
+        )
+        .select(
+            "query_id",
+            "__qe",
+            "cid",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy("__d2", "cid"))
+            .alias("__rk"),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "__qe", "cid")
+    )
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            d2(F.col("__qe"), F.col("__e")).alias("d2"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("d2", id_col)
+    return (
+        cand.select(
+            "query_id", id_col, "d2", F.row_number().over(wk).alias("rnk")
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "d2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
 
 
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:

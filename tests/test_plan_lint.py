@@ -59,6 +59,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         {"broadcast_nested_loop_join"},
         "1-row min-source scalar broadcast labels the A sample",
     ),
+    "ivf_ann_portable": (
+        {"broadcast_nested_loop_join"},
+        "8-row centroid model broadcast for cell assignment — the IVF "
+        "coarse-quantizer shape (candidates themselves equi-join on cell)",
+    ),
     "kruskal_wallis": (
         {"broadcast_nested_loop_join"},
         "1-row (N, k) totals aggregate broadcast into the k group terms",

@@ -288,6 +288,42 @@ def test_kruskal_wallis_matches_rank_formula(spark):
     assert row["h_stat"] == pytest.approx(h, rel=1e-9)
 
 
+def test_ivf_portable_semantics(spark):
+    """Every returned neighbor must (a) live in one of the query's
+    nprobe probed cells and (b) rank by exact integer d2 — checked by
+    re-deriving cells and distances in Python from the same integerized
+    vectors and md5-first centroids."""
+    import hashlib
+
+    rows = em.queries()["ivf_ann_portable"](spark, SF001).collect()
+    assert rows
+    # exact integerization mirror: floor(x*10000 + 0.5)
+    import math
+
+    emb = {
+        r["vec_id"]: [math.floor(float(x) * 10000 + 0.5) for x in r["embedding"]]
+        for r in em.load_table(spark, SF001, "embeddings").collect()
+    }
+    seeds = sorted(
+        emb,
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )[:8]
+    cents = {cid + 1: emb[v] for cid, v in enumerate(seeds)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cell_of(e):
+        return min(cents, key=lambda c: (d2(e, cents[c]), c))
+
+    cells = {v: cell_of(e) for v, e in emb.items()}
+    for r in rows:
+        qe = emb[r["query_id"]]
+        probed = sorted(cents, key=lambda c: (d2(qe, cents[c]), c))[:2]
+        assert cells[r["vec_id"]] in probed
+        assert r["d2"] == d2(qe, emb[r["vec_id"]])
+
+
 def test_mutual_information_nonnegative(spark):
     row = em.queries()["mutual_information"](spark, SF001).collect()[0]
     # MI ≥ 0 up to the scale-5 terminal quantize
