@@ -17999,6 +17999,130 @@ FROM (
 """
 
 
+def q_scatter_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scatter-matrix build + two FIXED-POINT power-iteration
+    steps — the exact-oracle PRIMITIVE underneath PCA (the pagerank
+    integer-algebra trick applied to M·v).  NOT a principal-component
+    claim: on this corpus the spectrum is near-isotropic (λ₂/λ₁ ≈ 0.98
+    measured) and two steps from the ones vector do not approximate PC1
+    (cos ≈ 0.2 at sf0.01); the rows-only ``embedding_pca`` remains the
+    real eigensolver — THIS query pins the building blocks that ARE
+    ANSI-expressible: the integerized scatter matrix M = n·G − S·Sᵀ
+    (exact DECIMAL(38,0) from integer Gram/sum aggregates — n× the
+    covariance) and exact M·v products with integral-DIV rescaling
+    (truncation toward zero matches between Spark DIV and DuckDB //,
+    verified incl. negatives).  Zero floats end to end.
+
+    Plan: one n×d² self-join aggregate builds G (d = 64 → 4096 cells,
+    map-side combinable), then two d²-row matrix-vector joins; nothing
+    driver-side, no iteration-order float hazard anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ej = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
+                .cast("long"),
+            )
+        ).alias("j", "ej"),
+    )
+    ek = ej.select(
+        "vec_id", F.col("j").alias("k"), F.col("ej").alias("ekv")
+    )
+    g = (
+        ej.join(ek, "vec_id")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("ej") * F.col("ekv")).alias("g"))
+    )
+    s = ej.groupBy("j").agg(F.sum("ej").alias("s"))
+    nrow = emb.agg(F.count(F.lit(1)).alias("n"))
+
+    def big(c):
+        return c.cast("decimal(38,0)")
+
+    m = (
+        g.join(s, "j")
+        .join(
+            s.select(F.col("j").alias("k"), F.col("s").alias("sk")), "k"
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "j",
+            "k",
+            (big(F.col("n")) * big(F.col("g")) - big(F.col("s")) * big(F.col("sk"))).alias(
+                "m"
+            ),
+        )
+    )
+    # iteration 1: v0 = ones → u1_j = Σ_k M_jk, rescaled to ≤ ~10³
+    u1 = m.groupBy("j").agg(F.sum("m").alias("u1"))
+    r1 = u1.agg(F.max(F.abs(F.col("u1"))).alias("__mx")).select(
+        F.expr("__mx DIV 1000").alias("r1m")
+    )
+    v1 = u1.crossJoin(F.broadcast(r1)).select(
+        F.col("j").alias("k"),
+        F.expr("u1 DIV (r1m + 1)").alias("v1"),
+    )
+    # iteration 2: u2_j = Σ_k M_jk · v1_k, emitted in ≤10⁶ units
+    u2 = (
+        m.join(v1, "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("m") * big(F.col("v1"))).alias("u2"))
+    )
+    r2 = u2.agg(F.max(F.abs(F.col("u2"))).alias("__mx")).select(
+        F.expr("__mx DIV 1000000").alias("r2m")
+    )
+    return (
+        u2.crossJoin(F.broadcast(r2))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.expr("CAST(u2 DIV (r2m + 1) AS BIGINT)").alias(
+                "loading_scaled"
+            ),
+        )
+    )
+
+
+ORACLE_SCATTER_POWER_ITERATION = """
+WITH ej AS (
+  SELECT vec_id, i - 1 AS j,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS ej
+  FROM embeddings, range(1, 100000) t(i)
+  WHERE i <= len(embedding)
+),
+g AS (
+  SELECT a.j AS j, b.j AS k, SUM(a.ej * b.ej) AS g
+  FROM ej a JOIN ej b USING (vec_id)
+  GROUP BY a.j, b.j
+),
+s AS (SELECT j, SUM(ej) AS s FROM ej GROUP BY j),
+nrow AS (SELECT COUNT(*) AS n FROM embeddings),
+m AS (
+  SELECT g.j, g.k,
+         CAST(n AS HUGEINT) * g - CAST(sj.s AS HUGEINT) * sk.s AS m
+  FROM g
+  JOIN s sj ON sj.j = g.j
+  JOIN s sk ON sk.j = g.k
+  CROSS JOIN nrow
+),
+u1 AS (SELECT j, SUM(m) AS u1 FROM m GROUP BY j),
+r1 AS (SELECT MAX(abs(u1)) // 1000 AS r1m FROM u1),
+v1 AS (
+  SELECT j AS k, u1 // (r1m + 1) AS v1 FROM u1 CROSS JOIN r1
+),
+u2 AS (
+  SELECT m.j, SUM(m.m * CAST(v1.v1 AS HUGEINT)) AS u2
+  FROM m JOIN v1 USING (k) GROUP BY m.j
+),
+r2 AS (SELECT MAX(abs(u2)) // 1000000 AS r2m FROM u2)
+SELECT CAST(j AS INTEGER) AS dim,
+       CAST(u2 // (r2m + 1) AS BIGINT) AS loading_scaled
+FROM u2 CROSS JOIN r2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18055,6 +18179,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_two_sample": q_ks_two_sample,
     "kruskal_wallis": q_kruskal_wallis,
     "ivf_ann_portable": q_ivf_ann_portable,
+    "scatter_power_iteration": q_scatter_power_iteration,
     "stream_replay_counts": q_stream_replay_counts,
     "stream_topk_users": q_stream_topk_users,
     "rollup_aggregates": q_rollup,
@@ -18349,6 +18474,7 @@ _ORACLES: dict[str, str] = {
     "ks_two_sample": ORACLE_KS_TWO_SAMPLE,
     "kruskal_wallis": ORACLE_KRUSKAL_WALLIS,
     "ivf_ann_portable": ORACLE_IVF_ANN_PORTABLE,
+    "scatter_power_iteration": ORACLE_SCATTER_POWER_ITERATION,
     "stream_replay_counts": ORACLE_STREAM_REPLAY,
     "stream_topk_users": ORACLE_STREAM_TOPK_USERS,
     "rollup_aggregates": ORACLE_ROLLUP,

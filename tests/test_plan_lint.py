@@ -64,6 +64,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "8-row centroid model broadcast for cell assignment — the IVF "
         "coarse-quantizer shape (candidates themselves equi-join on cell)",
     ),
+    "scatter_power_iteration": (
+        {"broadcast_nested_loop_join"},
+        "1-row n / rescale scalars broadcast into the d- and d²-row "
+        "matrix tables",
+    ),
     "kruskal_wallis": (
         {"broadcast_nested_loop_join"},
         "1-row (N, k) totals aggregate broadcast into the k group terms",
