@@ -6181,8 +6181,12 @@ def q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PHASE_FOLD = """
 WITH f AS (
+  -- double-% = POSITIVE mod, mirroring Spark's pmod: a bare % keeps
+  -- the dividend's sign, which flips the fold for pre-1970 epochs
+  -- (epoch68 driftlab layout) — a phase must live in [0, period)
   SELECT event_type,
-         CAST(((epoch_us(ts) % 86400000000) * 8) // 86400000000 AS INT)
+         CAST((((epoch_us(ts) % 86400000000 + 86400000000)
+                 % 86400000000) * 8) // 86400000000 AS INT)
              AS phase_bin,
          value
   FROM events
@@ -6370,8 +6374,13 @@ def q_periodogram_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _periodogram_oracle() -> str:
     two_pi = 6.283185307179586
+    # double-% = POSITIVE mod (pmod twin): a bare % goes negative on
+    # pre-1970 epochs — mathematically the trig agrees by periodicity,
+    # but the libm ARGUMENTS would differ and parity would then hang
+    # on the scale-7 round absorbing the ulp gap (epoch68 driftlab)
     arms = ",\n         ".join(
-        f"{{'period_s': {p}, 'angle': (CAST(epoch_us(ts) % {p * 1_000_000} "
+        f"{{'period_s': {p}, 'angle': (CAST((epoch_us(ts) % {p * 1_000_000}"
+        f" + {p * 1_000_000}) % {p * 1_000_000} "
         f"AS DOUBLE) / {float(p * 1_000_000)}) * {two_pi}}}"
         for p in _PERIODOGRAM_PERIODS
     )

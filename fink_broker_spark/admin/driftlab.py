@@ -183,6 +183,13 @@ _CONSTANT_INT_MEASURES = {("n_chars", "documents")}
 #: quantiles see a single value, lags/autocorrelation outrun the data.
 _ONEROW_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 
+#: ``epoch68`` layout: every timestamp shifts back 57 years so the
+#: whole lake lives BEFORE 1970 — epoch arithmetic goes negative,
+#: where floor-division and truncating-division diverge (day indexes,
+#: window alignment, phase folds), the classic pre-epoch archive
+#: state (and a real one for astronomical backfills).
+_EPOCH68_SHIFT_US = 57 * 365 * 86_400_000_000 + 14 * 86_400_000_000
+
 #: ``negvalue`` layout: ~1-in-12 of these measure rows flip sign
 #: (credit notes / reversals — a real lake state).  Hunts the
 #: math-domain class: DuckDB hard-errors on ln/log2/sqrt of a negative
@@ -352,6 +359,12 @@ def generate_variant(
                 cols[field.name] = pa.array(
                     vals, type=pa.decimal128(15, 2)
                 )
+            elif layout == "epoch68" and pa.types.is_timestamp(field.type):
+                us = col.cast(pa.timestamp("us")).cast(pa.int64())
+                shifted = pc.subtract(
+                    us, pa.scalar(_EPOCH68_SHIFT_US, type=pa.int64())
+                )
+                cols[field.name] = shifted.cast(pa.timestamp("us"))
             elif (
                 layout == "negvalue"
                 and (field.name, name) in _NEGVALUE_COLS
@@ -565,7 +578,7 @@ def main(argv=None) -> int:
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
-            "constant", "onerow", "negvalue",
+            "constant", "onerow", "negvalue", "epoch68",
         ],
     )
     p.add_argument(
