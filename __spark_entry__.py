@@ -17491,9 +17491,16 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_STREAM_SLIDING_COUNTS = """
+-- make_timestamp(epoch_us(ts)) pins the value to a NAIVE UTC wall
+-- time whatever the lake's physical convention: epoch_us is
+-- instant-absolute on TIMESTAMPTZ and UTC-assuming on naive, so a
+-- tz-aware writer (tzutc driftlab layout) neither shifts the window
+-- nor leaks a TIMESTAMPTZ output type, independent of the oracle
+-- session's TimeZone setting
 WITH w AS (
-  SELECT unnest([date_trunc('hour', ts),
-                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+  SELECT unnest([date_trunc('hour', make_timestamp(epoch_us(ts))),
+                 date_trunc('hour', make_timestamp(epoch_us(ts)))
+                   - INTERVAL 1 HOUR]) AS window_start,
          event_type
   FROM events
 )

@@ -190,6 +190,13 @@ _ONEROW_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 #: state (and a real one for astronomical backfills).
 _EPOCH68_SHIFT_US = 57 * 365 * 86_400_000_000 + 14 * 86_400_000_000
 
+#: ``tzutc`` layout: every timestamp column stored with
+#: isAdjustedToUTC=true (instant semantics, parquet TIMESTAMP(UTC))
+#: instead of the committed naive/NTZ layout — the OTHER writer
+#: convention real lakes ship.  Spark reads it as session-TZ TIMESTAMP
+#: (UTC session → same wall values), DuckDB as TIMESTAMPTZ; hunts
+#: date_trunc/epoch/window asymmetries between the two readings.
+
 #: ``negvalue`` layout: ~1-in-12 of these measure rows flip sign
 #: (credit notes / reversals — a real lake state).  Hunts the
 #: math-domain class: DuckDB hard-errors on ln/log2/sqrt of a negative
@@ -358,6 +365,10 @@ def generate_variant(
                 ]
                 cols[field.name] = pa.array(
                     vals, type=pa.decimal128(15, 2)
+                )
+            elif layout == "tzutc" and pa.types.is_timestamp(field.type):
+                cols[field.name] = col.cast(pa.timestamp("us")).cast(
+                    pa.timestamp("us", tz="UTC")
                 )
             elif layout == "epoch68" and pa.types.is_timestamp(field.type):
                 us = col.cast(pa.timestamp("us")).cast(pa.int64())
@@ -578,7 +589,7 @@ def main(argv=None) -> int:
         choices=[
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
-            "constant", "onerow", "negvalue", "epoch68",
+            "constant", "onerow", "negvalue", "epoch68", "tzutc",
         ],
     )
     p.add_argument(
