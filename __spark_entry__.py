@@ -7172,9 +7172,18 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         # a constant (or single-pair) series has zero variance in one
         # arm: acf is undefined → NULL, never a division (ANSI throws
-        # where DuckDB would emit inf/nan — driftlab sparse layout)
-        F.when(
-            (den_y > 0) & (den_l > 0), num / F.sqrt(den_y * den_l)
+        # where DuckDB would emit inf/nan — driftlab sparse layout).
+        # Terminal scale-9 round: on high-magnitude lakes (bigmoney
+        # driftlab) the decimal(38,0) moments outgrow 2⁶³ where
+        # DuckDB's int128→double conversion is not correctly rounded
+        # (the r5 wide-integer corollary) — a 1-ulp input split that
+        # the round absorbs (|acf| ≤ 1, unit 1e-9 ≫ ulp 1e-17; the
+        # measured-safe computed-double zone)
+        F.round(
+            F.when(
+                (den_y > 0) & (den_l > 0), num / F.sqrt(den_y * den_l)
+            ),
+            9,
         ).alias("acf"),
     )
 
@@ -7216,6 +7225,9 @@ SELECT event_type, lag, n,
                    - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
                    AS DOUBLE) > 0
        THEN
+       -- terminal scale-9 round absorbs the 1-ulp int128→double
+       -- conversion split on high-magnitude lakes (bigmoney driftlab)
+       ROUND(
        CAST(CAST(n AS DECIMAL(38,0)) * CAST(syl AS DECIMAL(38,0))
             - CAST(sy AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
             AS DOUBLE)
@@ -7224,7 +7236,7 @@ SELECT event_type, lag, n,
                    AS DOUBLE)
               * CAST(CAST(n AS DECIMAL(38,0)) * CAST(sll AS DECIMAL(38,0))
                      - CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))
-                     AS DOUBLE))
+                     AS DOUBLE)), 9)
        END AS acf
 FROM g
 """
@@ -8530,11 +8542,20 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def corr(cab, va, vb):
         # zero-variance operand (constant measure / single row) → NULL,
         # never an x/0.0 (ANSI throws; DuckDB yields ±inf — onerow and
-        # constant driftlab layouts)
-        return F.when(
-            (F.col(va) > 0) & (F.col(vb) > 0),
-            F.col(cab).cast("double")
-            / F.sqrt(F.col(va).cast("double") * F.col(vb).cast("double")),
+        # constant driftlab layouts).  Terminal scale-9 round: on
+        # high-magnitude lakes the decimal(28,7) term sums outgrow the
+        # unscaled-2⁵³ safe zone where DuckDB's wide-decimal→double
+        # cast double-rounds (bigmoney driftlab) — |r| ≤ 1, so the
+        # round absorbs the 1-ulp input split
+        return F.round(
+            F.when(
+                (F.col(va) > 0) & (F.col(vb) > 0),
+                F.col(cab).cast("double")
+                / F.sqrt(
+                    F.col(va).cast("double") * F.col(vb).cast("double")
+                ),
+            ),
+            9,
         )
 
     # one aggregate row unpivoted with stack — a 3-way union of the
@@ -8600,18 +8621,18 @@ WITH t AS (
   FROM t CROSS JOIN m
 )
 SELECT 'quantity_price' AS pair, n,
-       CASE WHEN vq > 0 AND vp > 0 THEN CAST(cqp AS DOUBLE)
-         / sqrt(CAST(vq AS DOUBLE) * CAST(vp AS DOUBLE)) END AS corr
+       ROUND(CASE WHEN vq > 0 AND vp > 0 THEN CAST(cqp AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vp AS DOUBLE)) END, 9) AS corr
 FROM g
 UNION ALL
 SELECT 'quantity_discount', n,
-       CASE WHEN vq > 0 AND vd > 0 THEN CAST(cqd AS DOUBLE)
-         / sqrt(CAST(vq AS DOUBLE) * CAST(vd AS DOUBLE)) END
+       ROUND(CASE WHEN vq > 0 AND vd > 0 THEN CAST(cqd AS DOUBLE)
+         / sqrt(CAST(vq AS DOUBLE) * CAST(vd AS DOUBLE)) END, 9)
 FROM g
 UNION ALL
 SELECT 'price_discount', n,
-       CASE WHEN vp > 0 AND vd > 0 THEN CAST(cpd AS DOUBLE)
-         / sqrt(CAST(vp AS DOUBLE) * CAST(vd AS DOUBLE)) END
+       ROUND(CASE WHEN vp > 0 AND vd > 0 THEN CAST(cpd AS DOUBLE)
+         / sqrt(CAST(vp AS DOUBLE) * CAST(vd AS DOUBLE)) END, 9)
 FROM g
 """
 
@@ -10768,11 +10789,15 @@ WITH t AS (
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
   FROM lineitem
 ), g AS (
-  SELECT l_partkey, count(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+  -- HUGEINT product mirrors the Spark side's decimal(38,0) square:
+  -- a raw INT64 c*c overflows on high-magnitude lakes (bigmoney)
+  SELECT l_partkey, count(*) AS n, SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
   FROM t GROUP BY l_partkey HAVING count(*) >= 10
 )
 SELECT l_partkey AS partkey, n,
-       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+       sqrt(CAST(CAST(n AS HUGEINT) * s2
+                 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
             / CAST(n * (n - 1) AS DOUBLE))
          / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS cv
 FROM g ORDER BY cv DESC, partkey LIMIT 20
@@ -14122,11 +14147,24 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("predictor"),
             F.count(F.lit(1)).alias("n_days"),
             F.sum("ae").alias("sum_abs_err"),
+            # decimal(38,0) square: a raw long ae² overflows on
+            # high-magnitude lakes (bigmoney driftlab)
             F.sum(
-                F.col("ae_dollars") * F.col("ae_dollars")
+                F.col("ae_dollars").cast("decimal(19,0)")
+                * F.col("ae_dollars").cast("decimal(19,0)")
             ).alias("sum_sq_err_usd"),
         )
         out = agg if out is None else out.unionAll(agg)
+    # hi/lo split conversion: a decimal that can outgrow 2⁶³ must not
+    # cast to double directly (DuckDB's int128→double is not correctly
+    # rounded up there — r5 corollary); v = hi·10⁹ + lo with each part
+    # < 2⁶³ converts exactly, and the 2-op recombination tree is
+    # identical on both engines
+    sq_d = (
+        F.expr("CAST(sum_sq_err_usd DIV 1000000000 AS DOUBLE)")
+        * F.lit(1.0e9)
+        + F.expr("CAST(sum_sq_err_usd % 1000000000 AS DOUBLE)")
+    )
     return out.select(
         "predictor",
         "n_days",
@@ -14135,10 +14173,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_abs_err").cast("double")
             / F.col("n_days").cast("double")
         ).alias("mae_cents"),
-        F.sqrt(
-            F.col("sum_sq_err_usd").cast("double")
-            / F.col("n_days").cast("double")
-        ).alias("rmse_dollars"),
+        F.sqrt(sq_d / F.col("n_days").cast("double")).alias(
+            "rmse_dollars"
+        ),
     )
 
 
@@ -14156,22 +14193,27 @@ lagged AS (
   FROM daily
 ),
 rep AS (
+  -- HUGEINT squares (bigmoney lakes overflow INT64 ae²)
   SELECT 'naive_lag1' AS predictor, count(*) AS n_days,
          SUM(abs(rev - naive)) AS sum_abs_err,
-         SUM((abs(rev - naive) // 100)
+         SUM(CAST(abs(rev - naive) // 100 AS HUGEINT)
              * (abs(rev - naive) // 100)) AS sum_sq_err_usd
   FROM lagged WHERE naive IS NOT NULL
   UNION ALL
   SELECT 'seasonal_lag7', count(*),
          SUM(abs(rev - seasonal)),
-         SUM((abs(rev - seasonal) // 100)
+         SUM(CAST(abs(rev - seasonal) // 100 AS HUGEINT)
              * (abs(rev - seasonal) // 100))
   FROM lagged WHERE seasonal IS NOT NULL
 )
 SELECT predictor, n_days, sum_abs_err,
        CAST(sum_abs_err AS DOUBLE) / CAST(n_days AS DOUBLE)
          AS mae_cents,
-       sqrt(CAST(sum_sq_err_usd AS DOUBLE) / CAST(n_days AS DOUBLE))
+       -- hi/lo split conversion mirrors the engine: the sum can
+       -- outgrow the correctly-rounded int128→double zone
+       sqrt((CAST(sum_sq_err_usd // 1000000000 AS DOUBLE) * 1e9
+             + CAST(sum_sq_err_usd % 1000000000 AS DOUBLE))
+            / CAST(n_days AS DOUBLE))
          AS rmse_dollars
 FROM rep
 """

@@ -197,6 +197,17 @@ _EPOCH68_SHIFT_US = 57 * 365 * 86_400_000_000 + 14 * 86_400_000_000
 #: (UTC session → same wall values), DuckDB as TIMESTAMPTZ; hunts
 #: date_trunc/epoch/window asymmetries between the two readings.
 
+#: ``bigmoney`` layout: money/measure columns scaled ×10³ (orders up
+#: to ~$5×10⁸ — the top of the plausible enterprise-lake envelope;
+#: TPC-H generates ~10⁵).  Hunts the accumulator-headroom class:
+#: summand DECIMAL(18,9)/(18,7) casts carry ~10⁹ of integer headroom
+#: and ulp-sensitive terminal rounds tighten with magnitude.  A ×10⁸
+#: probe (measured, SCALING.md) showed the envelope edge: BOTH engines
+#: then overflow their decimal casts loudly (ANSI / OutOfRange — the
+#: correct fail-loud behavior past documented capacity), so the pinned
+#: layout sits at the plausibility boundary where parity must hold.
+_BIGMONEY_SCALE = 1e3
+
 #: ``negvalue`` layout: ~1-in-12 of these measure rows flip sign
 #: (credit notes / reversals — a real lake state).  Hunts the
 #: math-domain class: DuckDB hard-errors on ln/log2/sqrt of a negative
@@ -365,6 +376,17 @@ def generate_variant(
                 ]
                 cols[field.name] = pa.array(
                     vals, type=pa.decimal128(15, 2)
+                )
+            elif (
+                layout == "bigmoney"
+                and pa.types.is_float64(field.type)
+                and field.name in _MONEY_COLS
+            ):
+                null_mask = np.asarray(col.is_null())
+                v = col.to_numpy(zero_copy_only=False).copy()
+                v = v * _BIGMONEY_SCALE
+                cols[field.name] = pa.array(
+                    v, type=field.type, mask=null_mask
                 )
             elif layout == "tzutc" and pa.types.is_timestamp(field.type):
                 cols[field.name] = col.cast(pa.timestamp("us")).cast(
@@ -590,6 +612,7 @@ def main(argv=None) -> int:
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
             "constant", "onerow", "negvalue", "epoch68", "tzutc",
+            "bigmoney",
         ],
     )
     p.add_argument(
