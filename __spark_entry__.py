@@ -1058,9 +1058,14 @@ def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.functions.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", "lang", tokens_expr("text").alias("toks")
-    ).filter(F.size("toks") > 0)
+    # dropDuplicates: a re-ingested duplicate row (duprows driftlab)
+    # must neither double-count the document nor double its token
+    # totals (which would halve the distinct-token ratio)
+    staged = (
+        docs.dropDuplicates(["doc_id"])
+        .select("doc_id", "lang", tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
     met = repetition_metrics(staged, "doc_id", "toks")
     joined = staged.select("doc_id", "lang").join(met, "doc_id")
     top_frac = F.col("top_token_count") / F.col("n_tokens")
@@ -1075,10 +1080,14 @@ def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_REPETITION_RULES = r"""
-WITH toks AS (
+WITH uniq AS (
+  -- one row per document (duprows re-ingest parity)
+  SELECT DISTINCT doc_id, lang, text
+  FROM documents WHERE length(trim(lower(text))) > 0
+), toks AS (
   SELECT doc_id, lang,
          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-  FROM documents WHERE length(trim(lower(text))) > 0
+  FROM uniq
 ), per AS (
   SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3
 ), met AS (
@@ -5706,7 +5715,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_expr("text").alias("fp"),
         quality_score_expr("text").alias("q"),
-    )
+    ).dropDuplicates(["fp", "doc_id"])
+    # dropDuplicates: a re-ingested duplicate ROW (duprows driftlab,
+    # at-least-once delivery) is the same document — "copies" counts
+    # DISTINCT documents sharing the fingerprint on both engines
     return staged.groupBy("fp").agg(
         F.count(F.lit(1)).alias("copies"),
         F.max_by(
@@ -5730,7 +5742,8 @@ WITH t AS (
   FROM documents WHERE text IS NOT NULL
 ),
 staged AS (
-  SELECT doc_id, fp,
+  -- DISTINCT: re-ingested duplicate rows are one document (duprows)
+  SELECT DISTINCT doc_id, fp,
          0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
          + 0.3 * (1.0 - punct_ratio)
          + 0.3 * least(1.0, (CASE WHEN n_tokens = 0 THEN 0.0
@@ -8745,9 +8758,19 @@ def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("sday").alias("end_day"))
     )
-    iv = o.select(
-        "o_custkey", "o_orderkey", _day("o_orderdate").alias("start_day")
-    ).join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+    # dropDuplicates: a re-ingested duplicate orders row (duprows
+    # driftlab) is one order — and the exact-dup pair also exposed a
+    # frame hazard: the island sum below must be a ROWS frame (the
+    # default ordered-window frame is RANGE, which merges tie PEERS)
+    iv = (
+        o.dropDuplicates(["o_orderkey"])
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _day("o_orderdate").alias("start_day"),
+        )
+        .join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
     w = Window.partitionBy("o_custkey").orderBy("start_day", "o_orderkey")
     prev_max_end = F.max("end_day").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -8764,7 +8787,12 @@ def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("brk"),
-    ).withColumn("island", F.sum("brk").over(w))
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     isl = marked.groupBy("o_custkey", "island").agg(
         F.min("start_day").alias("s"),
         F.max("end_day").alias("e"),
@@ -8793,7 +8821,8 @@ WITH ends AS (
            AS end_day
   FROM lineitem GROUP BY l_orderkey
 ), iv AS (
-  SELECT o.o_custkey, o.o_orderkey,
+  -- DISTINCT: a re-ingested duplicate orders row is one order
+  SELECT DISTINCT o.o_custkey, o.o_orderkey,
          CAST(FLOOR(epoch_us(o.o_orderdate) / 86400000000) AS BIGINT)
            AS start_day,
          e.end_day
@@ -11779,9 +11808,14 @@ def q_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXACT_SUBSTRING_REMOVE = r"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+WITH uniq AS (
+  -- one row per document (duprows re-ingest parity): repeated rows
+  -- would double the kept-token string_agg and re-emit output rows
+  SELECT DISTINCT doc_id, text
   FROM documents WHERE length(trim(lower(text))) > 0
+), tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM uniq
 ),
 w AS (
   SELECT doc_id, i,
@@ -14725,7 +14759,10 @@ def _ppjoin_neardup_plan(
     # token is corpus-common — 6.5M candidates at sf0.1 (measured).
     # Shingles give the discriminative universe prefix filtering needs
     # (and the same element space as jaccard_neardup/minhash-LSH).
-    arrs = docs.select(
+    # dropDuplicates: a re-ingested duplicate row (duprows driftlab)
+    # is one document — df must count DOCUMENTS per shingle, and the
+    # verify joins must not fan out over repeated array rows
+    arrs = docs.dropDuplicates(["doc_id"]).select(
         "doc_id", tokens_expr("text").alias("toks")
     ).select(
         "doc_id",

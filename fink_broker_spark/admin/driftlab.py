@@ -208,6 +208,19 @@ _EPOCH68_SHIFT_US = 57 * 365 * 86_400_000_000 + 14 * 86_400_000_000
 #: layout sits at the plausibility boundary where parity must hold.
 _BIGMONEY_SCALE = 1e3
 
+#: ``duprows`` layout: ~1-in-25 fact rows duplicated VERBATIM (a
+#: double-applied ingest batch — the classic at-least-once delivery
+#: artifact).  Declarative plans fan out identically on both engines;
+#: the hunt targets imperative paths (grouped-map pandas kernels,
+#: UDTFs, merge_asof alignment, dedup keep-rules) that silently assume
+#: key uniqueness.
+_DUPROWS_1_IN = {
+    "orders": 25,
+    "lineitem": 25,
+    "events": 25,
+    "documents": 25,
+}
+
 #: ``negvalue`` layout: ~1-in-12 of these measure rows flip sign
 #: (credit notes / reversals — a real lake state).  Hunts the
 #: math-domain class: DuckDB hard-errors on ln/log2/sqrt of a negative
@@ -264,6 +277,11 @@ def generate_variant(
             # one orders row) manufacturing empty joins downstream
             off = int(_rng_ints(seed, f"onerow.{name}", 1, max(len(t), 1))[0])
             t = t.slice(off, 1)
+        if layout == "duprows" and name in _DUPROWS_1_IN:
+            k = _DUPROWS_1_IN[name]
+            pick = _rng_ints(seed, f"dup.{name}", len(t), k) == 0
+            dup = t.filter(pa.array(pick, type=pa.bool_()))
+            t = pa.concat_tables([t, dup])
         if layout == "sparse" and name in _SPARSE_KEEP_1_IN:
             # decimate the FACT tables (dims stay whole): harsh
             # sparsity manufactures EMPTY intermediate sets — the
@@ -612,7 +630,7 @@ def main(argv=None) -> int:
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
             "constant", "onerow", "negvalue", "epoch68", "tzutc",
-            "bigmoney",
+            "bigmoney", "duprows",
         ],
     )
     p.add_argument(

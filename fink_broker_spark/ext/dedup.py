@@ -55,12 +55,24 @@ def _shingle_table(
 ) -> DataFrame:
     # two-step projection: tokenize ONCE per doc into a named column, THEN
     # shingle from it — inlining the tokenizer into the shingle lambda
-    # re-splits the document per shingle (see shingles_from_tokens_expr)
-    return docs.select(
-        F.col(id_col), tokens_expr(text_col).alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens_expr("__toks", n)).alias("shingle"),
+    # re-splits the document per shingle (see shingles_from_tokens_expr).
+    # dropDuplicates = SET semantics per (doc, shingle): a re-ingested
+    # duplicate ROW (duprows driftlab: at-least-once delivery) must not
+    # double a document's shingle multiset — array_distinct dedupes
+    # within a row, this dedupes across repeated rows, matching the
+    # oracles' SELECT DISTINCT; the exchange it adds is keyed
+    # compatibly with every downstream per-doc aggregate
+    return (
+        docs.select(
+            F.col(id_col), tokens_expr(text_col).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                shingles_from_tokens_expr("__toks", n)
+            ).alias("shingle"),
+        )
+        .dropDuplicates([id_col, "shingle"])
     )
 
 
@@ -895,7 +907,10 @@ def exact_substring_remove(
 
     Returns (doc_id, n_tokens, n_removed, clean_hash).
     """
-    toks = docs.select(
+    # dropDuplicates: a re-ingested duplicate row (duprows driftlab) is
+    # one document — repeated rows would double window multiplicities
+    # and re-emit (and double-agg) output rows
+    toks = docs.dropDuplicates([id_col]).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     )
     # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
