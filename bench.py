@@ -97,6 +97,20 @@ def main() -> None:
             err = f"{type(exc).__name__}: {exc}"[:120]
             return round(time.perf_counter() - start, 2), err
 
+    # JVM/JIT warmup before any timed sample: the rotation ledger puts
+    # NEVER-SAMPLED (newest, often heaviest) queries at the head of
+    # queries(), so the first timed slots used to pay the C2-cold
+    # compilation tax (measured: bootstrap_ci 37 s cold-first vs 4 s
+    # warm — a 10× artifact of measurement order, not of the plan).
+    # One un-timed pass of a scan + codegen-heavy pipeline warms the
+    # JIT, the parquet footer caches, and the shuffle machinery.
+    try:
+        entrymod.entry(spark).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
     # correctness-only twins are excluded from timing: their
     # production-regime counterpart is the number that reflects a
     # deployment (see BENCH_SKIP in __spark_entry__)
