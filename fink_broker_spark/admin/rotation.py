@@ -10,8 +10,14 @@ never go stale again:
 1. queries whose most recent driver row FAILED (hash mismatch, or a
    harness error other than the documented ``no_oracle``) come first —
    a fix needs re-verification before anything else;
-2. then queries NEVER driver-checked in any recorded round, in
-   registration order (newest additions naturally land here);
+2. then queries NEVER driver-checked in any recorded round, ordered
+   by FIRST-REGISTRATION ROUND (oldest backlog first — the round-7
+   verdict caught 16 brand-new queries jumping a 2-round-old backlog
+   because this tier used to sort by dict position, which the
+   builder's literal-insert order controls, not age).  The
+   registration round per query persists in ``registry_rounds.json``
+   next to this module; names missing from that ledger sort LAST
+   within the tier, so an unsynced new query can never jump the queue;
 3. then previously-green queries, oldest round first (stalest green
    gets refreshed before a twice-confirmed one).
 
@@ -28,6 +34,42 @@ import json
 import os
 import re
 from typing import Iterable, Mapping
+
+#: Persistent name -> first-registration-round ledger.  Seeded at
+#: round 8 from the first CORRECTNESS_r*.json appearance per name
+#: (never-sampled round-7 survivors seeded as round 7); every later
+#: round appends its new registry names via ``sync_add_rounds``.
+LEDGER_FILE = os.path.join(os.path.dirname(__file__), "registry_rounds.json")
+
+#: Sort key for tier-1 names absent from the ledger: strictly after
+#: every ledgered round, so an unsynced addition cannot jump the queue.
+UNSYNCED_ROUND = 10**9
+
+
+def load_add_rounds(path: str = LEDGER_FILE) -> dict[str, int]:
+    """Read the name -> first-registration-round ledger ({} if absent)."""
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return {str(k): int(v) for k, v in data.items()} if isinstance(data, dict) else {}
+
+
+def sync_add_rounds(
+    names: Iterable[str], current_round: int, path: str = LEDGER_FILE
+) -> dict[str, int]:
+    """Append any *names* missing from the ledger with *current_round*.
+
+    Existing entries are never modified (first registration wins).
+    Returns the merged ledger after writing it back sorted by name."""
+    ledger = load_add_rounds(path)
+    for n in names:
+        ledger.setdefault(n, current_round)
+    with open(path, "w") as fh:
+        json.dump(dict(sorted(ledger.items())), fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return ledger
 
 
 def read_ledger(artifact_dir: str) -> tuple[dict[str, int], set[str]]:
@@ -87,18 +129,26 @@ def driver_priority(
     names: Iterable[str],
     artifact_dir: str,
     pinned: Iterable[str] = (),
+    add_rounds: Mapping[str, int] | None = None,
 ) -> list[str]:
     """Order *names* for driver sampling: pinned probes, then failed,
-    never-checked, and stalest-green.  Registration order breaks ties.
+    never-checked (oldest first-registration round first), and
+    stalest-green.  Registration order breaks ties.
 
     ``pinned`` names (the admin/probes.py fingerprint tier) always lead:
     their row counts ARE the driver-environment telemetry, so they must
     land inside the ~50-row sample window every round regardless of the
-    failure backlog."""
+    failure backlog.
+
+    ``add_rounds`` maps name -> first-registration round for the
+    never-checked tier (default: the persistent ``LEDGER_FILE``).
+    Names absent from the map sort after all present ones."""
     names = list(names)
     order = {n: i for i, n in enumerate(names)}
     pinned_set = set(pinned)
     last_green, failed = read_ledger(artifact_dir)
+    if add_rounds is None:
+        add_rounds = load_add_rounds()
 
     def key(n: str) -> tuple[int, int, int]:
         if n in pinned_set:
@@ -109,7 +159,9 @@ def driver_priority(
         if n in failed:
             tier = 0
         elif n not in last_green:
-            tier = 1
+            # oldest backlog first: a brand-new query must wait behind
+            # every never-sampled survivor from earlier rounds
+            return (1, add_rounds.get(n, UNSYNCED_ROUND), order[n])
         else:
             tier = 2
         return (tier, last_green.get(n, 0), order[n])

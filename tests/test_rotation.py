@@ -88,6 +88,51 @@ def test_missing_dir_harmless(tmp_path):
     assert driver_priority(["x", "y"], str(tmp_path / "nope")) == ["x", "y"]
 
 
+def test_never_checked_orders_by_registration_round(tmp_path):
+    """VERDICT r7 What's-wrong #1: tier-1 used to sort by dict
+    position, so 16 brand-new queries inserted mid-literal jumped a
+    2-round-old backlog.  With the add-round ledger, an old survivor
+    beats a newer addition regardless of dict position, and a name
+    MISSING from the ledger (unsynced) sorts dead last in the tier."""
+    _write(tmp_path, 1, {"green": GREEN})
+    add = {"new_r8": 8, "old_r5": 5, "mid_r7": 7, "green": 1}
+    got = driver_priority(
+        ["new_r8", "unsynced", "old_r5", "green", "mid_r7"],
+        str(tmp_path),
+        add_rounds=add,
+    )
+    assert got == ["old_r5", "mid_r7", "new_r8", "unsynced", "green"]
+
+
+def test_registry_ledger_covers_live_registry():
+    """Every registered query must carry a first-registration round in
+    the persistent ledger — adding a query without syncing the ledger
+    is the exact failure mode that let r7's additions jump the queue
+    (they'd now sort last, but the ledger must still be kept honest)."""
+    import __spark_entry__ as entry
+    from fink_broker_spark.admin.rotation import load_add_rounds
+
+    ledger = load_add_rounds()
+    missing = set(entry._QUERIES) - set(ledger)
+    assert not missing, (
+        f"sync registry_rounds.json (admin.rotation.sync_add_rounds): {missing}"
+    )
+    # and the ledger never claims a round newer than the artifacts show:
+    # a name first seen in CORRECTNESS_rN must have add_round <= N
+    last, _ = read_ledger(REPO)
+    late = {n for n, r in last.items() if n in ledger and ledger[n] > r}
+    assert not late, f"ledger claims later registration than first green: {late}"
+
+
+def test_sync_add_rounds_first_registration_wins(tmp_path):
+    from fink_broker_spark.admin.rotation import load_add_rounds, sync_add_rounds
+
+    path = str(tmp_path / "ledger.json")
+    sync_add_rounds(["a", "b"], 7, path)
+    sync_add_rounds(["b", "c"], 8, path)  # b must keep round 7
+    assert load_add_rounds(path) == {"a": 7, "b": 7, "c": 8}
+
+
 def test_live_wiring():
     """queries() order == ledger order over the real artifacts, and
     every query that appears in NO recorded CORRECTNESS artifact —
