@@ -1058,16 +1058,18 @@ def q_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.functions.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    # dropDuplicates: a re-ingested duplicate row (duprows driftlab)
-    # must neither double-count the document nor double its token
-    # totals (which would halve the distinct-token ratio)
+    # tuple-distinct on (doc_id, lang, text) — the SAME tuple the
+    # oracle's DISTINCT keeps — so a re-ingested duplicate row
+    # (duprows driftlab) is one document on both engines, and a
+    # re-ingest that drifts text or lang (ADVICE r7 #3) yields the
+    # same per-(doc, lang) token pools here and in DuckDB; metrics key
+    # on the full (doc_id, lang) tuple for the same reason.
     staged = (
-        docs.dropDuplicates(["doc_id"])
+        docs.dropDuplicates(["doc_id", "lang", "text"])
         .select("doc_id", "lang", tokens_expr("text").alias("toks"))
         .filter(F.size("toks") > 0)
     )
-    met = repetition_metrics(staged, "doc_id", "toks")
-    joined = staged.select("doc_id", "lang").join(met, "doc_id")
+    joined = repetition_metrics(staged, ["doc_id", "lang"], "toks")
     top_frac = F.col("top_token_count") / F.col("n_tokens")
     distinct_ratio = F.col("distinct_tokens") / F.col("n_tokens")
     keep = (top_frac < 0.12) & (distinct_ratio > 0.35)
@@ -5715,10 +5717,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_expr("text").alias("fp"),
         quality_score_expr("text").alias("q"),
-    ).dropDuplicates(["fp", "doc_id"])
-    # dropDuplicates: a re-ingested duplicate ROW (duprows driftlab,
-    # at-least-once delivery) is the same document — "copies" counts
-    # DISTINCT documents sharing the fingerprint on both engines
+    ).dropDuplicates(["fp", "doc_id", "q"])
+    # dropDuplicates on the SAME tuple the oracle's DISTINCT keeps
+    # (doc_id, fp, q — ADVICE r7 #3): a re-ingested duplicate ROW
+    # (duprows driftlab, at-least-once delivery) is the same document,
+    # and a drifted re-ingest that changes q for the same (doc, fp)
+    # keeps both rows on both engines instead of an arbitrary survivor
     return staged.groupBy("fp").agg(
         F.count(F.lit(1)).alias("copies"),
         F.max_by(
@@ -9460,8 +9464,13 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (nn + 1).cast("double")
     c = F.col("tie3").cast("double")
     d = nn.cast("double")
-    sigma = F.sqrt(a * (b - c / (d * (d - F.lit(1.0)))) / F.lit(12.0))
-    z = (u1_2.cast("double") / F.lit(2.0) - a / F.lit(2.0)) / sigma
+    # guard on the RADICAND, not sqrt(...): the tie-correction radicand
+    # n1·n2·((N+1) − tie3/(N(N−1)))/12 is mathematically ≥ 0 but the
+    # float division can round it to a tiny negative for near-all-tie
+    # samples with N³ > 2⁵³, where DuckDB sqrt() hard-errors while
+    # Spark yields NaN → an asymmetric oracle crash (ADVICE r7 #2)
+    rad = a * (b - c / (d * (d - F.lit(1.0)))) / F.lit(12.0)
+    z = (u1_2.cast("double") / F.lit(2.0) - a / F.lit(2.0)) / F.sqrt(rad)
     # degenerate samples (an empty arm, or a single ranked row where
     # the tie-correction divides by N−1 = 0) have no z: NULL on both
     # engines, never x/0.0 (ANSI throws — onerow driftlab layout)
@@ -9474,7 +9483,10 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1t").alias("n_returned"),
         F.col("n2t").alias("n_accepted"),
         u1_2.cast("long").alias("u1_doubled"),
-        F.when(okc, F.when(sigma > 0, z)).alias("z_score"),
+        # nested when keeps the okc short-circuit: rad divides by
+        # N(N−1) = 0 on a degenerate grid, and ANSI Spark would throw
+        # if the radicand were evaluated under okc = false (onerow)
+        F.when(okc, F.when(rad > 0, z)).alias("z_score"),
     )
 
 
@@ -9497,26 +9509,30 @@ WITH t AS (
          SUM(n1 * (2 * cumb + tt + 1)) AS r1_2,
          SUM(tt * tt * tt - tt) AS tie3
   FROM grid
+), rad AS (
+  -- radicand materialized once so the positivity guard tests IT, not
+  -- sqrt(...): near-all-tie samples with N^3 > 2^53 can round the
+  -- mathematically-nonnegative radicand to a tiny negative, where
+  -- sqrt() hard-errors in DuckDB but NaNs in Spark (ADVICE r7 #2)
+  SELECT n1t, n2t, r1_2,
+         CASE WHEN n1t >= 1 AND n2t >= 1 AND n1t + n2t >= 2 THEN
+           CAST(n1t * n2t AS DOUBLE)
+           * (CAST(n1t + n2t + 1 AS DOUBLE)
+              - CAST(tie3 AS DOUBLE)
+                / (CAST(n1t + n2t AS DOUBLE)
+                   * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
+           / 12.0
+         END AS radicand
+  FROM agg
 )
 SELECT n1t AS n_returned, n2t AS n_accepted,
        CAST(r1_2 - n1t * (n1t + 1) AS BIGINT) AS u1_doubled,
-       CASE WHEN n1t >= 1 AND n2t >= 1 AND n1t + n2t >= 2 THEN
-         CASE WHEN sqrt(CAST(n1t * n2t AS DOUBLE)
-                * (CAST(n1t + n2t + 1 AS DOUBLE)
-                   - CAST(tie3 AS DOUBLE)
-                     / (CAST(n1t + n2t AS DOUBLE)
-                        * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
-                / 12.0) > 0 THEN
+       CASE WHEN radicand > 0 THEN
            (CAST(r1_2 - n1t * (n1t + 1) AS DOUBLE) / 2.0
             - CAST(n1t * n2t AS DOUBLE) / 2.0)
-           / sqrt(CAST(n1t * n2t AS DOUBLE)
-                  * (CAST(n1t + n2t + 1 AS DOUBLE)
-                     - CAST(tie3 AS DOUBLE)
-                       / (CAST(n1t + n2t AS DOUBLE)
-                          * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
-                  / 12.0) END
+           / sqrt(radicand)
        END AS z_score
-FROM agg
+FROM rad
 """
 
 
@@ -11809,10 +11825,13 @@ def q_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EXACT_SUBSTRING_REMOVE = r"""
 WITH uniq AS (
-  -- one row per document (duprows re-ingest parity): repeated rows
-  -- would double the kept-token string_agg and re-emit output rows
-  SELECT DISTINCT doc_id, text
+  -- canonical row per document (duprows re-ingest parity): min(text)
+  -- mirrors the engine's deterministic survivor pick, so a re-ingest
+  -- that DRIFTS the body (same doc_id, different text) cannot split
+  -- the engines the way an arbitrary-row dropDuplicates would
+  SELECT doc_id, min(text) AS text
   FROM documents WHERE length(trim(lower(text))) > 0
+  GROUP BY doc_id
 ), tok AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
   FROM uniq
@@ -14759,10 +14778,19 @@ def _ppjoin_neardup_plan(
     # token is corpus-common — 6.5M candidates at sf0.1 (measured).
     # Shingles give the discriminative universe prefix filtering needs
     # (and the same element space as jaccard_neardup/minhash-LSH).
-    # dropDuplicates: a re-ingested duplicate row (duprows driftlab)
-    # is one document — df must count DOCUMENTS per shingle, and the
-    # verify joins must not fan out over repeated array rows
-    arrs = docs.dropDuplicates(["doc_id"]).select(
+    # canonical row per document: a re-ingested duplicate row (duprows
+    # driftlab) is one document — df must count DOCUMENTS per shingle,
+    # and the verify joins must not fan out over repeated array rows.
+    # The survivor pick is min(text) after the empty-body filter (not
+    # dropDuplicates' arbitrary row), so a re-ingest that DRIFTS the
+    # body (same doc_id, different text — ADVICE r7 #3) selects the
+    # same shingle set on both engines.  Same shuffle as the old
+    # dropDuplicates(["doc_id"]) — one doc_id-keyed aggregate.
+    arrs = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    ).select(
         "doc_id", tokens_expr("text").alias("toks")
     ).select(
         "doc_id",
@@ -14905,9 +14933,16 @@ def q_ppjoin_neardup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ppjoin_oracle(max_df: int | None) -> str:
     prune = f" AND df <= {max_df}" if max_df is not None else ""
     return rf"""
-WITH words AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+WITH uniq AS (
+  -- canonical row per document: min(text) after the empty-body filter
+  -- mirrors the engine's deterministic survivor pick (duprows/drift)
+  SELECT doc_id, min(text) AS text
   FROM documents WHERE length(trim(lower(text))) > 0
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM uniq
 ),
 tok AS (
   SELECT DISTINCT doc_id,
@@ -17019,6 +17054,21 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, c2)).alias("q_b"),
     )
     nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # hi/lo split conversion for the Σcents² moments: q_a/q_b are
+    # decimal(38,0) (HUGEINT in the oracle) and already exceed 2⁶³ at
+    # vanilla sf0.1 (~4e19), the zone where DuckDB's int128→double is
+    # not correctly rounded (r5 corollary; ADVICE r7 #1).  v = hi·10⁹ +
+    # lo with each part < 2⁶³ converts exactly and the 2-op
+    # recombination tree is identical IEEE on both engines.  q_a ≥ 0,
+    # so Spark DIV (truncate) ≡ DuckDB // (floor).
+    qad = (
+        F.expr("CAST(q_a DIV 1000000000 AS DOUBLE)") * F.lit(1.0e9)
+        + F.expr("CAST(q_a % 1000000000 AS DOUBLE)")
+    )
+    qbd = (
+        F.expr("CAST(q_b DIV 1000000000 AS DOUBLE)") * F.lit(1.0e9)
+        + F.expr("CAST(q_b % 1000000000 AS DOUBLE)")
+    )
     # every division sits under a count guard: an arm with n < 2 has no
     # variance, and ANSI Spark throws on x/0.0 where DuckDB yields ±inf
     # (the onerow driftlab class) — aa/ab are NULL there, and NULL
@@ -17026,7 +17076,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aa = F.when(
         F.col("n_a") >= 2,
         (
-            F.col("q_a").cast("double")
+            qad
             - F.col("s_a").cast("double")
             * (F.col("s_a").cast("double") / nad)
         )
@@ -17036,7 +17086,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = F.when(
         F.col("n_b") >= 2,
         (
-            F.col("q_b").cast("double")
+            qbd
             - F.col("s_b").cast("double")
             * (F.col("s_b").cast("double") / nbd)
         )
@@ -17085,9 +17135,14 @@ agg AS (
   FROM base GROUP BY o_orderpriority
 ),
 m AS (
+  -- hi/lo split conversion mirrors the engine: the HUGEINT Σcents²
+  -- outgrows the correctly-rounded int128→double zone past 2^63
   SELECT o_orderpriority, n_a, n_b,
          CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
-         CAST(q_a AS DOUBLE) AS qad, CAST(q_b AS DOUBLE) AS qbd,
+         CAST(q_a // 1000000000 AS DOUBLE) * 1e9
+           + CAST(q_a % 1000000000 AS DOUBLE) AS qad,
+         CAST(q_b // 1000000000 AS DOUBLE) * 1e9
+           + CAST(q_b % 1000000000 AS DOUBLE) AS qbd,
          CAST(s_a AS DOUBLE) AS sad, CAST(s_b AS DOUBLE) AS sbd
   FROM agg
 ),
@@ -17118,8 +17173,14 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag) — Pearson over FRACTIONAL ranks with exact tie handling:
     the average rank of a tie group is ``RANK() + (ties − 1)/2``, so
     2×rank is the exact integer ``2·RANK() + ties − 1`` and every
-    moment accumulates in decimal(38,0) with zero float error.  The
-    final ρ is one identical ÷ × + − √ tree over the six exact sums.
+    moment accumulates exactly (decimal(20,0) operands whose products
+    promote to decimal(38,0) under Spark's multiply widening; HUGEINT
+    in the oracle) with zero float error.  The final ρ is one ÷ × + −
+    √ tree over the six exact sums, rounded at scale 9 on both sides:
+    past 2⁶³ (sxx/syy ~1e21 at sf1) the two engines' int128→double
+    conversions stop agreeing at the last ulp (ADVICE r7 #4, same
+    class as the corr_matrix fix), and |ρ| ≤ 1 makes a 1e-9 quantum
+    semantically free.
 
     Plan: one window shuffle per axis on (flag) carrying RANK and the
     tie count together, then a single map-side-combinable aggregate.
@@ -17166,9 +17227,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "n",
-        F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)).alias(
-            "spearman_rho"
-        ),
+        F.when(
+            (denx > 0) & (deny > 0), F.round(num / F.sqrt(denx * deny), 9)
+        ).alias("spearman_rho"),
     )
 
 
@@ -17201,12 +17262,12 @@ SELECT l_returnflag, n,
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
        END AS spearman_rho
 FROM agg
 """

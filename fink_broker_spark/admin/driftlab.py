@@ -64,6 +64,13 @@ cannot see physical-layout drift. This module closes that gap:
      EXCLUDED from distributional operators on both sides (a NULL has
      no position in a value distribution), and imperative paths mirror
      the declarative NULL propagation.
+   - ``dupdrift`` (round 8) — ~1-in-25 documents re-ingested with the
+     same doc_id but a REVISED body (one appended token; ~1-in-3 also
+     re-detect lang): the upsert/re-crawl drift state.  Hunts doc-level
+     dedups that keep an arbitrary row on one engine and a different
+     (or every distinct) row on the other — the ADVICE r7 #3 class;
+     fixed by deterministic min(text) survivor picks or same-tuple
+     DISTINCT on both sides.
    - ``emptystream`` (round 7) — zero-row events/documents/embeddings
      with full schemas (the "first night" operational state): model
      fits must return the empty answer, not crash (EmptyCorpusError →
@@ -281,6 +288,43 @@ def generate_variant(
             k = _DUPROWS_1_IN[name]
             pick = _rng_ints(seed, f"dup.{name}", len(t), k) == 0
             dup = t.filter(pa.array(pick, type=pa.bool_()))
+            t = pa.concat_tables([t, dup])
+        if layout == "dupdrift" and name == "documents":
+            # re-crawl / upsert drift: ~1-in-25 documents re-ingested
+            # with the SAME doc_id but a REVISED body (one appended
+            # token), and ~1-in-3 of those also re-detect lang — the
+            # at-least-once-delivery state where content changed
+            # between ingests (ADVICE r7 #3: "the natural next
+            # driftlab state").  Hunts every dedup that keeps an
+            # ARBITRARY row per doc_id on one engine while the oracle
+            # keeps a DIFFERENT one (or all distinct tuples).  Scoped
+            # to documents: a drifted TRANSACTIONAL PK (orders) is lake
+            # corruption, out of the re-ingest contract; a drifted
+            # crawled body is business as usual.  n_chars stays stale
+            # on the revision (metadata computed at first ingest).
+            pick = _rng_ints(seed, "dupdrift.doc", len(t), 25) == 0
+            dup = t.filter(pa.array(pick, type=pa.bool_()))
+            texts = dup.column("text").to_pylist()
+            drifted = [
+                None if x is None else x + " revised edition"
+                for x in texts
+            ]
+            langs = dup.column("lang").to_pylist()
+            flip = _rng_ints(seed, "dupdrift.lang", len(dup), 3) == 0
+            relangs = [
+                ("xx" if f and l is not None else l)
+                for l, f in zip(langs, flip)
+            ]
+            dup = dup.set_column(
+                dup.schema.get_field_index("text"),
+                "text",
+                pa.array(drifted, type=pa.string()),
+            )
+            dup = dup.set_column(
+                dup.schema.get_field_index("lang"),
+                "lang",
+                pa.array(relangs, type=pa.string()),
+            )
             t = pa.concat_tables([t, dup])
         if layout == "sparse" and name in _SPARSE_KEEP_1_IN:
             # decimate the FACT tables (dims stay whole): harsh
@@ -630,7 +674,7 @@ def main(argv=None) -> int:
             "micros", "nanos", "boundary", "int32keys", "nullfk",
             "decimalprice", "sparse", "nullmeasure", "emptystream",
             "constant", "onerow", "negvalue", "epoch68", "tzutc",
-            "bigmoney", "duprows",
+            "bigmoney", "duprows", "dupdrift",
         ],
     )
     p.add_argument(

@@ -907,11 +907,18 @@ def exact_substring_remove(
 
     Returns (doc_id, n_tokens, n_removed, clean_hash).
     """
-    # dropDuplicates: a re-ingested duplicate row (duprows driftlab) is
-    # one document — repeated rows would double window multiplicities
-    # and re-emit (and double-agg) output rows
-    toks = docs.dropDuplicates([id_col]).select(
-        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
+    # canonical row per document: a re-ingested duplicate row (duprows
+    # driftlab) is one document, and when re-ingest DRIFTS the body
+    # (same doc_id, different text — ADVICE r7 #3) both engines must
+    # pick the SAME survivor, so the pick is min(text), never
+    # dropDuplicates' arbitrary row.  The empty-body filter runs
+    # BEFORE the pick on both sides, or a doc whose duplicates are
+    # ('', 'abc') would canonicalize to '' here and 'abc' there.
+    toks = (
+        docs.filter(F.length(F.trim(F.lower(F.col(text_col)))) > 0)
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(F.min(text_col).alias("__text"))
+        .select("doc_id", tokens_expr("__text").alias("toks"))
     )
     # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
     idx = F.when(

@@ -174,25 +174,31 @@ def decontaminate(
 
 
 def repetition_metrics(
-    df: DataFrame, id_col: str, tokens_col: str
+    df: DataFrame, id_col: str | list[str], tokens_col: str
 ) -> DataFrame:
     """Per-document repetition statistics from a **materialized** token
     array column (HOF-recompute discipline: tokenize once upstream).
 
-    Output: ``id_col, n_tokens, distinct_tokens, top_token_count`` —
+    Output: ``id_col(s), n_tokens, distinct_tokens, top_token_count`` —
     enough for the Gopher-style rules ``top_token_count/n_tokens`` (most
     common word fraction) and ``distinct_tokens/n_tokens`` (vocabulary
     collapse). Plan: explode → two-level aggregate on (doc, token) then
     (doc) — shuffle volume ∝ total tokens with map-side partial
     aggregation, never quadratic.
+
+    ``id_col`` may be a list: metrics key on the full tuple, so a
+    caller carrying e.g. (doc_id, lang) keeps per-tuple token pools
+    separate — required for oracle parity when a re-ingested doc_id
+    recurs with a different carried attribute (ADVICE r7 #3).
     """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     tok = df.select(
-        F.col(id_col), F.explode(F.col(tokens_col)).alias("__tok")
+        *[F.col(c) for c in ids], F.explode(F.col(tokens_col)).alias("__tok")
     )
-    per_token = tok.groupBy(id_col, "__tok").agg(
+    per_token = tok.groupBy(*ids, "__tok").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    return per_token.groupBy(id_col).agg(
+    return per_token.groupBy(*ids).agg(
         F.sum("__cnt").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
         F.max("__cnt").cast("bigint").alias("top_token_count"),
