@@ -3088,7 +3088,14 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-sort path at 100 TB (see SCALING.md "Exact percentile is the
     oracle posture"). Approximate by design → rows-only driver check;
     the error bound vs the exact quantiles is asserted in
-    ``tests/test_pipeline_ops.py``."""
+    ``tests/test_pipeline_ops.py``.
+
+    ROWS-ONLY BY DESIGN, permanently (VERDICT r7 next-round #3
+    decision): the operator's POINT is the engine-specific mergeable
+    sketch — a deterministic portable twin would have to replace the
+    sketch with exact rank arithmetic, which is precisely what the
+    already-oracled ``percentiles`` / ``grid_quantiles`` twins pin.
+    Those cover the semantics; this row covers the 100 TB posture."""
     ev = load_table(spark, sf_dir, "events")
     q = ev.groupBy("event_type").agg(
         F.percentile_approx(
@@ -3936,7 +3943,8 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan never touches the embeddings, and only |queries|·refine
     vectors are read exactly. Rows-only driver check (codebook fit is
     engine-specific); recall ≥ 0.6 and the refine=n ≡ brute-force
-    equality are asserted in tests/test_ext.py."""
+    equality are asserted in tests/test_ext.py; the PQ SEMANTICS are
+    pinned exact-value by the ``pq_ann_portable`` twin."""
     from fink_broker_spark.ext.ann import (
         EmptyCorpusError,
         pq_codebooks,
@@ -4375,7 +4383,9 @@ def q_ann_kernel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md): BLAS cosine per corpus partition + exact partial top-k
     reduction. Rows-only check: BLAS reductions differ from the
     expression tree in the last ulp; set-equivalence with the exact
-    baseline is asserted in tests/test_ext.py."""
+    baseline is asserted in tests/test_ext.py, and the SAME kernel
+    physical path is pinned exact-value by ``ann_kernel_portable``
+    (int64 matmul — no rounding)."""
     from fink_broker_spark.ext.ann import brute_force_topk_kernel
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5858,7 +5868,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only by design: the k-means model fit (sampled Lloyd) is not
     ANSI-expressible, so no DuckDB oracle exists for the cluster
-    labels. This mirrors ``ivf_ann_topk``'s whitelisting.
+    labels. This mirrors ``ivf_ann_topk``'s whitelisting; the
+    cell-bucketed dedup SEMANTICS are pinned exact-value by the
+    ``semantic_dedup_portable`` twin (md5-first cells, integer-cosine
+    pairwise drop rule).
     """
     from fink_broker_spark.ext.ann import EmptyCorpusError
     from fink_broker_spark.ext.semdedup import semantic_dedup
@@ -18307,6 +18320,213 @@ FROM u2 CROSS JOIN r2
 """
 
 
+def q_pq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN with the fully exact-integer portable pipeline — the
+    oracle-checked twin of the rows-only ``pq_ann_topk`` (k-means
+    codebook fit is engine-specific; md5-first codewords are not).
+    Pins the PQ SEMANTICS — per-subspace argmin encoding, additive ADC
+    lookup, refine-shortlist, exact re-rank — under the exact-value
+    gate with zero floats anywhere (``ext/ann.py:pq_portable_topk``).
+    Completes the ivf_ann_portable recipe for the PQ family
+    (VERDICT r7 next-round #3)."""
+    from fink_broker_spark.ext.ann import pq_portable_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_portable_topk(
+        emb, m=8, subdim=8, ncodes=16, k=5, refine=50, scale=10000,
+        n_queries=10,
+    )
+
+
+ORACLE_PQ_ANN_PORTABLE = """
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          FOR x IN embedding] AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT e AS ce,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) AS code
+  FROM iv
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+subs AS (SELECT s FROM range(0, 8) t(s)),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT iv.vec_id, t.s, sd.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY iv.vec_id, t.s
+             ORDER BY list_reduce(
+               [(iv.e[t.s * 8 + i] - sd.ce[t.s * 8 + i])
+                * (iv.e[t.s * 8 + i] - sd.ce[t.s * 8 + i])
+                FOR i IN range(1, 9)], (x, y) -> x + y),
+               sd.code) AS rk
+    FROM iv CROSS JOIN seeds sd CROSS JOIN subs t
+  ) WHERE rk = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, t.s, sd.code,
+         list_reduce(
+           [(q.e[t.s * 8 + i] - sd.ce[t.s * 8 + i])
+            * (q.e[t.s * 8 + i] - sd.ce[t.s * 8 + i])
+            FOR i IN range(1, 9)], (x, y) -> x + y) AS tt
+  FROM iv q CROSS JOIN seeds sd CROSS JOIN subs t
+  WHERE q.vec_id < 10
+),
+approx AS (
+  SELECT a.query_id, e.vec_id, SUM(a.tt) AS adc_d2
+  FROM enc e JOIN adc a ON e.s = a.s AND e.code = a.code
+  WHERE e.vec_id <> a.query_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rs
+  FROM approx
+),
+rer AS (
+  SELECT s.query_id, s.vec_id, s.adc_d2,
+         list_reduce(
+           [(qv.e[i] - cv.e[i]) * (qv.e[i] - cv.e[i])
+            FOR i IN range(1, len(qv.e) + 1)], (x, y) -> x + y) AS d2
+  FROM short s
+  JOIN iv qv ON qv.vec_id = s.query_id
+  JOIN iv cv ON cv.vec_id = s.vec_id
+  WHERE s.rs <= 50
+)
+SELECT query_id, vec_id, CAST(adc_d2 AS BIGINT) AS adc_d2,
+       CAST(d2 AS BIGINT) AS d2, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) AS rnk
+  FROM rer
+) WHERE rnk <= 5
+"""
+
+
+def q_ann_kernel_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer squared-L2 top-k through the vectorized numpy
+    matrix-kernel physical path (mapInPandas + per-partition partial
+    top-k) — the oracle-checked twin of the rows-only
+    ``ann_kernel_topk``: int64 matmul has no rounding, so the SAME
+    kernel plumbing the float cosine path uses becomes hash-exact
+    (``ext/ann.py:kernel_portable_topk``; VERDICT r7 next-round #3)."""
+    from fink_broker_spark.ext.ann import kernel_portable_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kernel_portable_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, scale=10000
+    )
+
+
+ORACLE_ANN_KERNEL_PORTABLE = """
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          FOR x IN embedding] AS e
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         list_reduce(
+           [(q.e[i] - c.e[i]) * (q.e[i] - c.e[i])
+            FOR i IN range(1, len(q.e) + 1)], (x, y) -> x + y) AS d2
+  FROM iv q JOIN iv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= 5
+"""
+
+
+def q_semantic_dedup_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup cell-bucketed near-dup with the fully exact-integer
+    portable pipeline — the oracle-checked twin of the rows-only
+    ``semantic_dedup`` (k-means fit + greedy float-cosine leader scan
+    are engine-specific).  md5-first cells, (md5, id) scan order, and
+    the pairwise earlier-member drop rule ``25·dot² ≥ 4·|a|²·|b|²``
+    (cos ≥ 0.4) in decimal(38,0)/HUGEINT; kept_id_sum checksums the
+    kept SET, not just counts
+    (``ext/semdedup.py:semantic_dedup_portable``;
+    VERDICT r7 next-round #3)."""
+    from fink_broker_spark.ext.semdedup import semantic_dedup_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_portable(
+        emb, n_cells=8, tau_num=4, tau_den=25, scale=10000
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_PORTABLE = """
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+          FOR x IN embedding] AS e
+  FROM embeddings
+),
+seeds AS (
+  SELECT e AS ce,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) AS cid
+  FROM iv
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT iv.vec_id, iv.e, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY iv.vec_id
+             ORDER BY list_reduce(
+               [(iv.e[i] - s.ce[i]) * (iv.e[i] - s.ce[i])
+                FOR i IN range(1, len(iv.e) + 1)], (x, y) -> x + y),
+               s.cid) AS rk
+    FROM iv CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+ranked AS (
+  SELECT vec_id, e, cid,
+         list_reduce([x * x FOR x IN e], (x, y) -> x + y) AS n2,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                     vec_id) AS r
+  FROM assigned
+),
+pairs AS (
+  SELECT a.cid, b.vec_id AS idb,
+         list_reduce(
+           [a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)],
+           (x, y) -> x + y) AS dot,
+         a.n2 AS n2a, b.n2 AS n2b
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.r < b.r
+),
+dropped AS (
+  SELECT DISTINCT cid, idb
+  FROM pairs
+  WHERE dot > 0
+    AND CAST(dot AS HUGEINT) * dot * 25
+        >= CAST(n2a AS HUGEINT) * n2b * 4
+)
+SELECT r.cid, count(*) AS n_members,
+       count(d.idb) AS n_dropped,
+       count(*) - count(d.idb) AS n_kept,
+       CAST(SUM(CASE WHEN d.idb IS NULL THEN r.vec_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM ranked r
+LEFT JOIN dropped d ON r.cid = d.cid AND r.vec_id = d.idb
+GROUP BY r.cid
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18606,6 +18826,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_static_enrich": q_stream_static_enrich,
     "cogroup_asof": q_cogroup_asof,
     "quantile_normalize": q_quantile_normalize,
+    # round-8 additions — the rotation ledger (registry_rounds.json)
+    # sorts these AFTER every never-sampled survivor, so dict position
+    # no longer matters for driver-window fairness
+    "pq_ann_portable": q_pq_ann_portable,
+    "ann_kernel_portable": q_ann_kernel_portable,
+    "semantic_dedup_portable": q_semantic_dedup_portable,
 }
 
 _ORACLES: dict[str, str] = {
@@ -18910,6 +19136,9 @@ _ORACLES: dict[str, str] = {
     "stream_static_enrich": ORACLE_STREAM_STATIC_ENRICH,
     "cogroup_asof": ORACLE_COGROUP_ASOF,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "pq_ann_portable": ORACLE_PQ_ANN_PORTABLE,
+    "ann_kernel_portable": ORACLE_ANN_KERNEL_PORTABLE,
+    "semantic_dedup_portable": ORACLE_SEMANTIC_DEDUP_PORTABLE,
 }
 
 

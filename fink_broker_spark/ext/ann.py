@@ -427,6 +427,250 @@ def ivf_portable_topk(
     )
 
 
+def _int_vec(vec_col: str, scale: int) -> Column:
+    """Integerize a float vector through the shared FLOOR(x·scale+0.5)
+    IEEE tree (exact and identical on both engines)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _md5_seeds(
+    iv: DataFrame, n: int, id_col: str, code_name: str
+) -> DataFrame:
+    """The ``n`` md5-first integerized vectors, numbered 1..n — the
+    deterministic stand-in for an engine-specific fit (k-means /
+    codebook training), same recipe as :func:`ivf_portable_topk`."""
+    order = (F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        iv.orderBy(*order)
+        .limit(n)
+        .select(
+            F.col("__e").alias("__ce"),
+            F.row_number().over(Window.orderBy(*order)).alias(code_name),
+        )
+    )
+
+
+def _d2_expr(a, b) -> Column:
+    """Exact BIGINT squared-L2 between two integer arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_portable_topk(
+    corpus: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    ncodes: int = 16,
+    k: int = 5,
+    refine: int = 50,
+    scale: int = 10000,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC top-k with a FULLY EXACT-INTEGER
+    portable pipeline — the oracle-checkable twin of :func:`pq_topk`
+    (whose codebook fit is engine-specific k-means).  Codewords are the
+    ``ncodes`` md5-first vectors' sub-vectors (one shared seed set
+    across all ``m`` subspaces — no Lloyd iterations to replay), every
+    sub-distance / ADC table entry / re-rank distance is an exact
+    BIGINT squared-L2, so encoding, the ADC shortlist, and the final
+    ranking are bit-identical in ANSI SQL.
+
+    Pins the PQ SEMANTICS end to end: per-subspace argmin encoding
+    (``rk = 1`` over (sub-d2, code)), additive ADC lookup (approx d2 =
+    Σ_sub table[q, sub, code(v, sub)]), shortlist of ``refine`` by
+    (adc_d2, id), exact re-rank of the shortlist only.
+
+    100 TB shape identical to the production twin: the codebook is a
+    tiny broadcast model (ncodes rows), encoding is a per-row
+    broadcast argmin producing m SMALL codes per vector (the ~32×
+    memory shrink that makes PQ the RAM-bound scale path), the ADC
+    table is |queries|·m·ncodes rows broadcast to the codes relation
+    via an equi-join on (sub, code), and only |queries|·refine full
+    vectors are ever read exactly.
+    """
+    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    seeds = _md5_seeds(iv, ncodes, id_col, "code")
+
+    subs = F.explode(
+        F.sequence(F.lit(0), F.lit(m - 1))
+    )  # subspace index 0..m-1
+
+    def sub_d2(e, ce):
+        # slice is 1-based; subspace s covers [s*subdim+1, s*subdim+subdim]
+        return _d2_expr(
+            F.slice(e, F.col("s") * subdim + 1, subdim),
+            F.slice(ce, F.col("s") * subdim + 1, subdim),
+        )
+
+    wenc = Window.partitionBy(id_col, "s").orderBy("__sd2", "code")
+    codes = (
+        iv.crossJoin(F.broadcast(seeds))
+        .select(id_col, "__e", "__ce", "code", subs.alias("s"))
+        .select(
+            id_col,
+            "s",
+            "code",
+            sub_d2(F.col("__e"), F.col("__ce")).alias("__sd2"),
+        )
+        .select(
+            id_col, "s", "code", F.row_number().over(wenc).alias("__rk")
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "s", "code")
+    )
+    adc = (
+        iv.filter(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__e").alias("__qe"),
+            "__ce",
+            "code",
+            subs.alias("s"),
+        )
+        .select(
+            "query_id",
+            "s",
+            "code",
+            sub_d2(F.col("__qe"), F.col("__ce")).alias("__t"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__t").alias("adc_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    shortlist = (
+        approx.select(
+            "query_id", id_col, "adc_d2", F.row_number().over(ws).alias("__rs")
+        )
+        .filter(F.col("__rs") <= refine)
+        .select("query_id", id_col, "adc_d2")
+    )
+    qv = iv.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("__e").alias("__qe")
+    )
+    rer = (
+        shortlist.join(iv, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "adc_d2",
+            _d2_expr(F.col("__qe"), F.col("__e")).alias("d2"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("d2", id_col)
+    return (
+        rer.select(
+            "query_id",
+            id_col,
+            "adc_d2",
+            "d2",
+            F.row_number().over(wk).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "adc_d2",
+            "d2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def kernel_portable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    scale: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact INTEGER squared-L2 top-k via the vectorized matrix kernel —
+    the oracle-checkable twin of :func:`brute_force_topk_kernel`.  The
+    float kernel is rows-only because BLAS float reductions differ from
+    the expression tree in the last ulp; int64 matmul has no rounding at
+    all, so the same mapInPandas + partial-top-k physical path becomes
+    hash-exact: d2 = |c|² + |q|² − 2·c·q with every term an exact
+    int64 (|values| ≤ scale ⇒ d2 ≤ d·(2·scale)² ≈ 2.6e10 ≪ 2⁶³).
+
+    Per-partition partials take the first ``k`` rows under the full
+    (d2, id) lexicographic order (np.lexsort — ties included
+    correctly), so the global row_number reduction is exact.  Shuffle
+    volume is |queries|·k per partition, independent of corpus size —
+    the same 100 TB shape as the float kernel.
+    """
+    iq = queries.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    qpdf = iq.toPandas()
+    if qpdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} bigint, {id_col} bigint, d2 bigint, "
+            "rnk integer",
+        )
+    qids = qpdf[id_col].to_numpy()
+    qmat = np.array(
+        [np.asarray(v, dtype=np.int64) for v in qpdf["__e"]]
+    )
+    qn2 = (qmat * qmat).sum(axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qn2))
+
+    def score(batches):
+        bqids, bq, bqn2 = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(
+                [np.asarray(v, dtype=np.int64) for v in pdf["__e"]]
+            )
+            cids = pdf[id_col].to_numpy()
+            cn2 = (cmat * cmat).sum(axis=1)
+            # d2[i, j] = |c_i|^2 + |q_j|^2 - 2 c_i . q_j  (exact int64)
+            d2 = cn2[:, None] + bqn2[None, :] - 2 * (cmat @ bq.T)
+            rows = {"q": [], "c": [], "d": []}
+            for j in range(d2.shape[1]):
+                keep = cids != bqids[j]  # self-match excluded
+                dj, cj = d2[keep, j], cids[keep]
+                # first k rows of the (d2, id) lexicographic order:
+                # any global top-k row is in its partition's top-k
+                order = np.lexsort((cj, dj))[:k]
+                rows["q"].extend([bqids[j]] * len(order))
+                rows["c"].extend(cj[order])
+                rows["d"].extend(dj[order])
+            yield pd.DataFrame(rows)
+
+    ic = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    partials = ic.mapInPandas(score, schema="q long, c long, d long")
+    wk = Window.partitionBy("q").orderBy("d", "c")
+    return (
+        partials.select(
+            F.col("q").alias(query_id_col),
+            F.col("c").alias(id_col),
+            F.col("d").alias("d2"),
+            F.row_number().over(wk).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_id_col, id_col, "d2", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (unit Gaussian rows)."""
     rng = np.random.default_rng(seed)

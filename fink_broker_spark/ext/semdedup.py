@@ -150,3 +150,131 @@ def semantic_dedup(
     return assigned.groupBy(*keys).applyInPandas(
         lambda pdf: _leader_dedup(pdf, thr), schema=_OUT_SCHEMA
     )
+
+
+def semantic_dedup_portable(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    tau_num: int = 4,
+    tau_den: int = 25,
+    scale: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with a FULLY EXACT-INTEGER portable pipeline — the
+    oracle-checkable twin of :func:`semantic_dedup` (whose k-means fit
+    and greedy float-cosine leader scan are engine-specific).
+
+    Deterministic everywhere: cells are the ``n_cells`` md5-first
+    vectors (:func:`~fink_broker_spark.ext.ann.ivf_portable_topk`'s
+    coarse quantizer), the in-cell scan order is (md5(id), id), and the
+    drop rule is pairwise — a member is dropped iff some EARLIER
+    in-cell member has cosine² ≥ tau_num/tau_den with a positive dot
+    (cos ≥ √(4/25) = 0.4 by default), evaluated as the pure integer
+    inequality ``tau_den·dot² ≥ tau_num·|a|²·|b|²`` in
+    decimal(38,0)/HUGEINT.  (The production twin's greedy rule drops
+    against KEPT members only — a sequential dependence ANSI SQL
+    cannot express; the pairwise earlier-member rule is the standard
+    order-free relaxation and strictly over-drops, which is the
+    conservative direction for a dedup.)
+
+    Returns per-cell governance stats: (cid, n_members, n_dropped,
+    n_kept, kept_id_sum) — the id-sum is the exact checksum of the
+    kept SET, so the hash gate pins membership, not just counts.
+
+    100 TB shape: the seed set is a tiny broadcast, assignment is a
+    per-row broadcast argmin, and the quadratic pair join is bounded
+    per cell — production deployments size n_cells so cells fit the
+    pair budget (the same lever as the float twin's k-means k).
+    """
+    from fink_broker_spark.ext.ann import _d2_expr, _int_vec, _md5_seeds
+    from pyspark.sql import Window
+
+    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    seeds = _md5_seeds(iv, n_cells, id_col, "cid")
+    wcell = Window.partitionBy(id_col).orderBy("__d2", "cid")
+    assigned = (
+        iv.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            "__e",
+            "cid",
+            _d2_expr(F.col("__e"), F.col("__ce")).alias("__d2"),
+        )
+        .select(
+            id_col, "__e", "cid", F.row_number().over(wcell).alias("__rk")
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "__e", "cid")
+    )
+    dot_self = F.aggregate(
+        F.zip_with("__e", "__e", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wscan = Window.partitionBy("cid").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = assigned.select(
+        id_col,
+        "__e",
+        "cid",
+        dot_self.alias("__n2"),
+        F.row_number().over(wscan).alias("__r"),
+    )
+    a = ranked.select(
+        "cid",
+        F.col("__r").alias("__ra"),
+        F.col("__e").alias("__ea"),
+        F.col("__n2").alias("__n2a"),
+    )
+    b = ranked.select(
+        "cid",
+        F.col(id_col).alias("__idb"),
+        F.col("__r").alias("__rb"),
+        F.col("__e").alias("__eb"),
+        F.col("__n2").alias("__n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def d14(c):
+        return c.cast("decimal(14,0)")
+
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("__ra") < F.col("__rb"))
+        .select("cid", "__idb", dot.alias("__dot"), "__n2a", "__n2b")
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("__dot") > 0)
+            & (
+                d14(F.col("__dot")) * d14(F.col("__dot")) * F.lit(tau_den)
+                >= d14(F.col("__n2a")) * d14(F.col("__n2b")) * F.lit(tau_num)
+            )
+        )
+        .select("cid", F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        ranked.select("cid", id_col)
+        .join(dropped, ["cid", id_col], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("__dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("__dropped")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__dropped").isNull(), F.col(id_col)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )

@@ -64,6 +64,17 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "8-row centroid model broadcast for cell assignment — the IVF "
         "coarse-quantizer shape (candidates themselves equi-join on cell)",
     ),
+    "pq_ann_portable": (
+        {"broadcast_nested_loop_join"},
+        "16-row codebook model broadcast for subspace encoding + the "
+        "ADC table build — the PQ shape (approx distances themselves "
+        "equi-join on (sub, code))",
+    ),
+    "semantic_dedup_portable": (
+        {"broadcast_nested_loop_join"},
+        "8-row cell-seed model broadcast for assignment (ivf twin's "
+        "coarse quantizer); the pair join itself equi-joins on cid",
+    ),
     "scatter_power_iteration": (
         {"broadcast_nested_loop_join"},
         "1-row n / rescale scalars broadcast into the d- and d²-row "
