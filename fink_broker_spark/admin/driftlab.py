@@ -663,6 +663,18 @@ def run_parity(
     return results
 
 
+#: every adversarial layout, in introduction order — ``--layouts all``
+#: (the ROUND-CLOSE regression gate, VERDICT r7 Next #7) expands to
+#: this list so the full-surface sweep is one CLI invocation whose
+#: scope can never silently go stale against the layout registry
+ALL_LAYOUTS = [
+    "micros", "nanos", "boundary", "int32keys", "nullfk",
+    "decimalprice", "sparse", "nullmeasure", "emptystream",
+    "constant", "onerow", "negvalue", "epoch68", "tzutc",
+    "bigmoney", "duprows", "dupdrift",
+]
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -670,18 +682,15 @@ def main(argv=None) -> int:
     p.add_argument("--seeds", nargs="+", type=int, default=[1, 2, 3])
     p.add_argument(
         "--layouts", nargs="+", default=["nanos", "boundary"],
-        choices=[
-            "micros", "nanos", "boundary", "int32keys", "nullfk",
-            "decimalprice", "sparse", "nullmeasure", "emptystream",
-            "constant", "onerow", "negvalue", "epoch68", "tzutc",
-            "bigmoney", "duprows", "dupdrift",
-        ],
+        choices=ALL_LAYOUTS + ["all"],
     )
     p.add_argument(
         "--queries", default=None,
         help="comma-separated subset (default: every registered query)",
     )
     args = p.parse_args(argv)
+    if "all" in args.layouts:
+        args.layouts = ALL_LAYOUTS
     subset = args.queries.split(",") if args.queries else None
     bad = 0
     for seed in args.seeds:
