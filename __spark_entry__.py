@@ -18527,6 +18527,82 @@ GROUP BY r.cid
 """
 
 
+def q_reingest_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ingest drift audit over the document lake — the governance
+    companion to ``uniqueness_audit`` for CONTENT keys: how many
+    doc_ids carry multiple rows, how many of those are verbatim
+    duplicates (at-least-once delivery) vs DRIFTED bodies or
+    re-detected langs (upsert/re-crawl — the dupdrift driftlab state),
+    and the worst version depth.  This is the report that decides
+    whether the canonical min(text) survivor pick (the dedup staging
+    discipline) is a no-op or is actively resolving conflicts.
+
+    Plan: ONE (doc_id, text, lang) group (shuffle ∝ distinct tuples,
+    map-side combined), one per-doc re-aggregate, a 1-row output — no
+    self-joins, no windows.  All outputs exact integers; NULL texts
+    are version tuples (GROUP BY semantics) but not drift values
+    (count DISTINCT skips NULLs identically on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = docs.groupBy("doc_id", "text", "lang").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    per = d1.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("c_rows"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count_distinct("text").alias("n_texts"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return per.agg(
+        F.coalesce(F.sum("c_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("c_rows") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_multirow_docs"),
+        F.coalesce(F.sum(F.col("c_rows") - F.col("n_versions")), F.lit(0))
+        .cast("long")
+        .alias("n_verbatim_dup_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_texts") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_text_drifted_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_lang_drifted_docs"),
+        F.max("n_versions").alias("max_versions"),
+    )
+
+
+ORACLE_REINGEST_DRIFT_AUDIT = """
+WITH d1 AS (
+  SELECT doc_id, text, lang, count(*) AS m
+  FROM documents GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, SUM(m) AS c_rows, count(*) AS n_versions,
+         count(DISTINCT text) AS n_texts,
+         count(DISTINCT lang) AS n_langs
+  FROM d1 GROUP BY doc_id
+)
+SELECT CAST(COALESCE(SUM(c_rows), 0) AS BIGINT) AS n_rows,
+       count(*) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN c_rows > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_multirow_docs,
+       CAST(COALESCE(SUM(c_rows - n_versions), 0) AS BIGINT)
+         AS n_verbatim_dup_rows,
+       CAST(COALESCE(SUM(CASE WHEN n_texts > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_text_drifted_docs,
+       CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_lang_drifted_docs,
+       CAST(MAX(n_versions) AS BIGINT) AS max_versions
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18832,6 +18908,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_portable": q_pq_ann_portable,
     "ann_kernel_portable": q_ann_kernel_portable,
     "semantic_dedup_portable": q_semantic_dedup_portable,
+    "reingest_drift_audit": q_reingest_drift_audit,
 }
 
 _ORACLES: dict[str, str] = {
@@ -19139,6 +19216,7 @@ _ORACLES: dict[str, str] = {
     "pq_ann_portable": ORACLE_PQ_ANN_PORTABLE,
     "ann_kernel_portable": ORACLE_ANN_KERNEL_PORTABLE,
     "semantic_dedup_portable": ORACLE_SEMANTIC_DEDUP_PORTABLE,
+    "reingest_drift_audit": ORACLE_REINGEST_DRIFT_AUDIT,
 }
 
 

@@ -175,6 +175,26 @@ def test_doc_dedup_symmetric_under_reingest_drift(spark, tmp_path, name):
     run_oracle_compare(spark, name, sf_dir)
 
 
+def test_reingest_drift_audit_values(spark, tmp_path):
+    """The governance audit sees the miniature drift lake exactly:
+    10 rows / 7 docs; docs 3, 4, 5 multirow; doc 5's second row is the
+    only verbatim dup; docs 3 and 4 drift text; doc 4 drifts lang."""
+    import __spark_entry__ as em
+
+    sf_dir = _write_drifted_documents(tmp_path)
+    row = em.q_reingest_drift_audit(spark, sf_dir).collect()[0].asDict()
+    assert row == {
+        "n_rows": 10,
+        "n_docs": 7,
+        "n_multirow_docs": 3,
+        "n_verbatim_dup_rows": 1,
+        "n_text_drifted_docs": 2,
+        "n_lang_drifted_docs": 1,
+        "max_versions": 2,
+    }, row
+    run_oracle_compare(spark, "reingest_drift_audit", sf_dir)
+
+
 def test_spearman_rho_rounded_scale_9(spark):
     import __spark_entry__ as em
 
