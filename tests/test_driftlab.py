@@ -147,6 +147,20 @@ EMPTYSTREAM_REGRESSIONS = [
     "ks_uniformity",
 ]
 
+#: round-8 ``dupdrift`` layout (ADVICE r7 #3): re-ingested doc_ids with
+#: REVISED bodies / re-detected langs split any dedup that keeps an
+#: arbitrary row on one engine and a different (or every distinct) row
+#: on the other — fixed by min(text) survivor picks and same-tuple
+#: DISTINCT on both sides; these five are the queries the advisory
+#: named (plus the governance readout of the drift state itself)
+DUPDRIFT_REGRESSIONS = [
+    "repetition_rules",
+    "dedup_keep_best",
+    "exact_substring_remove",
+    "ppjoin_neardup",
+    "reingest_drift_audit",
+]
+
 
 @pytest.mark.parametrize(
     ("layout", "subset"),
@@ -159,6 +173,7 @@ EMPTYSTREAM_REGRESSIONS = [
         ("sparse", SPARSE_REGRESSIONS),
         ("nullmeasure", NULLMEASURE_REGRESSIONS),
         ("emptystream", EMPTYSTREAM_REGRESSIONS),
+        ("dupdrift", DUPDRIFT_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(
