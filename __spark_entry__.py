@@ -5770,12 +5770,16 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
   FROM staged
 )
-SELECT s.fp, count(*) AS copies,
-       max(CASE WHEN r.rn = 1 THEN r.doc_id END) AS keep_id,
-       max(s.q) AS best_quality
-FROM staged s
-JOIN ranked r ON s.fp = r.fp AND s.doc_id = r.doc_id
-GROUP BY s.fp
+-- aggregate over ranked DIRECTLY (ranked ≡ staged row-for-row): the
+-- old JOIN back to staged on (fp, doc_id) fanned out quadratically
+-- when a drifted re-ingest kept the same (doc_id, fp) with two
+-- distinct q values (whitespace-only body change: identical collapsed
+-- fingerprint, different raw punct_ratio) — r8 code-review finding
+SELECT fp, count(*) AS copies,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+       max(q) AS best_quality
+FROM ranked
+GROUP BY fp
 """
 
 
@@ -9471,11 +9475,26 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     def big(c):
         return F.col(c).cast("decimal(38,0)")
 
-    u1_2 = big("r1_2") - big("n1t") * (big("n1t") + 1)
+    # materialize the wide-decimal operands so the three-limb
+    # conversions below can reference them by name: u1_2 and n1·n2 are
+    # quadratic in N and tie3 is CUBIC, so all three outgrow the
+    # correctly-rounded int128→double zone long before 100 TB (tie3 >
+    # 2⁶³ at N ≈ 2.6e6 rows already) — a direct cast would let the two
+    # engines' doubles disagree at the last ulp exactly where the
+    # radicand guard decides NULL vs a finite z (r8 code-review
+    # finding; same class as welch's moments)
+    agg = agg.select(
+        "n1t",
+        "n2t",
+        "tie3",
+        (big("r1_2") - big("n1t") * (big("n1t") + 1)).alias("u1_2"),
+        (big("n1t") * big("n2t")).alias("nprod"),
+    )
+    u1_2 = F.col("u1_2")
     nn = big("n1t") + big("n2t")
-    a = (big("n1t") * big("n2t")).cast("double")
+    a = _limb3_double("nprod")
     b = (nn + 1).cast("double")
-    c = F.col("tie3").cast("double")
+    c = _limb3_double("tie3")
     d = nn.cast("double")
     # guard on the RADICAND, not sqrt(...): the tie-correction radicand
     # n1·n2·((N+1) − tie3/(N(N−1)))/12 is mathematically ≥ 0 but the
@@ -9483,7 +9502,9 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     # samples with N³ > 2⁵³, where DuckDB sqrt() hard-errors while
     # Spark yields NaN → an asymmetric oracle crash (ADVICE r7 #2)
     rad = a * (b - c / (d * (d - F.lit(1.0)))) / F.lit(12.0)
-    z = (u1_2.cast("double") / F.lit(2.0) - a / F.lit(2.0)) / F.sqrt(rad)
+    z = (_limb3_double("u1_2") / F.lit(2.0) - a / F.lit(2.0)) / F.sqrt(
+        rad
+    )
     # degenerate samples (an empty arm, or a single ranked row where
     # the tie-correction divides by N−1 = 0) have no z: NULL on both
     # engines, never x/0.0 (ANSI throws — onerow driftlab layout)
@@ -9522,28 +9543,45 @@ WITH t AS (
          SUM(n1 * (2 * cumb + tt + 1)) AS r1_2,
          SUM(tt * tt * tt - tt) AS tie3
   FROM grid
+), wide AS (
+  SELECT n1t, n2t, tie3,
+         r1_2 - n1t * (n1t + 1) AS u1_2,
+         n1t * n2t AS nprod
+  FROM agg
+), conv AS (
+  -- three-limb HUGEINT→double conversions mirror the engine's
+  -- _limb3_double: nprod/u1_2 are quadratic in N and tie3 CUBIC, so
+  -- direct casts stop agreeing with Spark at the last ulp exactly
+  -- where the radicand guard decides NULL vs finite z
+  SELECT n1t, n2t, u1_2,
+         CAST(nprod // 1000000000000000000 AS DOUBLE) * 1e18
+           + CAST((nprod % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
+           + CAST(nprod % 1000000000 AS DOUBLE) AS a,
+         CAST(tie3 // 1000000000000000000 AS DOUBLE) * 1e18
+           + CAST((tie3 % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
+           + CAST(tie3 % 1000000000 AS DOUBLE) AS c,
+         CAST(u1_2 // 1000000000000000000 AS DOUBLE) * 1e18
+           + CAST((u1_2 % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
+           + CAST(u1_2 % 1000000000 AS DOUBLE) AS u1d
+  FROM wide
 ), rad AS (
   -- radicand materialized once so the positivity guard tests IT, not
-  -- sqrt(...): near-all-tie samples with N^3 > 2^53 can round the
-  -- mathematically-nonnegative radicand to a tiny negative, where
-  -- sqrt() hard-errors in DuckDB but NaNs in Spark (ADVICE r7 #2)
-  SELECT n1t, n2t, r1_2,
+  -- sqrt(...): near-all-tie samples can round the mathematically-
+  -- nonnegative radicand to a tiny negative, where sqrt() hard-errors
+  -- in DuckDB but NaNs in Spark (ADVICE r7 #2)
+  SELECT n1t, n2t, u1_2, a, u1d,
          CASE WHEN n1t >= 1 AND n2t >= 1 AND n1t + n2t >= 2 THEN
-           CAST(n1t * n2t AS DOUBLE)
-           * (CAST(n1t + n2t + 1 AS DOUBLE)
-              - CAST(tie3 AS DOUBLE)
-                / (CAST(n1t + n2t AS DOUBLE)
-                   * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
+           a * (CAST(n1t + n2t + 1 AS DOUBLE)
+                - c / (CAST(n1t + n2t AS DOUBLE)
+                       * (CAST(n1t + n2t AS DOUBLE) - 1.0)))
            / 12.0
          END AS radicand
-  FROM agg
+  FROM conv
 )
 SELECT n1t AS n_returned, n2t AS n_accepted,
-       CAST(r1_2 - n1t * (n1t + 1) AS BIGINT) AS u1_doubled,
+       CAST(u1_2 AS BIGINT) AS u1_doubled,
        CASE WHEN radicand > 0 THEN
-           (CAST(r1_2 - n1t * (n1t + 1) AS DOUBLE) / 2.0
-            - CAST(n1t * n2t AS DOUBLE) / 2.0)
-           / sqrt(radicand)
+           (u1d / 2.0 - a / 2.0) / sqrt(radicand)
        END AS z_score
 FROM rad
 """
@@ -14221,16 +14259,13 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_sq_err_usd"),
         )
         out = agg if out is None else out.unionAll(agg)
-    # hi/lo split conversion: a decimal that can outgrow 2⁶³ must not
-    # cast to double directly (DuckDB's int128→double is not correctly
-    # rounded up there — r5 corollary); v = hi·10⁹ + lo with each part
-    # < 2⁶³ converts exactly, and the 2-op recombination tree is
-    # identical on both engines
-    sq_d = (
-        F.expr("CAST(sum_sq_err_usd DIV 1000000000 AS DOUBLE)")
-        * F.lit(1.0e9)
-        + F.expr("CAST(sum_sq_err_usd % 1000000000 AS DOUBLE)")
-    )
+    # three-limb split conversion: a decimal that can outgrow 2⁶³ must
+    # not cast to double directly (DuckDB's int128→double is not
+    # correctly rounded up there — r5 corollary), and the 2-limb
+    # form's // 1e9 quotient itself would overflow BIGINT past 9.2e27
+    # (r8 code-review finding) — `_limb3_double` is symmetric-exact to
+    # ~9.2e36
+    sq_d = _limb3_double("sum_sq_err_usd")
     return out.select(
         "predictor",
         "n_days",
@@ -14275,14 +14310,47 @@ rep AS (
 SELECT predictor, n_days, sum_abs_err,
        CAST(sum_abs_err AS DOUBLE) / CAST(n_days AS DOUBLE)
          AS mae_cents,
-       -- hi/lo split conversion mirrors the engine: the sum can
-       -- outgrow the correctly-rounded int128→double zone
-       sqrt((CAST(sum_sq_err_usd // 1000000000 AS DOUBLE) * 1e9
+       -- three-limb split conversion mirrors the engine's
+       -- _limb3_double: the sum can outgrow the correctly-rounded
+       -- int128→double zone, and a single // 1e9 quotient would
+       -- itself overflow the engine's BIGINT DIV past 9.2e27
+       sqrt((CAST(sum_sq_err_usd // 1000000000000000000 AS DOUBLE) * 1e18
+             + CAST((sum_sq_err_usd % 1000000000000000000)
+                    // 1000000000 AS DOUBLE) * 1e9
              + CAST(sum_sq_err_usd % 1000000000 AS DOUBLE))
             / CAST(n_days AS DOUBLE))
          AS rmse_dollars
 FROM rep
 """
+
+
+def _limb3_double(col: str) -> Column:
+    """decimal(38,0) → double through THREE exactly-converted limbs
+    (v = hi·10¹⁸ + mid·10⁹ + lo): every limb stays below 2⁶³, the zone
+    where BOTH Spark's IntegralDivide (a BIGINT — it would ANSI-throw
+    above) and DuckDB's int128→double (not correctly rounded above —
+    the r5 corollary) behave, and the 5-op recombination tree is
+    identical IEEE on both engines.  Symmetric-exact while
+    v < 2⁶³·10¹⁸ ≈ 9.2e36 — the documented envelope (the r8
+    code-review found the 2-limb form's quotient itself overflowing
+    BIGINT at v ≥ 9.2e27, an asymmetric throw-vs-misconvert split).
+    Requires v ≥ 0 (DIV truncates, // floors — equal only there).
+
+    Oracle twin (mirror verbatim)::
+
+        CAST(v // 1000000000000000000 AS DOUBLE) * 1e18
+        + CAST((v % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
+        + CAST(v % 1000000000 AS DOUBLE)
+    """
+    return (
+        F.expr(f"CAST({col} DIV 1000000000000000000 AS DOUBLE)")
+        * F.lit(1.0e18)
+        + F.expr(
+            f"CAST(({col} % 1000000000000000000) DIV 1000000000 AS DOUBLE)"
+        )
+        * F.lit(1.0e9)
+        + F.expr(f"CAST({col} % 1000000000 AS DOUBLE)")
+    )
 
 
 def _split_expr() -> Column:
@@ -17067,21 +17135,15 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, c2)).alias("q_b"),
     )
     nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    # hi/lo split conversion for the Σcents² moments: q_a/q_b are
+    # three-limb split conversion for the Σcents² moments: q_a/q_b are
     # decimal(38,0) (HUGEINT in the oracle) and already exceed 2⁶³ at
     # vanilla sf0.1 (~4e19), the zone where DuckDB's int128→double is
-    # not correctly rounded (r5 corollary; ADVICE r7 #1).  v = hi·10⁹ +
-    # lo with each part < 2⁶³ converts exactly and the 2-op
-    # recombination tree is identical IEEE on both engines.  q_a ≥ 0,
-    # so Spark DIV (truncate) ≡ DuckDB // (floor).
-    qad = (
-        F.expr("CAST(q_a DIV 1000000000 AS DOUBLE)") * F.lit(1.0e9)
-        + F.expr("CAST(q_a % 1000000000 AS DOUBLE)")
-    )
-    qbd = (
-        F.expr("CAST(q_b DIV 1000000000 AS DOUBLE)") * F.lit(1.0e9)
-        + F.expr("CAST(q_b % 1000000000 AS DOUBLE)")
-    )
+    # not correctly rounded (r5 corollary; ADVICE r7 #1).  Three limbs
+    # (not two) so the quotient itself can never overflow Spark's
+    # BIGINT IntegralDivide — symmetric-exact to ~9.2e36
+    # (`_limb3_double`; r8 code-review finding).
+    qad = _limb3_double("q_a")
+    qbd = _limb3_double("q_b")
     # every division sits under a count guard: an arm with n < 2 has no
     # variance, and ANSI Spark throws on x/0.0 where DuckDB yields ±inf
     # (the onerow driftlab class) — aa/ab are NULL there, and NULL
@@ -17148,13 +17210,17 @@ agg AS (
   FROM base GROUP BY o_orderpriority
 ),
 m AS (
-  -- hi/lo split conversion mirrors the engine: the HUGEINT Σcents²
-  -- outgrows the correctly-rounded int128→double zone past 2^63
+  -- three-limb split conversion mirrors the engine (_limb3_double):
+  -- the HUGEINT Σcents² outgrows the correctly-rounded int128→double
+  -- zone past 2^63, and a single // 1e9 quotient would itself
+  -- overflow the engine's BIGINT DIV past 9.2e27
   SELECT o_orderpriority, n_a, n_b,
          CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
-         CAST(q_a // 1000000000 AS DOUBLE) * 1e9
+         CAST(q_a // 1000000000000000000 AS DOUBLE) * 1e18
+           + CAST((q_a % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
            + CAST(q_a % 1000000000 AS DOUBLE) AS qad,
-         CAST(q_b // 1000000000 AS DOUBLE) * 1e9
+         CAST(q_b // 1000000000000000000 AS DOUBLE) * 1e18
+           + CAST((q_b % 1000000000000000000) // 1000000000 AS DOUBLE) * 1e9
            + CAST(q_b % 1000000000 AS DOUBLE) AS qbd,
          CAST(s_a AS DOUBLE) AS sad, CAST(s_b AS DOUBLE) AS sbd
   FROM agg

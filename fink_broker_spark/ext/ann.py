@@ -342,47 +342,9 @@ def ivf_portable_topk(
     (via an ``n_cells``-row broadcast argmin), candidates come from an
     equi-join on the cell key — scored pairs shrink by ~nprobe/n_cells.
     """
-    ivec = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    iv = corpus.select(F.col(id_col), ivec.alias("__e"))
-    seeds = (
-        iv.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .select(
-            F.col("__e").alias("__ce"),
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
-                )
-            )
-            .alias("cid"),
-        )
-    )
-
-    def d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    wcell = Window.partitionBy(id_col).orderBy("__d2", "cid")
-    assigned = (
-        iv.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col, "__e", "cid", d2(F.col("__e"), F.col("__ce")).alias("__d2")
-        )
-        .select(
-            id_col, "__e", "cid", F.row_number().over(wcell).alias("__rk")
-        )
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "__e", "cid")
-    )
+    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    seeds = _md5_seeds(iv, n_cells, id_col, "cid")
+    assigned = _assign_cells(iv, seeds, id_col)
     probes = (
         iv.filter(F.col(id_col) < n_queries)
         .crossJoin(F.broadcast(seeds))
@@ -390,7 +352,7 @@ def ivf_portable_topk(
             F.col(id_col).alias("query_id"),
             F.col("__e").alias("__qe"),
             "cid",
-            d2(F.col("__e"), F.col("__ce")).alias("__d2"),
+            _d2_expr(F.col("__e"), F.col("__ce")).alias("__d2"),
         )
         .select(
             "query_id",
@@ -409,7 +371,7 @@ def ivf_portable_topk(
         .select(
             "query_id",
             id_col,
-            d2(F.col("__qe"), F.col("__e")).alias("d2"),
+            _d2_expr(F.col("__qe"), F.col("__e")).alias("d2"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy("d2", id_col)
@@ -461,6 +423,30 @@ def _d2_expr(a, b) -> Column:
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(
+    iv: DataFrame, seeds: DataFrame, id_col: str
+) -> DataFrame:
+    """Coarse-quantizer assignment: each ``(id, __e)`` row gets the
+    ``cid`` of its squared-L2-nearest seed (ties break on cid).  THE
+    single definition shared by the portable IVF and SemDeDup twins —
+    the r8 review flagged three drifting copies of this argmin."""
+    wcell = Window.partitionBy(id_col).orderBy("__d2", "cid")
+    return (
+        iv.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            "__e",
+            "cid",
+            _d2_expr(F.col("__e"), F.col("__ce")).alias("__d2"),
+        )
+        .select(
+            id_col, "__e", "cid", F.row_number().over(wcell).alias("__rk")
+        )
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "__e", "cid")
     )
 
 

@@ -187,26 +187,16 @@ def semantic_dedup_portable(
     per cell — production deployments size n_cells so cells fit the
     pair budget (the same lever as the float twin's k-means k).
     """
-    from fink_broker_spark.ext.ann import _d2_expr, _int_vec, _md5_seeds
+    from fink_broker_spark.ext.ann import (
+        _assign_cells,
+        _int_vec,
+        _md5_seeds,
+    )
     from pyspark.sql import Window
 
     iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
     seeds = _md5_seeds(iv, n_cells, id_col, "cid")
-    wcell = Window.partitionBy(id_col).orderBy("__d2", "cid")
-    assigned = (
-        iv.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col,
-            "__e",
-            "cid",
-            _d2_expr(F.col("__e"), F.col("__ce")).alias("__d2"),
-        )
-        .select(
-            id_col, "__e", "cid", F.row_number().over(wcell).alias("__rk")
-        )
-        .filter(F.col("__rk") == 1)
-        .select(id_col, "__e", "cid")
-    )
+    assigned = _assign_cells(iv, seeds, id_col)
     dot_self = F.aggregate(
         F.zip_with("__e", "__e", lambda x, y: x * y),
         F.lit(0).cast("long"),

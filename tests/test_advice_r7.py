@@ -144,6 +144,12 @@ def _write_drifted_documents(tmp_path) -> str:
         (5, _BASE + " five", "en", "web"),  # verbatim duprow
         (6, "", "en", "web"),
         (7, None, "en", "web"),
+        # whitespace-only body drift: identical collapsed-whitespace
+        # fingerprint, different raw punct_ratio → same (doc_id, fp)
+        # with TWO distinct quality scores — the case that fanned out
+        # the old dedup_keep_best oracle join (r8 code-review finding)
+        (8, _BASE.replace("alpha beta", "alpha, beta"), "en", "web"),
+        (8, _BASE.replace("alpha beta", "alpha,  beta"), "en", "web"),
     ]
     table = pa.table(
         {
@@ -177,18 +183,19 @@ def test_doc_dedup_symmetric_under_reingest_drift(spark, tmp_path, name):
 
 def test_reingest_drift_audit_values(spark, tmp_path):
     """The governance audit sees the miniature drift lake exactly:
-    10 rows / 7 docs; docs 3, 4, 5 multirow; doc 5's second row is the
-    only verbatim dup; docs 3 and 4 drift text; doc 4 drifts lang."""
+    12 rows / 8 docs; docs 3, 4, 5, 8 multirow; doc 5's second row is
+    the only verbatim dup; docs 3, 4, 8 drift text; doc 4 drifts
+    lang."""
     import __spark_entry__ as em
 
     sf_dir = _write_drifted_documents(tmp_path)
     row = em.q_reingest_drift_audit(spark, sf_dir).collect()[0].asDict()
     assert row == {
-        "n_rows": 10,
-        "n_docs": 7,
-        "n_multirow_docs": 3,
+        "n_rows": 12,
+        "n_docs": 8,
+        "n_multirow_docs": 4,
         "n_verbatim_dup_rows": 1,
-        "n_text_drifted_docs": 2,
+        "n_text_drifted_docs": 3,
         "n_lang_drifted_docs": 1,
         "max_versions": 2,
     }, row
