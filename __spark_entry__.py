@@ -18669,6 +18669,107 @@ FROM per
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER consolidation — the composition production
+    dedup pipelines actually run: MinHash-LSH verified pairs
+    (``minhash_lsh_portable``'s exact md5-affine pipeline) → bounded
+    4-round min-label propagation → cluster-size histogram.  Pair
+    finding alone over-counts removals when families overlap (A~B,
+    B~C); entity resolution needs the connected component.
+
+    BOUNDED-ROUND semantics, identical on both sides by construction:
+    4 min-label rounds cover components of min-label eccentricity ≤ 4
+    — verified LSH families are near-cliques (every member pair passed
+    Jaccard ≥ 0.5), where min-label converges in 1–2 rounds; the
+    oracle unrolls the SAME 4 rounds, so even a hypothetical
+    non-converged chain hashes identically.  Docs in no pair are
+    singletons and out of scope (this is the dedup-graph accounting).
+
+    Plan: per round ONE edge→label equi-join + min aggregate (shuffle
+    ∝ edges, bounded by the LSH verify output) and one label join —
+    the pointer-jumping CC (``ext/dedup.py``) stays the log-depth
+    100 TB regime; this bounded twin is what fits the exact gate.
+
+    Returns (cluster_size, n_clusters), exact integers.
+    """
+    from fink_broker_spark.ext.dedup import minhash_lsh_pairs_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(
+        docs, num_hashes=16, nbands=4, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(4):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nmin"))
+            .select(F.col("src").alias("id"), "nmin")
+        )
+        labels = labels.join(nb, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
+    return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def _oracle_neardup_clusters(rounds: int = 4) -> str:
+    """DuckDB twin of :func:`q_neardup_clusters`: the LSH-pair oracle
+    as a derived table, then the SAME ``rounds`` unrolled min-label
+    CTEs — generated from one parameter so the two sides cannot drift."""
+    steps = []
+    for r in range(1, rounds + 1):
+        prev = f"l{r - 1}"
+        steps.append(
+            f"l{r} AS MATERIALIZED (\n"
+            f"  SELECT l.id, least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl\n"
+            f"  FROM {prev} l LEFT JOIN (\n"
+            f"    SELECT e.src, MIN(x.lbl) AS nmin\n"
+            f"    FROM edges e JOIN {prev} x ON x.id = e.dst\n"
+            f"    GROUP BY e.src\n"
+            f"  ) m ON m.src = l.id\n"
+            f")"
+        )
+    # MATERIALIZED is load-bearing: every l_r references l_{r-1} twice
+    # and edges re-derives pairs (the full LSH pipeline) — DuckDB 1.0
+    # inlines single-definition CTEs, so without the hint the tree
+    # re-evaluates exponentially (measured 83 s → 1.5 s at sf0.01)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ( {_oracle_minhash_lsh_portable()} ) __p
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+{', '.join(steps)},
+sizes AS (SELECT lbl, count(*) AS csize FROM l{rounds} GROUP BY lbl)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters
+FROM sizes GROUP BY csize
+"""
+
+
+ORACLE_NEARDUP_CLUSTERS = _oracle_neardup_clusters()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18975,6 +19076,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_kernel_portable": q_ann_kernel_portable,
     "semantic_dedup_portable": q_semantic_dedup_portable,
     "reingest_drift_audit": q_reingest_drift_audit,
+    "neardup_clusters": q_neardup_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -19283,6 +19385,7 @@ _ORACLES: dict[str, str] = {
     "ann_kernel_portable": ORACLE_ANN_KERNEL_PORTABLE,
     "semantic_dedup_portable": ORACLE_SEMANTIC_DEDUP_PORTABLE,
     "reingest_drift_audit": ORACLE_REINGEST_DRIFT_AUDIT,
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
 }
 
 
