@@ -18698,10 +18698,20 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs_portable(
         docs, num_hashes=16, nbands=4, n=3, threshold=0.5
     ).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # checkpoint the edge set and each round's labels: labels_r
+    # references labels_{r-1} twice (directly and through the
+    # neighbor-min), so an uncut lineage re-evaluates the LSH subtree
+    # 2^rounds times — the Spark-side twin of the oracle's MATERIALIZED
+    # requirement (measured 12 s → ~3 s at sf0.1; the pointer-jumping
+    # CC in ext/dedup.py applies the same discipline)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -18718,9 +18728,15 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("nmin"))
             .select(F.col("src").alias("id"), "nmin")
         )
-        labels = labels.join(nb, "id", "left").select(
-            "id",
-            F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+        labels = (
+            labels.join(nb, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
     return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
