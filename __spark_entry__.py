@@ -14353,6 +14353,39 @@ def _limb3_double(col: str) -> Column:
     )
 
 
+def _limb3_bigints(col: str, prefix: str) -> list[Column]:
+    """decimal(38,0) → three exact BIGINT limbs for EMISSION
+    (v = hi·10¹⁸ + mid·10⁹ + lo).  The r8 driver found that its
+    canonicalizer fetches DuckDB ``DECIMAL(p>18, 0)`` (HUGEINT-backed
+    in DuckDB's Python client) differently from Spark's ``Decimal`` —
+    the same fetch-typing family ``probe_type_hugeint`` pinned in r6,
+    one level up (VERDICT r8: ``rolling_volatility``,
+    ``table_checksum``, the only two wide-decimal emitters in the
+    registry, both value-identical cross-engine yet hash-red).  Wide
+    decimals therefore stay INTERNAL (overflow headroom is still
+    wanted there) and leave the query as three BIGINTs, exact while
+    0 ≤ v < 2⁶³·10¹⁸ ≈ 9.2e36 (same envelope as
+    ``_limb3_double``; requires v ≥ 0 — DIV truncates, ``//``
+    floors).  ``admin/typeaudit`` now forbids any emitted decimal
+    wider than 18 digits so this class cannot re-enter.
+
+    Oracle twin (mirror verbatim, v a HUGEINT/DECIMAL(38,0))::
+
+        CAST(v // 1000000000000000000 AS BIGINT)                 AS p_hi,
+        CAST((v % 1000000000000000000) // 1000000000 AS BIGINT)  AS p_mid,
+        CAST(v % 1000000000 AS BIGINT)                           AS p_lo
+    """
+    return [
+        F.expr(f"CAST({col} DIV 1000000000000000000 AS BIGINT)").alias(
+            f"{prefix}_hi"
+        ),
+        F.expr(
+            f"CAST(({col} % 1000000000000000000) DIV 1000000000 AS BIGINT)"
+        ).alias(f"{prefix}_mid"),
+        F.expr(f"CAST({col} % 1000000000 AS BIGINT)").alias(f"{prefix}_lo"),
+    ]
+
+
 def _split_expr() -> Column:
     """Deterministic 80/10/10 split of documents by md5(doc_id) bucket
     — the ONE definition both the split manifest (q_dataset_split) and
@@ -14879,6 +14912,13 @@ def _ppjoin_neardup_plan(
             F.array_distinct(shingles_from_tokens_expr("toks", 3))
         ).alias("arr"),
     ).filter(F.size("arr") > 0)
+    # materialize the shingle-array relation ONCE: the subtree feeds
+    # four consumers (tok→dfreq, tok→ranked, and the two verify sides
+    # aa/ab), so uncut lineage tokenizes+shingles the corpus 4× — the
+    # dominant CPU at 100 TB where the corpus dwarfs any cache (the
+    # r9 benchdiff probe measured 6.6→5.9 s at sf0.1 even fully
+    # page-cached; same ext/dedup.py materialize-reuse pattern)
+    arrs = arrs.localCheckpoint(eager=True)
     # |set| is size(arr) for free after array_distinct — carrying it as
     # a column removes the per-doc count aggregate (a whole shuffle)
     # and the two sizes joins the first draft paid (r6 profile: the
@@ -15820,9 +15860,12 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one fact aggregate to the day spine, then a single
     ROWS-frame window over that calendar-bounded spine (~2.4k rows —
     the SinglePartition sort is over the aggregate, never the fact
-    table).  The squares ride DECIMAL(38,0) / HUGEINT internally;
-    the emitted numerator is DECIMAL(38,0) on both engines (type-audit
-    kind-identical), n and S plain BIGINTs."""
+    table).  The squares ride DECIMAL(38,0) / HUGEINT internally; the
+    numerator LEAVES the query as three exact BIGINT limbs
+    (``_limb3_bigints``) because the driver's canonicalizer
+    hash-splits on emitted decimals wider than 18 digits even when
+    every value is cross-engine identical (the r8 red on this very
+    query; typeaudit now forbids the class).  n and S plain BIGINTs."""
     od = load_table(spark, sf_dir, "orders")
     daily = od.groupBy(_day("o_orderdate").alias("d")).agg(
         F.sum(
@@ -15842,7 +15885,7 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("qq"),
     )
-    return roll.select(
+    num = roll.select(
         "d",
         "n_days",
         "s_cents",
@@ -15853,6 +15896,9 @@ def q_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("decimal(38,0)")
         .alias("var_num"),
+    )
+    return num.select(
+        "d", "n_days", "s_cents", *_limb3_bigints("var_num", "var")
     )
 
 
@@ -15870,12 +15916,20 @@ WITH daily AS (
               AS HUGEINT) AS qq
   FROM daily
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), num AS (
+  SELECT d, n_days, s_cents,
+         CAST(n_days AS HUGEINT) * qq
+           - CAST(s_cents AS HUGEINT) * s_cents AS var_num
+  FROM roll
 )
+-- three exact BIGINT limbs, mirroring the engine's _limb3_bigints
+-- (wide-decimal emission is the r8 driver red class)
 SELECT d, n_days, s_cents,
-       CAST(CAST(n_days AS HUGEINT) * qq
-            - CAST(s_cents AS HUGEINT) * s_cents
-            AS DECIMAL(38,0)) AS var_num
-FROM roll
+       CAST(var_num // 1000000000000000000 AS BIGINT) AS var_hi,
+       CAST((var_num % 1000000000000000000) // 1000000000
+            AS BIGINT) AS var_mid,
+       CAST(var_num % 1000000000 AS BIGINT) AS var_lo
+FROM num
 """
 
 
@@ -16081,8 +16135,12 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubles are integerized (cents / epoch-µs) before entering the
     hash string; NULLs render as an explicit sentinel via coalesce so
     a NULL column cannot alias a shifted field (concat_ws would skip
-    it silently).  The hash sum rides DECIMAL(38,0): 2³²-bounded
-    summands overflow BIGINT around 10⁹ rows."""
+    it silently).  The hash sum rides DECIMAL(38,0) INTERNALLY
+    (2³²-bounded summands overflow BIGINT around 10⁹ rows) but is
+    EMITTED as three exact BIGINT limbs (``_limb3_bigints``): the
+    driver canonicalizer hash-splits on emitted decimals wider than
+    18 digits even when values are cross-engine identical (the r8
+    red on this very query)."""
     parts = []
     specs = {
         "orders": (
@@ -16110,18 +16168,25 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.expr(
             f"cast(conv(substr(md5({rowexpr}), 1, 8), 16, 10) as bigint)"
         )
+        agg = df.select(h.alias("h")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # the SUMMANDS must already be decimal: a LongType sum
+            # of 2³²-bounded hashes overflows (ANSI: throws) near
+            # 4·10⁹ rows — casting only the result would not help
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("hash_sum"),
+            F.min("h").alias("hash_min"),
+            F.max("h").alias("hash_max"),
+        )
         parts.append(
-            df.select(h.alias("h")).agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                # the SUMMANDS must already be decimal: a LongType sum
-                # of 2³²-bounded hashes overflows (ANSI: throws) near
-                # 4·10⁹ rows — casting only the result would not help
-                F.sum(F.col("h").cast("decimal(38,0)"))
-                .cast("decimal(38,0)")
-                .alias("hash_sum"),
-                F.min("h").alias("hash_min"),
-                F.max("h").alias("hash_max"),
-            ).select(F.lit(name).alias("entity"), "*")
+            agg.select(
+                F.lit(name).alias("entity"),
+                "n_rows",
+                *_limb3_bigints("hash_sum", "hash"),
+                "hash_min",
+                "hash_max",
+            )
         )
     return parts[0].unionAll(parts[1])
 
@@ -16149,14 +16214,22 @@ WITH oh AS (
          ), 1, 8) AS BIGINT) AS h
   FROM events
 )
+-- hash_sum stays HUGEINT internally and leaves as three exact BIGINT
+-- limbs (engine's _limb3_bigints — wide-decimal emission is the r8
+-- driver red class)
 SELECT 'orders' AS entity, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(SUM(h) AS DECIMAL(38,0)) AS hash_sum,
+       CAST(SUM(h) // 1000000000000000000 AS BIGINT) AS hash_hi,
+       CAST((SUM(h) % 1000000000000000000) // 1000000000
+            AS BIGINT) AS hash_mid,
+       CAST(SUM(h) % 1000000000 AS BIGINT) AS hash_lo,
        CAST(MIN(h) AS BIGINT) AS hash_min,
        CAST(MAX(h) AS BIGINT) AS hash_max
 FROM oh
 UNION ALL
 SELECT 'events', CAST(count(*) AS BIGINT),
-       CAST(SUM(h) AS DECIMAL(38,0)),
+       CAST(SUM(h) // 1000000000000000000 AS BIGINT),
+       CAST((SUM(h) % 1000000000000000000) // 1000000000 AS BIGINT),
+       CAST(SUM(h) % 1000000000 AS BIGINT),
        CAST(MIN(h) AS BIGINT), CAST(MAX(h) AS BIGINT)
 FROM eh
 """
@@ -17306,6 +17379,12 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "n",
+        # residual risk (ADVICE r8, accepted): Spark F.round(double, 9)
+        # (BigDecimal HALF_UP over shortest repr) vs DuckDB
+        # ROUND(DOUBLE, 9) (float multiply/rint) can disagree if ρ
+        # lands within an ulp of a .5e-9 boundary — same accepted
+        # class as corr_matrix; if a sweep ever splits here, quantize
+        # via floor(x*1e9+0.5)/1e9 mirrored verbatim on both sides
         F.when(
             (denx > 0) & (deny > 0), F.round(num / F.sqrt(denx * deny), 9)
         ).alias("spearman_rho"),
@@ -18490,10 +18569,14 @@ def q_ann_kernel_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_KERNEL_PORTABLE = """
 WITH iv AS (
+  -- IS NOT NULL mirrors the engine's symmetric NULL-embedding drop
+  -- (ADVICE r8: the kernel would crash on NULL while DuckDB would
+  -- propagate NULL d2 — keep the two sides' domains identical)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id,

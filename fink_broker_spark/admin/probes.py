@@ -112,6 +112,41 @@ ORACLE_PROBE_TYPE_INT32 = (
 )
 
 
+def q_probe_type_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 rows of (i, v_small=3, v_big=10²⁷+7), BOTH value columns typed
+    ``DECIMAL(38,0)`` on BOTH engines — the wide-decimal canary the r8
+    verdict prescribed.  Local fetchall-repr compare: green (identical
+    ``Decimal`` digit strings).  The r8 driver hash-split the only two
+    registry queries emitting DECIMAL(p>18) (``rolling_volatility``,
+    ``table_checksum``) despite value-identical results, implicating
+    the driver's fetch typing for DuckDB's HUGEINT-backed wide
+    decimals (p>18) — one level above what ``probe_type_hugeint``
+    pinned for raw HUGEINT in r6.  EXPECTED RED in the driver; the two
+    columns split the diagnosis further: ``v_small`` fits int64 (a red
+    with v_big-only divergence would mean magnitude-dependent fetch),
+    ``v_big`` exceeds it (int128-only materialization).  A GREEN row
+    would overturn the r8 diagnosis entirely and reopen the
+    rolling_volatility/table_checksum forensics.  Retire to
+    RETIRED_PROBE_QUERIES once the r9 artifact records the answer,
+    exactly as probe_type_hugeint was retired after r6."""
+    return _rows(spark, 5).select(
+        "i",
+        F.lit("3").cast("decimal(38,0)").alias("v_small"),
+        F.lit("1000000000000000000000000007")
+        .cast("decimal(38,0)")
+        .alias("v_big"),
+    )
+
+
+ORACLE_PROBE_TYPE_DECIMAL38 = (
+    "SELECT CAST(i AS BIGINT) AS i, "
+    "CAST(CAST(3 AS HUGEINT) AS DECIMAL(38,0)) AS v_small, "
+    "CAST(CAST('1000000000000000000000000007' AS HUGEINT)"
+    " AS DECIMAL(38,0)) AS v_big "
+    "FROM range(0, 5) t(i)"
+)
+
+
 # -- environment probes -----------------------------------------------------
 
 
@@ -325,14 +360,20 @@ ORACLE_PROBE_ENV_SUBUS_TS = _oracle_rows(
 #: Re-arm by moving a row back into PROBE_QUERIES/PROBE_ORACLES if the
 #: driver environment ever shifts (e.g. a DuckDB version bump in a
 #: future round's conf-policy echo).
+#: ROUND-9 ADDITION: ``probe_type_decimal38`` converts the r8
+#: wide-decimal diagnosis (inference from 2 red rows) into a measured
+#: fact — its CORRECTNESS_r9 row IS the answer.  One-round canary:
+#: retire after the artifact lands, like probe_type_hugeint after r6.
 PROBE_QUERIES = {
     "probe_env_conf_policy": q_probe_env_conf_policy,
     "probe_type_int32": q_probe_type_int32,
+    "probe_type_decimal38": q_probe_type_decimal38,
 }
 
 PROBE_ORACLES = {
     "probe_env_conf_policy": ORACLE_PROBE_ENV_CONF_POLICY,
     "probe_type_int32": ORACLE_PROBE_TYPE_INT32,
+    "probe_type_decimal38": ORACLE_PROBE_TYPE_DECIMAL38,
 }
 
 #: answered-and-settled probes (r6 telemetry recorded); kept importable

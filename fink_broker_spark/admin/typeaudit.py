@@ -31,7 +31,16 @@ any pairing that can split under a typed canonicalizer:
 - decimal *scale* mismatches (precision is immaterial to the digit
   string, scale is not: ``Decimal('1.25')`` != ``Decimal('1.250')``);
 - 32-bit floats anywhere (``REAL``/``float`` — shortest-repr
-  formatting differs from the value's double formatting).
+  formatting differs from the value's double formatting);
+- decimal *precision > 18* on either side (round-8 hardening: DuckDB
+  backs decimals wider than 18 digits with HUGEINT internally, so the
+  driver's typed fetch path splits on them exactly like raw HUGEINT —
+  the r8 reds ``rolling_volatility``/``table_checksum`` were the only
+  two wide-decimal emitters in the registry, value-identical
+  cross-engine yet hash-red.  Wide decimals may ride INTERNALLY for
+  overflow headroom but must leave a query as BIGINT limbs
+  (``__spark_entry__._limb3_bigints``), a ``_limb3_double``
+  conversion, or a string cast).
 
 CLI::
 
@@ -59,6 +68,21 @@ _INT_KINDS = {
 _FORBIDDEN_DUCK = {"HUGEINT", "UHUGEINT", "UBIGINT"}
 _FLOAT64 = {"DOUBLE", "FLOAT8"}
 _FLOAT32 = {"REAL", "FLOAT", "FLOAT4"}
+
+
+#: widest decimal precision a query may EMIT: DuckDB backs p > 18 with
+#: HUGEINT (int128) internally and the driver's typed fetch path splits
+#: on it (the r8 wide-decimal red class) — same hazard as
+#: ``_FORBIDDEN_DUCK`` under a DECIMAL label
+_MAX_EMIT_DECIMAL_PRECISION = 18
+
+
+def _decimal_precision(type_name: str):
+    """Precision of a DECIMAL type name, or None for non-decimals."""
+    m = re.match(
+        r"DECIMAL\s*\(\s*(\d+)\s*,\s*\d+\s*\)", type_name.upper().strip()
+    )
+    return int(m.group(1)) if m else None
 
 
 def _kind(type_name: str) -> str:
@@ -108,7 +132,12 @@ def compare_types(spark_fields, duck_cols) -> list[tuple[str, str, str]]:
             flags.append((name, stype, "<missing-in-oracle>"))
             continue
         sk, dk = _kind(stype), _kind(dtype)
-        if dk == "hugeint" or sk == "float32" or dk == "float32":
+        sp, dp = _decimal_precision(stype), _decimal_precision(dtype)
+        wide = any(
+            p is not None and p > _MAX_EMIT_DECIMAL_PRECISION
+            for p in (sp, dp)
+        )
+        if dk == "hugeint" or sk == "float32" or dk == "float32" or wide:
             flags.append((name, stype, dtype))
         elif sk != dk:
             flags.append((name, stype, dtype))

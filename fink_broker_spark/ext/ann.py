@@ -601,7 +601,14 @@ def kernel_portable_topk(
     volume is |queries|·k per partition, independent of corpus size —
     the same 100 TB shape as the float kernel.
     """
-    iq = queries.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    # NULL embeddings are dropped SYMMETRICALLY with the oracle's
+    # `WHERE <vec> IS NOT NULL` (ADVICE r8: np.asarray(None) would
+    # crash here while DuckDB would propagate NULL d2 and still
+    # answer — an asymmetric crash-vs-answer split under a future
+    # layout that nulls embeddings)
+    iq = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    )
     qpdf = iq.toPandas()
     if qpdf.empty:
         return corpus.sparkSession.createDataFrame(
@@ -640,7 +647,9 @@ def kernel_portable_topk(
                 rows["d"].extend(dj[order])
             yield pd.DataFrame(rows)
 
-    ic = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    ic = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    )
     partials = ic.mapInPandas(score, schema="q long, c long, d long")
     wk = Window.partitionBy("q").orderBy("d", "c")
     return (

@@ -231,8 +231,17 @@ def semantic_dedup_portable(
         lambda acc, v: acc + v,
     )
 
-    def d14(c):
-        return c.cast("decimal(14,0)")
+    def d18(c):
+        # ANSI-throw-vs-answer envelope (ADVICE r8): the tau
+        # inequality rides decimal(18,0) operands — 18+18+1 = 37-digit
+        # products, still inside DECIMAL(38) after the tau multiply
+        # while dot² · tau < 1e38 — against the oracle's unbounded
+        # HUGEINT.  Symmetric for |dot|, |n2| < 1e18 (current data:
+        # 64-dim, |x| < 0.5, scale 1e4 ⇒ dot ≤ ~1.6e9, eight orders
+        # of headroom; an embedding-magnitude or scale change past
+        # 1e18 would ANSI-throw HERE on Spark where DuckDB answers —
+        # re-derive the cast width before raising `scale`).
+        return c.cast("decimal(18,0)")
 
     pairs = (
         a.join(b, "cid")
@@ -243,8 +252,8 @@ def semantic_dedup_portable(
         pairs.filter(
             (F.col("__dot") > 0)
             & (
-                d14(F.col("__dot")) * d14(F.col("__dot")) * F.lit(tau_den)
-                >= d14(F.col("__n2a")) * d14(F.col("__n2b")) * F.lit(tau_num)
+                d18(F.col("__dot")) * d18(F.col("__dot")) * F.lit(tau_den)
+                >= d18(F.col("__n2a")) * d18(F.col("__n2b")) * F.lit(tau_num)
             )
         )
         .select("cid", F.col("__idb").alias(id_col))

@@ -68,7 +68,17 @@ def test_rows_only_output_is_canonicalizable(spark, name):
     """The driver's rows-only check pandas-sorts the result over ALL
     columns; an array/map/struct cell is unhashable and crashes the
     canonicalizer (the embedding_pca r03 red row).  Every oracle-less
-    query must emit only atomic columns."""
+    query must emit only atomic columns — and no decimal wider than
+    18 digits (the r8 wide-decimal red class: the driver's typed fetch
+    path splits on DECIMAL(p>18) exactly like raw HUGEINT; oracled
+    queries get the same rule from admin/typeaudit via
+    test_type_parity, so together the two gates cover the full
+    registry)."""
+    from fink_broker_spark.admin.typeaudit import (
+        _MAX_EMIT_DECIMAL_PRECISION,
+        _decimal_precision,
+    )
+
     df = entrymod.queries()[name](spark, SF001)
     bad = [
         f"{f.name}:{f.dataType.simpleString()}"
@@ -77,5 +87,7 @@ def test_rows_only_output_is_canonicalizable(spark, name):
             f.dataType.simpleString() in _ATOMIC
             or f.dataType.simpleString().startswith("decimal")
         )
+        or (_decimal_precision(f.dataType.simpleString()) or 0)
+        > _MAX_EMIT_DECIMAL_PRECISION
     ]
     assert not bad, f"non-atomic driver-facing columns: {bad}"
