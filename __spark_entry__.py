@@ -18870,6 +18870,463 @@ ORACLE_NEARDUP_CLUSTERS = _oracle_neardup_clusters()
 
 
 # --------------------------------------------------------------------------
+# round 9 — sequence modeling prep, mixture reweighting, decontamination,
+# density clustering
+# --------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-corpus statistic that seeds next-action
+    models and synthetic-sequence generators: for every (src → dst)
+    event-type pair, the transition count and the row-normalized
+    probability.
+
+    Plan: ONE user-keyed window (ordered by exact microseconds with
+    event_id as the total-order tiebreak — engines must agree on
+    sequence order before lead() means anything), then a |types|²-
+    bounded aggregate and an unbounded per-src window over that tiny
+    result.  At 100 TB the only fact-sized shuffle is the user
+    partition; per-user state is one lookahead row.  NULL users
+    (anonymous events would otherwise merge into one pseudo-sequence)
+    and NULL types are excluded on both sides; probabilities are
+    divisions of exact BIGINTs (denominator ≥ count ≥ 1, never
+    zero)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    hops = staged.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = hops.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wsrc = Window.partitionBy("src")
+    return trans.select(
+        "src",
+        "dst",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wsrc).cast("double")
+        ).alias("p_trans"),
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH e AS (
+  -- NULL users/types excluded on both sides (see q_markov_transitions)
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+hops AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS dst
+  FROM e
+),
+trans AS (
+  SELECT src, dst, count(*) AS n_trans
+  FROM hops WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n_trans AS BIGINT) AS n_trans,
+       CAST(n_trans AS DOUBLE)
+         / CAST(CAST(SUM(n_trans) OVER (PARTITION BY src) AS BIGINT)
+                AS DOUBLE) AS p_trans
+FROM trans
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights over the document
+    sources — the DoReMi/data-mixing primitive: sampling weight
+    w_s ∝ tokens_s^(1/T) with T = 2, so large domains are
+    down-weighted sub-linearly instead of dominating the mixture.
+
+    T = 2 makes the scaling a SQRT — IEEE correctly-rounded on both
+    engines — instead of the exp/ln tree a softmax would need (libm
+    transcendentals are not cross-engine exact).  The normalizer is a
+    float sum over sources, so its merge order is pinned with the
+    source-ordered cumulative window (the established exact-sum-order
+    pattern): both engines add the same sqrt values left-to-right in
+    source order and take the last running value as the total.
+
+    Plan: one map-side token-count aggregate to |sources| rows
+    (~5), then two windows over that spine.  At 100 TB the tokenize
+    pass is the whole cost; everything after is constant-sized.
+    NULL sources and NULL texts are excluded symmetrically (Spark
+    size(split(NULL)) and DuckDB len(string_split_regex(NULL)) do not
+    agree on a convention — exclusion is the only portable rule)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    counts = (
+        docs.select(
+            "source",
+            F.size(tokens_expr("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    wcum = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("s"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double")))
+        .over(wcum)
+        .alias("cs"),
+    )
+    total = F.last("cs").over(wall)
+    return cum.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        # lazy guard on the DENOMINATOR itself: an all-empty corpus
+        # drives total to exactly 0.0, where ANSI Spark throws on the
+        # division and DuckDB answers inf
+        F.when(total > 0, F.col("s") / total).alias("weight"),
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = r"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+             END) AS n_tok
+  FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY source
+),
+cum AS (
+  SELECT source, n_docs, CAST(n_tok AS BIGINT) AS n_tokens,
+         sqrt(CAST(n_tok AS DOUBLE)) AS s,
+         -- source-ordered running sum: pins the float merge order to
+         -- the identical left-to-right tree the engine uses
+         SUM(sqrt(CAST(n_tok AS DOUBLE)))
+           OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cs
+  FROM counts
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CASE WHEN last_value(cs) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) > 0
+            THEN s / last_value(cs) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING)
+       END AS weight
+FROM cum
+"""
+
+
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan (the GPT-3/PaLM n-gram
+    containment check): treating the lexicographically-first source as
+    the held-out eval slice, every training document is scored by the
+    fraction of its distinct 8-gram shingles that also occur anywhere
+    in the eval slice; top 25 most-contaminated docs.
+
+    Plan: tokenize+shingle ONCE over canonical per-doc rows (min(text)
+    / min(source) after the empty filter — the dupdrift survivor
+    rule), split train/eval by a 1-row broadcast of min(source), then
+    one gram-keyed semi-join of train grams against the DISTINCT eval
+    gram vocabulary (broadcast — eval corpora are small by
+    construction; at 100 TB this is a map-side bloom-style probe, the
+    training side streams).  Docs with fewer than 8 tokens have no
+    8-grams and are excluded symmetrically by construction.
+    Contamination is an exact-integer division (n_grams ≥ 1); the
+    top-k order is (ratio DESC, doc_id) — a strict total order."""
+    from fink_broker_spark.functions.text import (
+        shingles_from_tokens_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.filter(F.col("source").isNotNull())
+        .filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"), F.min("source").alias("source"))
+    )
+    grams = uniq.select(
+        "doc_id", "source", tokens_expr("text").alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_tokens_expr("toks", 8)).alias("g"),
+    )
+    # three consumers (train split, eval split, min-source scalar) —
+    # materialize the shingle relation once instead of tokenizing the
+    # corpus three times (the ppjoin arrs lesson; measured 3.0→2.0 s
+    # at sf0.1).  The eval source is the lexicographic min over the
+    # SHINGLED corpus (docs with < 8 tokens have no grams and cannot
+    # anchor the eval slice) — the oracle mirrors the same domain.
+    grams = grams.localCheckpoint(eager=True)
+    ev_src = grams.agg(F.min("source").alias("es"))
+    tg = (
+        grams.crossJoin(F.broadcast(ev_src))
+        .filter(F.col("source") != F.col("es"))
+        .select("doc_id", "g")
+    )
+    evg = (
+        grams.crossJoin(F.broadcast(ev_src))
+        .filter(F.col("source") == F.col("es"))
+        .select("g")
+        .distinct()
+    )
+    sizes = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(evg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "doc_id")
+        .limit(25)
+    )
+
+
+ORACLE_EVAL_CONTAMINATION = r"""
+WITH uniq AS (
+  SELECT doc_id, min(text) AS text, min(source) AS source
+  FROM documents
+  WHERE source IS NOT NULL AND length(trim(lower(text))) > 0
+  GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM uniq
+),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+7], ' ') AS g
+  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 7
+),
+es AS (SELECT min(source) AS es FROM grams),
+tg AS (
+  SELECT doc_id, g FROM grams, es WHERE source <> es.es
+),
+evg AS (
+  SELECT DISTINCT g FROM grams, es WHERE source = es.es
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+hits AS (
+  SELECT tg.doc_id, count(*) AS n_hit
+  FROM tg JOIN evg USING (g) GROUP BY tg.doc_id
+)
+SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         / CAST(s.n_grams AS DOUBLE) AS contamination
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+ORDER BY contamination DESC, s.doc_id
+LIMIT 25
+"""
+
+#: grid-DBSCAN knobs: eps in int-scaled embedding units (0.025 at the
+#: 1e4 fixed-point scale), minPts over multiplicity-weighted neighbors
+_DBSCAN_EPS = 250
+_DBSCAN_MINPTS = 10
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN density classification over the first
+    two embedding dimensions — the density-based outlier/cluster
+    primitive (core / border / noise census) that curation pipelines
+    use to spot degenerate embedding clumps and isolated junk.
+
+    Exact-integer throughout: coordinates are the fixed-point
+    ``FLOOR(x·10⁴ + 0.5)`` ints (the FLOAT-origin integerization
+    rule), the neighbor predicate is integer squared-L2 ≤ eps², and
+    cell ids use explicit floor-division ``(x − pmod(x, eps)) DIV
+    eps`` because Spark's DIV truncates toward zero while DuckDB's
+    ``//`` floors — they disagree on negative coordinates (negvalue
+    layout) unless the remainder is normalized first.
+
+    Plan — the skew-proof shape: collapse to DISTINCT quantized
+    coordinates with multiplicity BEFORE the neighbor join (a
+    degenerate corpus where every vector is identical — the constant
+    layout — becomes ONE point with m = N instead of an N² self-join),
+    then explode each point over its 3×3 cell neighborhood and
+    equi-join on cell id (cell size = eps guarantees every true
+    neighbor pair lands in an adjacent cell).  The pairs relation
+    feeds both the density aggregate and the border probe, so it
+    localCheckpoints once.  density(p) = Σ m(q) over q within eps
+    (self included); core ⟺ density ≥ minPts; border ⟺ non-core
+    with a core neighbor q ≠ p; the rest is noise."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 2)
+    )
+    eps, minpts = _DBSCAN_EPS, _DBSCAN_MINPTS
+    pts = (
+        emb.select(
+            F.expr(
+                "cast(floor(cast(embedding[0] as double) * 10000 + 0.5)"
+                " as bigint)"
+            ).alias("x"),
+            F.expr(
+                "cast(floor(cast(embedding[1] as double) * 10000 + 0.5)"
+                " as bigint)"
+            ).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cells = pts.select(
+        "x",
+        "y",
+        "m",
+        F.expr(f"(x - pmod(x, {eps})) div {eps}").alias("cx"),
+        F.expr(f"(y - pmod(y, {eps})) div {eps}").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("ncx"),
+                (F.col("cy") + F.lit(dy)).alias("ncy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        "x", "y", F.explode(offsets).alias("o")
+    ).select("x", "y", F.col("o.ncx").alias("jcx"), F.col("o.ncy").alias("jcy"))
+    nbr = cells.select(
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("m").alias("bm"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    pairs = (
+        probe.join(nbr, ["jcx", "jcy"])
+        .filter(
+            (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+            + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+            <= F.lit(eps * eps)
+        )
+        .select("x", "y", "bx", "by", "bm")
+    )
+    # reused by BOTH the density aggregate and the border probe —
+    # materialize once (the ppjoin arrs lesson)
+    pairs = pairs.localCheckpoint(eager=True)
+    dens = pairs.groupBy("x", "y").agg(F.sum("bm").alias("density"))
+    flags = pts.join(dens, ["x", "y"]).select(
+        "x", "y", "m", (F.col("density") >= minpts).alias("is_core")
+    )
+    corepts = flags.filter(F.col("is_core")).select(
+        F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    border = (
+        pairs.join(corepts, ["bx", "by"])
+        .filter(
+            ~((F.col("x") == F.col("bx")) & (F.col("y") == F.col("by")))
+        )
+        .select("x", "y")
+        .distinct()
+        .withColumn("is_border", F.lit(True))
+    )
+    return (
+        flags.join(border, ["x", "y"], "left")
+        .select(
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("is_border"), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("dbscan_class"),
+            "m",
+        )
+        .groupBy("dbscan_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("m").alias("n_points"),
+        )
+    )
+
+
+ORACLE_GRID_DBSCAN = f"""
+WITH pts0 AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS y
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) >= 2
+),
+pts AS (SELECT x, y, count(*) AS m FROM pts0 GROUP BY 1, 2),
+cells AS (
+  -- explicit floor-division twin of the engine's (x - pmod) DIV:
+  -- DuckDB // floors natively but the normalized form is mirrored so
+  -- negative coordinates provably agree
+  SELECT x, y, m,
+         (x - ((x % {_DBSCAN_EPS} + {_DBSCAN_EPS}) % {_DBSCAN_EPS}))
+           // {_DBSCAN_EPS} AS cx,
+         (y - ((y % {_DBSCAN_EPS} + {_DBSCAN_EPS}) % {_DBSCAN_EPS}))
+           // {_DBSCAN_EPS} AS cy
+  FROM pts
+),
+pairs AS MATERIALIZED (
+  SELECT a.x, a.y, b.x AS bx, b.y AS byy, b.m AS bm
+  FROM cells a JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+dens AS (SELECT x, y, SUM(bm) AS density FROM pairs GROUP BY 1, 2),
+flags AS (
+  SELECT p.x, p.y, p.m, d.density >= {_DBSCAN_MINPTS} AS is_core
+  FROM pts p JOIN dens d USING (x, y)
+),
+border AS (
+  SELECT DISTINCT pr.x, pr.y
+  FROM pairs pr JOIN flags fb ON fb.x = pr.bx AND fb.y = pr.byy
+  WHERE fb.is_core AND NOT (pr.x = pr.bx AND pr.y = pr.byy)
+),
+cls AS (
+  SELECT f.m,
+         CASE WHEN f.is_core THEN 'core'
+              WHEN b.x IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS dbscan_class
+  FROM flags f LEFT JOIN border b ON b.x = f.x AND b.y = f.y
+)
+SELECT dbscan_class, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(m) AS BIGINT) AS n_points
+FROM cls GROUP BY dbscan_class
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -19176,6 +19633,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_portable": q_semantic_dedup_portable,
     "reingest_drift_audit": q_reingest_drift_audit,
     "neardup_clusters": q_neardup_clusters,
+    # round 9
+    "markov_transitions": q_markov_transitions,
+    "mixture_weights": q_mixture_weights,
+    "eval_contamination": q_eval_contamination,
+    "grid_dbscan": q_grid_dbscan,
 }
 
 _ORACLES: dict[str, str] = {
@@ -19485,6 +19947,11 @@ _ORACLES: dict[str, str] = {
     "semantic_dedup_portable": ORACLE_SEMANTIC_DEDUP_PORTABLE,
     "reingest_drift_audit": ORACLE_REINGEST_DRIFT_AUDIT,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    # round 9
+    "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+    "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+    "eval_contamination": ORACLE_EVAL_CONTAMINATION,
+    "grid_dbscan": ORACLE_GRID_DBSCAN,
 }
 
 

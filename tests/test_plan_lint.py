@@ -55,6 +55,11 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row true-cardinality aggregate broadcast next to the 1-row "
         "estimate for the comparison column",
     ),
+    "eval_contamination": (
+        {"broadcast_nested_loop_join"},
+        "1-row min-source scalar broadcast splits the corpus into the "
+        "eval slice and the training side (same shape as ks_two_sample)",
+    ),
     "ks_two_sample": (
         {"broadcast_nested_loop_join"},
         "1-row min-source scalar broadcast labels the A sample",
