@@ -18875,74 +18875,118 @@ ORACLE_NEARDUP_CLUSTERS = _oracle_neardup_clusters()
 # --------------------------------------------------------------------------
 
 
-def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences — the behavioral-corpus statistic that seeds next-action
-    models and synthetic-sequence generators: for every (src → dst)
-    event-type pair, the transition count and the row-normalized
-    probability.
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: walking the corpus in
+    ingest order (doc_id), how many NEW 3-gram shingles does each
+    successive tenth of the corpus contribute?  The
+    diminishing-returns curve data teams read before paying for the
+    next crawl — a flattening tail means more of the same, a steep
+    tail means the source still adds novelty.
 
-    Plan: ONE user-keyed window (ordered by exact microseconds with
-    event_id as the total-order tiebreak — engines must agree on
-    sequence order before lead() means anything), then a |types|²-
-    bounded aggregate and an unbounded per-src window over that tiny
-    result.  At 100 TB the only fact-sized shuffle is the user
-    partition; per-user state is one lookahead row.  NULL users
-    (anonymous events would otherwise merge into one pseudo-sequence)
-    and NULL types are excluded on both sides; probabilities are
-    divisions of exact BIGINTs (denominator ≥ count ≥ 1, never
-    zero)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    Scale shape: the decile is computed from the doc_id VALUE range
+    (``10·(id − lo) DIV (hi − lo + 1)`` against a 1-row min/max
+    broadcast) — NOT an ntile/rank window, which would single-
+    partition-sort billions of doc ids at 100 TB.  First occurrence
+    is one shingle-keyed min aggregate (the only fact-sized shuffle);
+    everything after runs on ≤ 10 rows.  Canonical per-doc rows via
+    the dupdrift survivor rule (min(text) after the empty filter);
+    integer division has non-negative operands on both engines so
+    Spark's truncating DIV and DuckDB's flooring ``//`` agree."""
+    from fink_broker_spark.functions.text import (
+        shingles_from_tokens_expr,
     )
-    staged = ev.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("t"),
-        "event_id",
+
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
     )
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    hops = staged.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type", 1).over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    trans = hops.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("n_trans")
+    grams = uniq.select(
+        "doc_id", tokens_expr("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(shingles_from_tokens_expr("toks", 3)).alias("g"),
     )
-    wsrc = Window.partitionBy("src")
-    return trans.select(
-        "src",
-        "dst",
-        "n_trans",
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
+    bounds = uniq.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    dec = F.expr("cast((10 * (doc_id - lo)) div (hi - lo + 1) as int)")
+    per_docs = (
+        uniq.crossJoin(F.broadcast(bounds))
+        .select(dec.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_new = (
+        first.crossJoin(F.broadcast(bounds))
+        .select(dec.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new_shingles"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = per_docs.join(per_new, "decile", "left").select(
+        "decile",
+        "n_docs",
+        F.coalesce("n_new_shingles", F.lit(0))
+        .cast("long")
+        .alias("n_new_shingles"),
+    )
+    return joined.select(
+        "decile",
+        "n_docs",
+        "n_new_shingles",
+        F.sum("n_new_shingles").over(wc).cast("long").alias("cum_vocab"),
         (
-            F.col("n_trans").cast("double")
-            / F.sum("n_trans").over(wsrc).cast("double")
-        ).alias("p_trans"),
+            F.col("n_new_shingles").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("new_per_doc"),
     )
 
 
-ORACLE_MARKOV_TRANSITIONS = """
-WITH e AS (
-  -- NULL users/types excluded on both sides (see q_markov_transitions)
-  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
-  FROM events
-  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+ORACLE_VOCAB_GROWTH = r"""
+WITH uniq AS (
+  SELECT doc_id, min(text) AS text
+  FROM documents WHERE length(trim(lower(text))) > 0
+  GROUP BY doc_id
 ),
-hops AS (
-  SELECT event_type AS src,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY t, event_id) AS dst
-  FROM e
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM uniq
 ),
-trans AS (
-  SELECT src, dst, count(*) AS n_trans
-  FROM hops WHERE dst IS NOT NULL GROUP BY 1, 2
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+),
+first AS (SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g),
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM uniq),
+per_docs AS (
+  SELECT CAST((10 * (doc_id - lo)) // (hi - lo + 1) AS INTEGER)
+           AS decile,
+         count(*) AS n_docs
+  FROM uniq, bounds GROUP BY 1
+),
+per_new AS (
+  SELECT CAST((10 * (doc_id - lo)) // (hi - lo + 1) AS INTEGER)
+           AS decile,
+         count(*) AS n_new_shingles
+  FROM first, bounds GROUP BY 1
+),
+joined AS (
+  SELECT d.decile, CAST(d.n_docs AS BIGINT) AS n_docs,
+         CAST(COALESCE(n.n_new_shingles, 0) AS BIGINT) AS n_new_shingles
+  FROM per_docs d LEFT JOIN per_new n ON n.decile = d.decile
 )
-SELECT src, dst, CAST(n_trans AS BIGINT) AS n_trans,
-       CAST(n_trans AS DOUBLE)
-         / CAST(CAST(SUM(n_trans) OVER (PARTITION BY src) AS BIGINT)
-                AS DOUBLE) AS p_trans
-FROM trans
+SELECT decile, n_docs, n_new_shingles,
+       CAST(SUM(n_new_shingles) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_vocab,
+       CAST(n_new_shingles AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS new_per_doc
+FROM joined
 """
 
 
@@ -19634,7 +19678,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reingest_drift_audit": q_reingest_drift_audit,
     "neardup_clusters": q_neardup_clusters,
     # round 9
-    "markov_transitions": q_markov_transitions,
+    "vocab_growth": q_vocab_growth,
     "mixture_weights": q_mixture_weights,
     "eval_contamination": q_eval_contamination,
     "grid_dbscan": q_grid_dbscan,
@@ -19948,7 +19992,7 @@ _ORACLES: dict[str, str] = {
     "reingest_drift_audit": ORACLE_REINGEST_DRIFT_AUDIT,
     "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
     # round 9
-    "markov_transitions": ORACLE_MARKOV_TRANSITIONS,
+    "vocab_growth": ORACLE_VOCAB_GROWTH,
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "eval_contamination": ORACLE_EVAL_CONTAMINATION,
     "grid_dbscan": ORACLE_GRID_DBSCAN,

@@ -55,6 +55,12 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row true-cardinality aggregate broadcast next to the 1-row "
         "estimate for the comparison column",
     ),
+    "vocab_growth": (
+        {"broadcast_nested_loop_join"},
+        "1-row (min, max) doc-id-bounds aggregate broadcast into the "
+        "decile assignment — the value-range bucketing that replaces a "
+        "global ntile sort",
+    ),
     "eval_contamination": (
         {"broadcast_nested_loop_join"},
         "1-row min-source scalar broadcast splits the corpus into the "
