@@ -18569,14 +18569,16 @@ def q_ann_kernel_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_KERNEL_PORTABLE = """
 WITH iv AS (
-  -- IS NOT NULL mirrors the engine's symmetric NULL-embedding drop
-  -- (ADVICE r8: the kernel would crash on NULL while DuckDB would
+  -- IS NOT NULL + no-NULL-element mirror the engine's symmetric
+  -- embedding drop (ADVICE r8 + r9 review: the numpy kernel would
+  -- crash on NULL arrays AND on NULL elements while DuckDB would
   -- propagate NULL d2 — keep the two sides' domains identical)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id,
@@ -18902,6 +18904,10 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"))
     )
+    # three consumers (grams, id bounds, per-decile doc counts) — the
+    # uncheckpointed plan scans documents 4× (r9 code-review finding;
+    # explain-counted); materialize the canonical relation once
+    uniq = uniq.localCheckpoint(eager=True)
     grams = uniq.select(
         "doc_id", tokens_expr("text").alias("toks")
     ).select(
@@ -19093,10 +19099,12 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: tokenize+shingle ONCE over canonical per-doc rows (min(text)
     / min(source) after the empty filter — the dupdrift survivor
     rule), split train/eval by a 1-row broadcast of min(source), then
-    one gram-keyed semi-join of train grams against the DISTINCT eval
-    gram vocabulary (broadcast — eval corpora are small by
-    construction; at 100 TB this is a map-side bloom-style probe, the
-    training side streams).  Docs with fewer than 8 tokens have no
+    one gram-keyed UNHINTED join of train grams against the DISTINCT
+    eval gram vocabulary — AQE broadcasts the vocabulary when its
+    measured size is small (a true benchmark eval set) and
+    shuffle-joins when it is corpus-fraction-sized (this synthetic
+    slice); a forced broadcast would hit the 8 GB ceiling at 100 TB.
+    Docs with fewer than 8 tokens have no
     8-grams and are excluded symmetrically by construction.
     Contamination is an exact-integer division (n_grams ≥ 1); the
     top-k order is (ratio DESC, doc_id) — a strict total order."""
@@ -19138,8 +19146,14 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # UNHINTED gram join: the eval vocabulary is a whole source's
+    # distinct 8-grams — corpus-fraction-sized, NOT a broadcastable
+    # scalar (r9 code-review finding: a broadcast hint here hits
+    # Spark's 8 GB broadcast ceiling at the 100 TB design point).
+    # AQE broadcasts it when it measures small and shuffle-joins
+    # otherwise — the size decision belongs to the runtime.
     hits = (
-        tg.join(F.broadcast(evg), "g")
+        tg.join(evg, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
@@ -19246,6 +19260,10 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("m"))
     )
+    # pts feeds the cell join (twice, via probe/nbr) AND the flags
+    # join in a later job — uncheckpointed, embeddings scans twice
+    # (r9 code-review finding; explain-counted)
+    pts = pts.localCheckpoint(eager=True)
     cells = pts.select(
         "x",
         "y",

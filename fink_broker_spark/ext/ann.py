@@ -601,12 +601,19 @@ def kernel_portable_topk(
     volume is |queries|·k per partition, independent of corpus size —
     the same 100 TB shape as the float kernel.
     """
-    # NULL embeddings are dropped SYMMETRICALLY with the oracle's
-    # `WHERE <vec> IS NOT NULL` (ADVICE r8: np.asarray(None) would
-    # crash here while DuckDB would propagate NULL d2 and still
+    # NULL and NULL-ELEMENT embeddings are dropped SYMMETRICALLY with
+    # the oracle's `IS NOT NULL` + no-NULL-element predicate (ADVICE
+    # r8 + the r9 review: np.asarray(None) and np.asarray([.., None])
+    # both crash here while DuckDB would propagate NULL d2 and still
     # answer — an asymmetric crash-vs-answer split under a future
-    # layout that nulls embeddings)
-    iq = queries.filter(F.col(vec_col).isNotNull()).select(
+    # layout that nulls embeddings or their elements)
+    def _clean(df):
+        return df.filter(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        )
+
+    iq = _clean(queries).select(
         F.col(id_col), _int_vec(vec_col, scale).alias("__e")
     )
     qpdf = iq.toPandas()
@@ -647,7 +654,7 @@ def kernel_portable_topk(
                 rows["d"].extend(dj[order])
             yield pd.DataFrame(rows)
 
-    ic = corpus.filter(F.col(vec_col).isNotNull()).select(
+    ic = _clean(corpus).select(
         F.col(id_col), _int_vec(vec_col, scale).alias("__e")
     )
     partials = ic.mapInPandas(score, schema="q long, c long, d long")

@@ -166,17 +166,21 @@ def _write_embeddings(tmp_path, vecs) -> str:
 
 
 def test_kernel_portable_null_embeddings_symmetric(spark, tmp_path):
-    """A NULL embedding in BOTH the query slice (vec_id < 10) and the
-    corpus: the old code crashed in np.asarray(None) (driver-side for
-    queries, executor-side for corpus) while the oracle answered —
-    now both sides drop NULLs and stay hash-identical."""
+    """NULL embeddings AND embeddings with a NULL element, in BOTH
+    the query slice (vec_id < 10) and the corpus: the old code
+    crashed in np.asarray (driver-side for queries, executor-side for
+    corpus; NULL elements arrive as None inside the list) while the
+    oracle answered — now both sides drop them and stay
+    hash-identical."""
     vecs = [[float(i + j) for j in range(4)] for i in range(12)]
-    vecs[4] = None  # vec_id 5: NULL inside the query slice
-    vecs[10] = None  # vec_id 11: NULL in the corpus
+    vecs[4] = None  # vec_id 5: NULL array inside the query slice
+    vecs[10] = None  # vec_id 11: NULL array in the corpus
+    vecs[6] = [1.0, None, 3.0, 4.0]  # vec_id 7: NULL element, queries
+    vecs[11] = [None, 2.0, 3.0, 4.0]  # vec_id 12: NULL element, corpus
     sf_dir = _write_embeddings(tmp_path, vecs)
     rows = em.queries()["ann_kernel_portable"](spark, sf_dir).collect()
     ids = {r["query_id"] for r in rows} | {r["vec_id"] for r in rows}
-    assert 5 not in ids and 11 not in ids
+    assert not ids & {5, 7, 11, 12}
     run_oracle_compare(spark, "ann_kernel_portable", sf_dir)
 
 
