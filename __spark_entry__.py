@@ -8071,7 +8071,14 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    sym = symmetrize(copurchase_edges(li, min_support=2))
+    # the LP rounds materialize eagerly (per-round checkpoints inside
+    # min_label_propagation), so the edge relation must be
+    # materialized FIRST — otherwise every round-job re-derives the
+    # basket self-join from scratch (measured 4.2→7.0 s regression
+    # before this cut, 4.2→3.3 s after)
+    sym = symmetrize(
+        copurchase_edges(li, min_support=2)
+    ).localCheckpoint(eager=True)
     labels = min_label_propagation(sym, rounds=3)
     return (
         labels.groupBy("lbl")
@@ -12394,7 +12401,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = copurchase_edges(li, min_support=2)
+    # the basket self-join + support aggregate feeds FIVE consumers
+    # (LP rounds via sym, m, intra, deg, dsq) — materialize once (r9
+    # scan census; measured ~6.0→4.2 s at sf0.1)
+    pairs = copurchase_edges(li, min_support=2).localCheckpoint(
+        eager=True
+    )
     sym = symmetrize(pairs)
     labels = min_label_propagation(sym, rounds=3)
     m = pairs.agg(F.count(F.lit(1)).alias("m_edges"))
@@ -13013,7 +13025,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    sym = symmetrize(copurchase_edges(li, min_support=2))
+    # degree aggregate + the two endpoint joins re-derive the edge
+    # relation (12 static lineitem scans, r9 census) — materialize once
+    sym = symmetrize(
+        copurchase_edges(li, min_support=2)
+    ).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
@@ -13178,7 +13194,13 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    sym = symmetrize(copurchase_edges(li, min_support=2))
+    # each peel round references the previous edge set THREE times
+    # (degree aggregate + two semi-joins) — uncut lineage re-derives
+    # round i−1 3^i times (108 static lineitem scans, r9 census);
+    # the per-round materialization is the shrinking induced subgraph
+    sym = symmetrize(
+        copurchase_edges(li, min_support=2)
+    ).localCheckpoint(eager=True)
     edges = sym
     for _ in range(3):
         keep = (
@@ -13189,7 +13211,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         edges = edges.join(keep, "src").join(
             keep.select(F.col("src").alias("dst")), "dst"
-        )
+        ).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return deg.agg(
         F.count(F.lit(1)).alias("core_nodes"),
@@ -15704,7 +15726,13 @@ def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = symmetrize(copurchase_edges(li, min_support=2))
+    # the edge relation feeds every hop plus the seed filter, and each
+    # frontier is referenced twice (next hop + the levels union) — the
+    # uncut plan re-derived the basket self-join 60× (r9 scan census);
+    # frontiers are node-sized, the materialization is bounded
+    edges = symmetrize(
+        copurchase_edges(li, min_support=2)
+    ).localCheckpoint(eager=True)
     seeds = (
         edges.filter(F.col("src") % 50 == 0)
         .select(F.col("src").alias("node"))
@@ -15717,7 +15745,7 @@ def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-        )
+        ).localCheckpoint(eager=True)
         levels.append(frontier.select("node", F.lit(d).alias("depth")))
     walk = levels[0]
     for lv in levels[1:]:
@@ -16712,7 +16740,11 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, link_prediction
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # sym/deg/adj inside link_prediction fan the edge relation out
+    # (18 static lineitem scans, r9 census) — materialize once
+    edges = copurchase_edges(li, min_support=2).localCheckpoint(
+        eager=True
+    )
     return link_prediction(edges, k=25, max_degree=200)
 
 
@@ -16769,7 +16801,11 @@ def q_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # the 1-hop and 2-hop aggregates both walk the edge relation (16
+    # static lineitem scans, r9 census) — materialize once
+    edges = copurchase_edges(li, min_support=2).localCheckpoint(
+        eager=True
+    )
     feats = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
         F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
@@ -18369,6 +18405,10 @@ def q_scatter_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j", "ej"),
     )
+    # the exploded component relation feeds the Gram self-join (both
+    # sides) AND the column-sum vector (30 static embeddings scans
+    # through the iteration chain, r9 census) — materialize once
+    ej = ej.localCheckpoint(eager=True)
     ek = ej.select(
         "vec_id", F.col("j").alias("k"), F.col("ej").alias("ekv")
     )

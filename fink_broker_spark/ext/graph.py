@@ -146,6 +146,13 @@ def min_label_propagation(sym: DataFrame, rounds: int = 3) -> DataFrame:
                 "lbl"
             ),
         )
+        # each round references the previous labels TWICE (join input
+        # + left-join base), so uncut lineage re-derives round i−1
+        # 2^i times — the neardup_clusters CC lesson; labels are
+        # node-sized, so the materialization is bounded (r9 scan
+        # census: graph_modularity's static plan hit 188 lineitem
+        # scans before the cut)
+        labels = labels.localCheckpoint(eager=True)
     return labels
 
 
