@@ -251,6 +251,31 @@ def test_query_plan_is_smell_free(spark, name):
     )
 
 
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_plan_is_smell_free_with_lineage_uncut(
+    spark, monkeypatch, name
+):
+    """Re-lint every query with ``localCheckpoint`` disabled (identity
+    monkeypatch): a checkpoint truncates the plan the gate above sees,
+    so a smell INSIDE a materialized subtree would otherwise escape
+    review forever (the r9 §8 limitation, closed here).  This pass is
+    also cheaper per query than the checkpointed one — eager
+    checkpoints execute real jobs at plan-construction time, the
+    identity stub doesn't."""
+    from pyspark.sql import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    allow, _why = ALLOWED.get(name, (set(), ""))
+    df = entrymod.queries()[name](spark, SF0001)
+    findings = lint_plan(df, allow=frozenset(allow))
+    assert not findings, (
+        f"{name} (lineage uncut): " + "; ".join(map(str, findings))
+        + " — fix the plan or add a justified ALLOWED entry"
+    )
+
+
 def test_linter_catches_each_smell(spark):
     """The linter itself must fire on known-bad plans (otherwise the
     suite above proves nothing)."""
