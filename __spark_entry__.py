@@ -18322,10 +18322,16 @@ def q_ivf_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IVF_ANN_PORTABLE = """
 WITH iv AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
+  -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
+  -- silently flips (nullemb driftlab layout, r9)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 seeds AS (
   SELECT e AS ce,
@@ -18525,10 +18531,16 @@ def q_pq_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PQ_ANN_PORTABLE = """
 WITH iv AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
+  -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
+  -- silently flips (nullemb driftlab layout, r9)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 seeds AS (
   SELECT e AS ce,
@@ -18660,10 +18672,16 @@ def q_semantic_dedup_portable(
 
 ORACLE_SEMANTIC_DEDUP_PORTABLE = """
 WITH iv AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
+  -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
+  -- silently flips (nullemb driftlab layout, r9)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 seeds AS (
   SELECT e AS ce,

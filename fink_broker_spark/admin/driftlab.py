@@ -239,6 +239,19 @@ _NEGVALUE_COLS = {
     ("l_extendedprice", "lineitem"),
 }
 
+#: ``nullemb`` layout (round 9): ~1-in-50 embedding ARRAYS nulled
+#: whole, plus ~1-in-66 of the survivors get ONE NULL ELEMENT at a
+#: seed-derived position — the failed-encoder / partial-write state a
+#: real vector lake ships.  Hunts the crash-vs-answer asymmetry class
+#: ADVICE r8 found latent in the ANN kernel (np.asarray(None) raises
+#: where DuckDB propagates NULL): NO prior layout nulled embeddings,
+#: which is exactly why that bug survived eight rounds of sweeps.
+#: Numpy kernels, HOF dot products, fixed-point integerizers, and
+#: grouped-map pandas paths must all drop-or-propagate IDENTICALLY to
+#: their oracles under both null shapes.
+_NULLEMB_ARR_1_IN = 50
+_NULLEMB_ELEM_1_IN = 66
+
 
 def _rng_ints(seed: int, tag: str, n: int, mod: int):
     """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
@@ -450,6 +463,30 @@ def generate_variant(
                 cols[field.name] = pa.array(
                     v, type=field.type, mask=null_mask
                 )
+            elif (
+                layout == "nullemb"
+                and name == "embeddings"
+                and field.name == "embedding"
+            ):
+                arr_pick = _rng_ints(
+                    seed, "nullemb.arr", len(t), _NULLEMB_ARR_1_IN
+                )
+                elem_pick = _rng_ints(
+                    seed, "nullemb.elem", len(t), _NULLEMB_ELEM_1_IN
+                )
+                elem_pos = _rng_ints(seed, "nullemb.pos", len(t), 10**6)
+                vals = col.to_pylist()
+                out = []
+                for i, v in enumerate(vals):
+                    if arr_pick[i] == 0:
+                        out.append(None)
+                    elif elem_pick[i] == 0 and v:
+                        w = list(v)
+                        w[int(elem_pos[i]) % len(w)] = None
+                        out.append(w)
+                    else:
+                        out.append(v)
+                cols[field.name] = pa.array(out, type=field.type)
             elif layout == "tzutc" and pa.types.is_timestamp(field.type):
                 cols[field.name] = col.cast(pa.timestamp("us")).cast(
                     pa.timestamp("us", tz="UTC")
@@ -671,7 +708,7 @@ ALL_LAYOUTS = [
     "micros", "nanos", "boundary", "int32keys", "nullfk",
     "decimalprice", "sparse", "nullmeasure", "emptystream",
     "constant", "onerow", "negvalue", "epoch68", "tzutc",
-    "bigmoney", "duprows", "dupdrift",
+    "bigmoney", "duprows", "dupdrift", "nullemb",
 ]
 
 

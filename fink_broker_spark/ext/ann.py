@@ -106,6 +106,8 @@ def brute_force_topk_kernel(
     expression form in the last ulp — use the expression form when
     bit-exact oracle parity matters.
     """
+    queries = well_formed_vectors(queries, vec_col)
+    corpus = well_formed_vectors(corpus, vec_col)
     qpdf = queries.select(id_col, vec_col).toPandas()
     if qpdf.empty:
         # empty query set (driftlab sparse layout): np.array over zero
@@ -214,7 +216,7 @@ def kmeans_centroids(
     # xxhash64-based bucketing of the ids themselves (ids assigned by
     # hash partitioning would otherwise bias an unsalted ranking)
     sample = (
-        corpus.select(vec_col)
+        well_formed_vectors(corpus, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
                                      F.lit("#ivf-sample"))))
         .limit(sample_size)
@@ -280,6 +282,8 @@ def ivf_topk(
     """
     from fink_broker_spark.functions.vector import dot_expr, norm2_expr
 
+    corpus = well_formed_vectors(corpus, vec_col)
+    queries = well_formed_vectors(queries, vec_col)
     if centroids is None:
         centroids = kmeans_centroids(
             corpus, nlist, id_col, vec_col, sample_size=sample_size, seed=seed
@@ -342,7 +346,10 @@ def ivf_portable_topk(
     (via an ``n_cells``-row broadcast argmin), candidates come from an
     equi-join on the cell key — scored pairs shrink by ~nprobe/n_cells.
     """
-    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    # well-formed domain, mirrored by the oracle's iv CTE predicate
+    iv = well_formed_vectors(corpus, vec_col).select(
+        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    )
     seeds = _md5_seeds(iv, n_cells, id_col, "cid")
     assigned = _assign_cells(iv, seeds, id_col)
     probes = (
@@ -386,6 +393,29 @@ def ivf_portable_topk(
             "d2",
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+def well_formed_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Restrict to WELL-FORMED embeddings: non-NULL arrays with no
+    NULL element — the domain every embedding operator in this package
+    computes over, enforced at each operator entry (and mirrored in
+    the portable twins' oracles as ``embedding IS NOT NULL AND
+    len(list_filter(embedding, x -> x IS NULL)) = 0``).
+
+    Why a hard precondition instead of propagation: the numpy kernels
+    crash on None (np.asarray / ragged np.array) while DuckDB
+    propagates NULL and still answers — an asymmetric crash-vs-answer
+    split (ADVICE r8); and a NULL element turns every exact-integer
+    distance involving that vector NULL, where Spark's ASC window
+    ranks NULLS FIRST and DuckDB's NULLS LAST, silently flipping
+    argmin cell/code assignments (the r9 ``nullemb`` driftlab layout
+    caught 8 such splits on its first sweep).  Dropping malformed
+    vectors identically on both engines is the only portable rule —
+    and a no-op on any lake whose encoder never fails."""
+    c = F.col(vec_col)
+    return df.filter(
+        c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
     )
 
 
@@ -484,7 +514,10 @@ def pq_portable_topk(
     via an equi-join on (sub, code), and only |queries|·refine full
     vectors are ever read exactly.
     """
-    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    # well-formed domain, mirrored by the oracle's iv CTE predicate
+    iv = well_formed_vectors(corpus, vec_col).select(
+        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    )
     seeds = _md5_seeds(iv, ncodes, id_col, "code")
 
     subs = F.explode(
@@ -601,19 +634,7 @@ def kernel_portable_topk(
     volume is |queries|·k per partition, independent of corpus size —
     the same 100 TB shape as the float kernel.
     """
-    # NULL and NULL-ELEMENT embeddings are dropped SYMMETRICALLY with
-    # the oracle's `IS NOT NULL` + no-NULL-element predicate (ADVICE
-    # r8 + the r9 review: np.asarray(None) and np.asarray([.., None])
-    # both crash here while DuckDB would propagate NULL d2 and still
-    # answer — an asymmetric crash-vs-answer split under a future
-    # layout that nulls embeddings or their elements)
-    def _clean(df):
-        return df.filter(
-            F.col(vec_col).isNotNull()
-            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-        )
-
-    iq = _clean(queries).select(
+    iq = well_formed_vectors(queries, vec_col).select(
         F.col(id_col), _int_vec(vec_col, scale).alias("__e")
     )
     qpdf = iq.toPandas()
@@ -654,7 +675,7 @@ def kernel_portable_topk(
                 rows["d"].extend(dj[order])
             yield pd.DataFrame(rows)
 
-    ic = _clean(corpus).select(
+    ic = well_formed_vectors(corpus, vec_col).select(
         F.col(id_col), _int_vec(vec_col, scale).alias("__e")
     )
     partials = ic.mapInPandas(score, schema="q long, c long, d long")
@@ -794,7 +815,7 @@ def pq_codebooks(
     moves.
     """
     sample = (
-        corpus.select(vec_col)
+        well_formed_vectors(corpus, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
                                      F.lit("#pq-sample"))))
         .limit(sample_size)
@@ -898,6 +919,8 @@ def pq_topk(
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    corpus = well_formed_vectors(corpus, vec_col)
+    queries = well_formed_vectors(queries, vec_col)
     qpd = queries.select(id_col, vec_col).toPandas()
     if qpd.empty:
         # empty query set (driftlab sparse layout): the LUT stack would

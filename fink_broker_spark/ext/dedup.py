@@ -744,6 +744,13 @@ def embedding_neardup_pairs(
     ``embedding_neardup`` query runs; both modes select the same pair
     set whenever no pair's cosine sits within an ulp of the threshold.
     """
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    # well-formed domain (nullemb layout): the numpy kernel crashes on
+    # NULL arrays / NULL elements; the oracle EXCLUDES the same pairs
+    # without any predicate because a malformed member's cosine is
+    # NULL and NULL ≥ threshold is false — dropping here is symmetric
+    emb = well_formed_vectors(emb, vec_col)
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nblocks))
     # every unordered pair {blk, j}: j scans all blocks, least/greatest
     # canonicalizes — (i, i) appears exactly once (j == i), and a cross

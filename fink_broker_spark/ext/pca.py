@@ -62,9 +62,19 @@ def fit_pca_model(
                 }
             )
 
-    partials = corpus.select(vec_col).mapInPandas(
-        moments, "n bigint, s array<double>, g array<double>"
-    ).collect()
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    # the moment kernel's np.array crashes on NULL arrays / NULL
+    # elements (nullemb driftlab layout) — fit over the well-formed
+    # domain, like every other embedding model fit
+    partials = (
+        well_formed_vectors(corpus, vec_col)
+        .select(vec_col)
+        .mapInPandas(
+            moments, "n bigint, s array<double>, g array<double>"
+        )
+        .collect()
+    )
     if not partials:
         raise EmptyCorpusError("fit_pca_model: empty corpus")
     n = sum(p["n"] for p in partials)
@@ -122,6 +132,12 @@ def pca_project(
     """Corpus + a ``out_col`` array column of top-``k`` PCA coordinates.
     Pass a prefit ``model`` to reuse across batches (fit once, project
     many — the same pattern as the IVF centroids)."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
     if model is None:
         model = fit_pca_model(corpus, k, vec_col)
-    return corpus.withColumn(out_col, project_expr(model, vec_col))
+    # projection shares the fit's well-formed domain: the pandas-UDF
+    # np.array would crash on a NULL array / NULL element row
+    return well_formed_vectors(corpus, vec_col).withColumn(
+        out_col, project_expr(model, vec_col)
+    )

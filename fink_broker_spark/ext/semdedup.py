@@ -113,6 +113,11 @@ def semantic_dedup(
     (fit once, dedup many — the production pattern shared with
     :func:`~fink_broker_spark.ext.ann.ivf_topk`).
     """
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    # well-formed domain (nullemb layout): the greedy leader kernel's
+    # np.array crashes on NULL arrays / NULL elements
+    corpus = well_formed_vectors(corpus, vec_col)
     if centroids is None:
         centroids = kmeans_centroids(
             corpus,
@@ -194,7 +199,12 @@ def semantic_dedup_portable(
     )
     from pyspark.sql import Window
 
-    iv = corpus.select(F.col(id_col), _int_vec(vec_col, scale).alias("__e"))
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    # well-formed domain, mirrored by the oracle's iv CTE predicate
+    iv = well_formed_vectors(corpus, vec_col).select(
+        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    )
     seeds = _md5_seeds(iv, n_cells, id_col, "cid")
     assigned = _assign_cells(iv, seeds, id_col)
     dot_self = F.aggregate(

@@ -161,6 +161,28 @@ DUPDRIFT_REGRESSIONS = [
     "reingest_drift_audit",
 ]
 
+#: round-9 ``nullemb`` layout (NULL embedding arrays + NULL elements —
+#: the failed-encoder state ADVICE r8 predicted): the first sweep
+#: split 8 queries — numpy kernels crashing on None/ragged input
+#: where DuckDB answers (crash-vs-answer asymmetry), and the subtler
+#: argmin flip: a NULL-element SEED vector turns every d2 NULL, where
+#: Spark ASC ranks NULLS FIRST and DuckDB NULLS LAST, silently
+#: reassigning cells/codes (the two portable-twin hash mismatches).
+#: Fixed by the shared well_formed_vectors domain at every embedding
+#: operator entry, mirrored in the portable oracles' iv CTEs.
+NULLEMB_REGRESSIONS = [
+    "ivf_ann_portable",
+    "pq_ann_portable",
+    "semantic_dedup_portable",
+    "ann_kernel_portable",
+    "embedding_neardup",
+    "ann_kernel_topk",
+    "pq_ann_topk",
+    "ivf_ann_topk",
+    "semantic_dedup",
+    "embedding_pca",
+]
+
 
 @pytest.mark.parametrize(
     ("layout", "subset"),
@@ -174,6 +196,7 @@ DUPDRIFT_REGRESSIONS = [
         ("nullmeasure", NULLMEASURE_REGRESSIONS),
         ("emptystream", EMPTYSTREAM_REGRESSIONS),
         ("dupdrift", DUPDRIFT_REGRESSIONS),
+        ("nullemb", NULLEMB_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(
