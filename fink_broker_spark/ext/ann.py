@@ -214,7 +214,13 @@ def kmeans_centroids(
     """
     # salt the ranking hash so the draw decorrelates from any upstream
     # xxhash64-based bucketing of the ids themselves (ids assigned by
-    # hash partitioning would otherwise bias an unsalted ranking)
+    # hash partitioning would otherwise bias an unsalted ranking).
+    # The well-formed filter here is deliberately REDUNDANT with the
+    # callers' own (ivf_topk/semantic_dedup pre-filter): this is a
+    # public fit entry a user can hit directly, and the doubled
+    # F.exists predicate runs on a sample bounded at sample_size rows
+    # — defense at the model boundary costs microseconds (r9 review
+    # finding, accepted as intentional layering)
     sample = (
         well_formed_vectors(corpus, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
@@ -873,6 +879,10 @@ def pq_encode(
 
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    # well-formed domain like every other embedding-operator entry
+    # (r9 review: this was the one unguarded public entry — a direct
+    # caller on a nullemb-shaped corpus would crash in np.asarray)
+    df = well_formed_vectors(df, vec_col)
 
     @pandas_udf("array<int>")
     def _encode(vecs: pd.Series) -> pd.Series:

@@ -262,13 +262,24 @@ def test_query_plan_is_smell_free_with_lineage_uncut(
     also cheaper per query than the checkpointed one — eager
     checkpoints execute real jobs at plan-construction time, the
     identity stub doesn't."""
-    from pyspark.sql import DataFrame
+    fired = []
 
+    def _identity(self, eager=True):
+        fired.append(True)
+        return self
+
+    # patch the CONCRETE class: in Spark 4 `pyspark.sql.DataFrame` is
+    # the abstract parent and `classic.dataframe.DataFrame` overrides
+    # localCheckpoint — patching the parent silently misses every call
     monkeypatch.setattr(
-        DataFrame, "localCheckpoint", lambda self, eager=True: self
+        type(spark.range(1)), "localCheckpoint", _identity
     )
     allow, _why = ALLOWED.get(name, (set(), ""))
     df = entrymod.queries()[name](spark, SF0001)
+    if not fired:
+        # plan identical to the one the base test already linted —
+        # re-linting ~290 uncheckpointed queries is pure duplicate work
+        pytest.skip("query never checkpoints; base lint covers it")
     findings = lint_plan(df, allow=frozenset(allow))
     assert not findings, (
         f"{name} (lineage uncut): " + "; ".join(map(str, findings))
