@@ -33,6 +33,15 @@ probes add the adversarial ``v``.
 
 Driver-side cost: each probe is a ``spark.range`` or a single tiny
 aggregate — microseconds of plan time, no shuffles.
+
+PROBE DESIGN RULE (r9 verdict #7, permanent): ONE hypothesis per
+registered probe.  A CORRECTNESS row carries exactly one
+(rows, schema, hash) triple, so a probe that packs two diagnostic
+columns into one query (as ``probe_type_decimal38`` did with
+v_small/v_big) cannot attribute a red to either column after the
+fact.  If a question has two branches, register two probes — sample
+slots are cheap for spark.range probes; unrecoverable diagnoses are
+not.
 """
 
 from __future__ import annotations
@@ -121,14 +130,19 @@ def q_probe_type_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``table_checksum``) despite value-identical results, implicating
     the driver's fetch typing for DuckDB's HUGEINT-backed wide
     decimals (p>18) — one level above what ``probe_type_hugeint``
-    pinned for raw HUGEINT in r6.  EXPECTED RED in the driver; the two
-    columns split the diagnosis further: ``v_small`` fits int64 (a red
-    with v_big-only divergence would mean magnitude-dependent fetch),
-    ``v_big`` exceeds it (int128-only materialization).  A GREEN row
-    would overturn the r8 diagnosis entirely and reopen the
-    rolling_volatility/table_checksum forensics.  Retire to
-    RETIRED_PROBE_QUERIES once the r9 artifact records the answer,
-    exactly as probe_type_hugeint was retired after r6."""
+    pinned for raw HUGEINT in r6.  ANSWERED in CORRECTNESS_r09:
+    rows/schema green, hash RED — exactly the predicted split, so the
+    r8 diagnosis is now a MEASURED FACT: the driver canonicalizer
+    hash-splits any output DECIMAL(p>18) even when the digit strings
+    are value-identical, and the ``admin/typeaudit.py`` emission gate
+    (no output decimal wider than 18 digits on either engine) is the
+    permanent rule.  Retired in r10 per this probe's own contract.
+    DESIGN LESSON (r9 verdict #7): this probe packed TWO hypotheses
+    (v_small int64-range vs v_big int128-only) into one query, but a
+    CORRECTNESS row carries ONE hash — the magnitude-dependence
+    question is unrecoverable from the artifact.  Moot here because
+    the emission gate forbids the whole class; future probes must put
+    one hypothesis per query (see module docstring)."""
     return _rows(spark, 5).select(
         "i",
         F.lit("3").cast("decimal(38,0)").alias("v_small"),
@@ -360,25 +374,29 @@ ORACLE_PROBE_ENV_SUBUS_TS = _oracle_rows(
 #: Re-arm by moving a row back into PROBE_QUERIES/PROBE_ORACLES if the
 #: driver environment ever shifts (e.g. a DuckDB version bump in a
 #: future round's conf-policy echo).
-#: ROUND-9 ADDITION: ``probe_type_decimal38`` converts the r8
-#: wide-decimal diagnosis (inference from 2 red rows) into a measured
-#: fact — its CORRECTNESS_r9 row IS the answer.  One-round canary:
-#: retire after the artifact lands, like probe_type_hugeint after r6.
+#: ``probe_type_decimal38`` ran as a one-round canary in r9 and
+#: answered (hash RED on value-identical Decimal digit strings —
+#: rows/schema green); retired in r10 per its contract, answer
+#: codified in ``admin/typeaudit.py`` and the wide-decimal emission
+#: gate.  PROBE DISCIPLINE (r9 verdict #7): a CORRECTNESS row carries
+#: exactly ONE hash/rows/schema triple, so every future probe must
+#: encode exactly ONE hypothesis per registered query — the decimal38
+#: canary's two-column design (v_small vs v_big) left its secondary
+#: magnitude-dependence question unrecoverable from the artifact.
 PROBE_QUERIES = {
     "probe_env_conf_policy": q_probe_env_conf_policy,
     "probe_type_int32": q_probe_type_int32,
-    "probe_type_decimal38": q_probe_type_decimal38,
 }
 
 PROBE_ORACLES = {
     "probe_env_conf_policy": ORACLE_PROBE_ENV_CONF_POLICY,
     "probe_type_int32": ORACLE_PROBE_TYPE_INT32,
-    "probe_type_decimal38": ORACLE_PROBE_TYPE_DECIMAL38,
 }
 
 #: answered-and-settled probes (r6 telemetry recorded); kept importable
 #: for tests and potential re-arming, never registered
 RETIRED_PROBE_QUERIES = {
+    "probe_type_decimal38": q_probe_type_decimal38,
     "probe_type_hugeint": q_probe_type_hugeint,
     "probe_env_duckdb_version": q_probe_env_duckdb_version,
     "probe_env_spark_version": q_probe_env_spark_version,
@@ -390,6 +408,7 @@ RETIRED_PROBE_QUERIES = {
 }
 
 RETIRED_PROBE_ORACLES = {
+    "probe_type_decimal38": ORACLE_PROBE_TYPE_DECIMAL38,
     "probe_type_hugeint": ORACLE_PROBE_TYPE_HUGEINT,
     "probe_env_duckdb_version": ORACLE_PROBE_ENV_DUCKDB_VERSION,
     "probe_env_spark_version": ORACLE_PROBE_ENV_SPARK_VERSION,

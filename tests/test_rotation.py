@@ -183,8 +183,7 @@ def test_live_wiring():
     # the pinned tier must stay small — sample slots are the scarcest
     # resource in the whole verification loop (VERDICT r6 #1: the
     # 10-probe tier taxed the drain 20% per round).  Budget: the two
-    # standing sentinels + at most ONE active canary (r9:
-    # probe_type_decimal38, to be retired once its CORRECTNESS row
-    # records the driver's wide-decimal fetch behavior, exactly as
-    # probe_type_hugeint retired after r6)
+    # standing sentinels + at most ONE active canary (the r9
+    # probe_type_decimal38 canary answered in CORRECTNESS_r9 and
+    # retired in r10, exactly as probe_type_hugeint retired after r6)
     assert len(PROBE_QUERIES) <= 3
