@@ -67,9 +67,53 @@ from fink_broker_spark.streaming.replay import replay_to_table
 SF001 = "/root/testdata/sf0.001"
 
 
+def _finite(col):
+    """TRUE iff ``col`` is a finite double (not NaN, not ±Inf); NULL
+    for NULL.  The engine/oracle divergence this guards (measured,
+    nanemb driftlab layout r10): Spark's double→DECIMAL cast maps
+    NaN/Inf to NULL even under ANSI while DuckDB hard-errors, and
+    Spark's ``floor(double)`` returns a LONG with floor(NaN) = 0 /
+    floor(±Inf) = ±Long.MAX (silent corruption) while DuckDB's FLOOR
+    stays double and the BIGINT cast hard-errors.  Oracle mirror:
+    ``isfinite(x)``.  NaN is excluded explicitly first — Spark treats
+    NaN as an orderable greatest value, so ``abs(NaN) != Inf`` alone
+    would be TRUE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed derived relation exactly once
+    (``localCheckpoint(eager=True)``) — the r9 scan-census pattern that
+    collapsed 4×/30×/108× redundant corpus scans.
+
+    FAULT-TOLERANCE TRADEOFF (ADVICE r9 #1, explicit by design):
+    ``localCheckpoint`` stores the blocks in executor block-manager
+    storage AND TRUNCATES LINEAGE — a lost executor makes the blocks
+    unrecomputable and aborts the job.  That is the right trade on
+    this single-JVM local[32] bench (no executor can be "lost"
+    independently, and the driver re-runs a failed query anyway).  A
+    real 1000-executor / 100 TB deployment of these plans should swap
+    this call for ``spark.sparkContext.setCheckpointDir(<hdfs>)`` +
+    ``df.checkpoint(eager=True)`` (reliable storage, lineage intact on
+    loss) or ``df.persist(StorageLevel.DISK_ONLY)`` (lineage kept,
+    recompute on loss) — same plan shape, one line, and the
+    tokenize-once / explode-once savings these sites exist for are
+    preserved.  The swap point is THIS function."""
+    return df.localCheckpoint(eager=True)
+
+
 def _dec(col, scale: int = 9):
-    """Exact decimal view of a float column for deterministic aggregation."""
-    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
+    """Exact decimal view of a float column for deterministic aggregation.
+
+    NaN/±Inf fold to NULL: that is what Spark's double→decimal cast
+    already does (even ANSI-on, measured r10), so the ``F.when`` guard
+    is engine-semantics-preserving — it exists so the ORACLE mirror
+    ``CAST(CASE WHEN isfinite(x) THEN x END AS DECIMAL(18,s))`` is the
+    literal same tree (DuckDB's cast hard-errors on non-finite instead
+    of NULLing; nanemb driftlab layout, r10)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(_finite(c), c).cast(f"decimal(18,{scale})")
 
 
 def _day(col):
@@ -406,7 +450,7 @@ def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENT_TYPE_STATS = """
 SELECT event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value,
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value,
        min(epoch_us(ts)) AS min_ts_us,
        max(epoch_us(ts)) AS max_ts_us
 FROM events
@@ -793,10 +837,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_TOPK = """
 WITH n AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors
+  -- (brute_force_topk filters both sides): NULL elements propagated
+  -- symmetrically through the threshold, but a NaN cosine ranks FIRST
+  -- in both engines' DESC windows while the engine now drops the
+  -- vector (nanemb driftlab layout, r10)
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e,
          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding],
                           (a, b) -> a + b)) AS nrm
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ), p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
          list_reduce([c.e[i] * q.e[i] FOR i IN range(1, len(c.e) + 1)],
@@ -825,10 +877,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_NEARDUP = """
 WITH n AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors
+  -- (embedding_neardup_pairs filters): NULL cosines fell out of the
+  -- >= threshold symmetrically, but NaN >= 0.45 is TRUE on both
+  -- engines (NaN compares greatest) while the engine now drops the
+  -- vector (nanemb driftlab layout, r10)
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e,
          sqrt(list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding],
                           (a, b) -> a + b)) AS nrm
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_reduce([a.e[i] * b.e[i] FOR i IN range(1, len(a.e) + 1)],
@@ -1817,7 +1877,7 @@ SELECT count(*) AS n_total,
        count(*) FILTER (value >= 500.0) AS n_high_value,
        count(DISTINCT user_id) AS n_distinct_user_id,
        count(DISTINCT event_type) AS n_distinct_event_type,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
 FROM events
 """
 
@@ -1826,11 +1886,18 @@ def q_enrich_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The science-module pipeline shape (``ztf/science.py:201-436``) on
     the events stream: ordered processors, temp-column lifecycle,
     missing-input skip — all pure Column exprs here (zero Arrow
-    boundaries)."""
+    boundaries).
+
+    Domain: finite values only (NULL rows kept — their bucket stays a
+    NULL group, as before): Spark's floor(double) silently corrupts
+    NaN/Inf where DuckDB's BIGINT cast hard-errors (nanemb driftlab
+    layout, r10)."""
     from fink_broker_spark.enrich.pipeline import EnrichmentPipeline, Processor
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_us", nanos_to_micros("ts_ns")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNull() | _finite("value"))
+        .withColumn("ts_us", nanos_to_micros("ts_ns"))
     )
     pipe = EnrichmentPipeline(
         processors=[
@@ -1872,6 +1939,8 @@ SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INTEGER) AS night,
        count(*) AS n,
        min(epoch_us(ts) / 86400000000.0 + 2440587.5) AS min_jd
 FROM events
+-- finite-value domain, mirroring the engine (nanemb layout, r10)
+WHERE value IS NULL OR isfinite(value)
 GROUP BY 1, 2
 """
 
@@ -1914,10 +1983,17 @@ FROM lineitem GROUP BY 1
 def q_grid_pixelization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sky-bucketing operator (``ang2pix`` family,
     ``common/spark_utils.py:529-564``) on synthetic coordinates derived
-    from the events table; grid variant is pure-Column + SQL-mirrorable."""
+    from the events table; grid variant is pure-Column + SQL-mirrorable.
+
+    Domain: finite values only (NULL rows kept — their pix stays a
+    NULL group, as before): Spark's floor(double) silently corrupts
+    NaN/Inf coordinates where DuckDB's BIGINT cast hard-errors
+    (nanemb driftlab layout, r10)."""
     from fink_broker_spark.functions.spatial import grid_pixel_expr
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
     dec = (F.col("user_id") % 181 - 90).cast("double")
     return (
@@ -1931,7 +2007,10 @@ ORACLE_GRID_PIX = """
 SELECT CAST(floor(((CAST(user_id % 181 AS DOUBLE) - 90) + 90.0) / 10.0) * 36
             + floor((value - floor(value / 360.0) * 360.0) / 10.0) AS BIGINT) AS pix,
        count(*) AS n
-FROM events GROUP BY 1
+FROM events
+-- finite-value domain, mirroring the engine (nanemb layout, r10)
+WHERE value IS NULL OR isfinite(value)
+GROUP BY 1
 """
 
 
@@ -1944,10 +2023,17 @@ def q_healpix_pixelization(spark: SparkSession, sf_dir: str) -> DataFrame:
     nside=16 plus the lexicographic-min multi-resolution key
     (``pix@16_pix@64`` — the reference's ``ang2pix_array`` string,
     ``common/spark_utils.py:567-609``). The numpy-UDF twin is pinned
-    equal in ``tests/test_spatial.py``."""
+    equal in ``tests/test_spatial.py``.
+
+    Domain: finite values only (NULL rows kept — their pix stays a
+    NULL group, as before): a NaN/Inf coordinate silently corrupts
+    Spark's floor(double) where DuckDB's BIGINT cast hard-errors
+    (nanemb driftlab layout, r10)."""
     from fink_broker_spark.functions.spatial import healpix_ring_expr
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
     dec = (F.col("user_id") % 181 - 90).cast("double")
     pix16 = healpix_ring_expr(ra, dec, 16)
@@ -1975,6 +2061,8 @@ WITH px AS (
   SELECT {p16} AS pix,
          concat_ws('_', CAST({p16} AS VARCHAR), CAST({p64} AS VARCHAR)) AS mr
   FROM events
+  -- finite-value domain, mirroring the engine (nanemb layout, r10)
+  WHERE value IS NULL OR isfinite(value)
 )
 SELECT pix, count(*) AS n, min(mr) AS first_mr FROM px GROUP BY pix
 """
@@ -2698,9 +2786,9 @@ SELECT user_id, CAST(net_dec AS DOUBLE) AS net_value, n_add, n_sub
 FROM (
   SELECT user_id,
          ROUND(SUM(CASE WHEN event_type = 'purchase'
-                        THEN CAST(value AS DECIMAL(18,9))
+                        THEN CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))
                         WHEN event_type = 'error'
-                        THEN -CAST(value AS DECIMAL(18,9))
+                        THEN -CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))
                         ELSE CAST(0 AS DECIMAL(18,9)) END), 2) AS net_dec,
          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_add,
          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_sub
@@ -2798,7 +2886,7 @@ def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_INCREMENTAL_STATS = """
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE)
          AS sum_value
 FROM events GROUP BY event_type
 """
@@ -3998,7 +4086,7 @@ ORACLE_RANGE_FRAME = """
 WITH staged AS (
   SELECT event_id, user_id,
          CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
-         CAST(value AS DECIMAL(18,9)) AS val
+         CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9)) AS val
   FROM events
 )
 SELECT event_id, user_id,
@@ -4152,15 +4240,15 @@ def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FILTER_FANOUT = """
 SELECT 'errors_low' AS topic, count(*) AS n,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE) AS sum_value
 FROM events WHERE event_type = 'error' AND value < 10.0
 UNION ALL
 SELECT 'high_value', count(*),
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE)
 FROM events WHERE value > 75.0
 UNION ALL
 SELECT 'purchases', count(*),
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2) AS DOUBLE)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2) AS DOUBLE)
 FROM events WHERE event_type = 'purchase'
 """
 
@@ -4405,8 +4493,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns in separate projections: a Column captured inside a HOF
     lambda is re-evaluated per element (and projection collapse does not
     re-inline materialized columns), so inlining the absmax into the
-    transform would make quantization O(d^2) per row."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    transform would make quantization O(d^2) per row.
+
+    Domain: well-formed (finite) vectors only, mirrored in the oracle
+    — a NaN/Inf element hard-errors the ANSI ``floor(x/scale + 0.5)``
+    int cast on both engines (nanemb driftlab layout, r10)."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    emb = well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     v = F.col("embedding").cast("array<double>")
     staged = (
         emb.select("vec_id", v.alias("v"))
@@ -4440,7 +4536,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBEDDING_QUANTIZE = """
 WITH v AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- NaN/Inf elements hard-error the int8 quantization cast on both
+  -- engines (nanemb driftlab layout, r10)
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ), s AS (
   SELECT vec_id, e,
          list_max([abs(x) FOR x IN e]) / 127.0 AS scale
@@ -6059,8 +6162,13 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregating shuffle on the group key; the
     moment sums are 5 numbers per group — the same mergeable-partials
     shape as ``incremental_stats``.
-    """
-    ev = load_table(spark, sf_dir, "events")
+
+    Domain: finite values only (NULL rows kept, as before): Spark's
+    floor(double) silently maps NaN→0 / ±Inf→±Long.MAX where DuckDB's
+    BIGINT cast hard-errors (nanemb driftlab layout, r10)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     x = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
         "long"
     )
@@ -6113,10 +6221,12 @@ def q_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REGRESSION_TREND = """
 WITH t AS (
+  -- finite-value domain, mirroring the engine (nanemb layout, r10)
   SELECT event_type,
          CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS x,
          CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS ym
   FROM events
+  WHERE value IS NULL OR isfinite(value)
 ),
 g AS (
   SELECT event_type, count(*) AS n, SUM(x) AS sx, SUM(ym) AS sym,
@@ -6226,7 +6336,8 @@ WITH f AS (
   FROM events
 )
 SELECT event_type, phase_bin, count(*) AS n,
-       CAST(ROUND(CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+       CAST(ROUND(CAST(SUM(CAST(CASE WHEN isfinite(value)
+          THEN round(value, 9) END AS DECIMAL(18,9)))
                  AS DECIMAL(28,9)), 2) AS DOUBLE) / count(*)
            AS mean_value
 FROM f
@@ -6427,8 +6538,14 @@ WITH expanded AS (
 ),
 terms AS (
   SELECT event_type, pf.period_s AS period_s,
-         CAST(round(value * cos(pf.angle), 7) AS DECIMAL(18,7)) AS c,
-         CAST(round(value * sin(pf.angle), 7) AS DECIMAL(18,7)) AS s
+         -- isfinite guard mirrors Spark's double→decimal cast, which
+         -- NULLs NaN/Inf where this cast hard-errors (nanemb, r10)
+         CAST(CASE WHEN isfinite(value)
+              THEN round(value * cos(pf.angle), 7) END
+              AS DECIMAL(18,7)) AS c,
+         CAST(CASE WHEN isfinite(value)
+              THEN round(value * sin(pf.angle), 7) END
+              AS DECIMAL(18,7)) AS s
   FROM expanded
 ),
 sums AS (
@@ -6686,7 +6803,8 @@ WITH agg AS (
          count(DISTINCT event_type) AS d_event_type,
          min(value) AS min_value,
          max(value) AS max_value,
-         CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+         CAST(SUM(CAST(CASE WHEN isfinite(value)
+          THEN round(value, 9) END AS DECIMAL(18,9)))
               AS DECIMAL(28,9)) AS sum_value
   FROM events
 ),
@@ -7068,7 +7186,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUSUM_CHANGEPOINT = """
 WITH staged AS (
   SELECT event_type, epoch_us(ts) AS t, event_id,
-         CAST(round(value, 9) AS DECIMAL(18,9)) AS x
+         CAST(CASE WHEN isfinite(value)
+          THEN round(value, 9) END AS DECIMAL(18,9)) AS x
   FROM events
 ),
 means AS (
@@ -7162,8 +7281,15 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-unit integerization makes every sum exact, and the final
     Pearson formula is a fixed IEEE tree over exact-valued doubles
     (same discipline as ``regression_trend``). One shuffle on the type
-    partition; the lag arms ride the same window ordering."""
-    ev = load_table(spark, sf_dir, "events")
+    partition; the lag arms ride the same window ordering.
+
+    Domain: finite values only (NULL rows kept — they lag through as
+    NULL pairs exactly as before): Spark's floor(double) silently maps
+    NaN→0 / ±Inf→±Long.MAX where DuckDB's BIGINT cast hard-errors
+    (nanemb driftlab layout, r10); a no-op on clean lakes."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     # symmetric µs ordering key (see q_event_transitions note)
     w = Window.partitionBy("event_type").orderBy(
         F.unix_micros("ts"), "event_id"
@@ -7224,9 +7350,13 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AUTOCORRELATION = """
 WITH staged AS (
+  -- finite-value domain, mirroring the engine (nanemb layout, r10):
+  -- Spark floor(double) silently corrupts NaN/Inf where this BIGINT
+  -- cast hard-errors; NULL rows keep their original lag semantics
   SELECT event_type, ts, event_id,
          CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS y
   FROM events
+  WHERE value IS NULL OR isfinite(value)
 ),
 pairs AS (
   SELECT event_type, 1 AS lag, y,
@@ -8076,9 +8206,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized FIRST — otherwise every round-job re-derives the
     # basket self-join from scratch (measured 4.2→7.0 s regression
     # before this cut, 4.2→3.3 s after)
-    sym = symmetrize(
-        copurchase_edges(li, min_support=2)
-    ).localCheckpoint(eager=True)
+    sym = _materialize(
+        symmetrize(copurchase_edges(li, min_support=2))
+    )
     labels = min_label_propagation(sym, rounds=3)
     return (
         labels.groupBy("lbl")
@@ -9691,7 +9821,7 @@ WITH tagged AS (
   FROM events
 )
 SELECT first_touch, count(*) AS n_purchases,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,9))), 2)
+       CAST(ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,9))), 2)
             AS DOUBLE) AS attributed_value
 FROM tagged WHERE event_type = 'purchase'
 GROUP BY first_touch
@@ -10082,8 +10212,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1), sum exact longs, and emit one fixed double tree per
     component. The SemDeDup/k-means support operator in
     oracle-checkable form. One shuffle keyed (label, pos); output
-    |labels|×dim rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    |labels|×dim rows.
+
+    Domain: well-formed (finite) vectors only, mirrored in the oracle
+    — a NaN/Inf element hard-errors the ANSI nano-unit integerization
+    on both engines (nanemb driftlab layout, r10)."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    emb = well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     t = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -10107,11 +10245,21 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LABEL_CENTROIDS = """
-WITH t AS (
+WITH wf AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- NaN/Inf elements hard-error the nano-unit integerization cast on
+  -- both engines (nanemb driftlab layout, r10)
+  SELECT label, embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
+),
+t AS (
   SELECT label, CAST(i AS INTEGER) AS pos,
          CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000000.0
                     + 0.5) AS BIGINT) AS v_nano
-  FROM embeddings, range(0, 4096) r(i)
+  FROM wf, range(0, 4096) r(i)
   WHERE i < len(embedding)
 )
 SELECT label, pos, count(*) AS n_vectors,
@@ -12404,9 +12552,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the basket self-join + support aggregate feeds FIVE consumers
     # (LP rounds via sym, m, intra, deg, dsq) — materialize once (r9
     # scan census; measured ~6.0→4.2 s at sf0.1)
-    pairs = copurchase_edges(li, min_support=2).localCheckpoint(
-        eager=True
-    )
+    pairs = _materialize(copurchase_edges(li, min_support=2))
     sym = symmetrize(pairs)
     labels = min_label_propagation(sym, rounds=3)
     m = pairs.agg(F.count(F.lit(1)).alias("m_edges"))
@@ -12639,8 +12785,16 @@ def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), so dot products and norms are exact BIGINTs bounded by
     dim × (5e5)² ≈ 2⁴⁴ — safely inside every double cast. The cosine
     is one fixed sqrt tree over those exact operands. One (label,
-    pos) shuffle + a pos-keyed join over |labels|·dim rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    pos) shuffle + a pos-keyed join over |labels|·dim rows.
+
+    Domain: well-formed (finite) vectors only, mirrored in the oracle
+    — a NaN/Inf element hard-errors the ANSI nano-unit integerization
+    on both engines (nanemb driftlab layout, r10)."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    emb = well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     t = emb.select(
         "label", F.posexplode("embedding").alias("pos", "val")
     ).select(
@@ -12706,11 +12860,21 @@ def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CENTROID_DISTANCES = """
-WITH t AS (
+WITH wf AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- NaN/Inf elements hard-error the nano-unit integerization cast on
+  -- both engines (nanemb driftlab layout, r10)
+  SELECT label, embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
+),
+t AS (
   SELECT label, CAST(i AS INTEGER) AS pos,
          CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000000.0
                     + 0.5) AS BIGINT) AS v_nano
-  FROM embeddings, range(0, 4096) r(i)
+  FROM wf, range(0, 4096) r(i)
   WHERE i < len(embedding)
 ),
 cent AS (
@@ -13027,9 +13191,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # degree aggregate + the two endpoint joins re-derive the edge
     # relation (12 static lineitem scans, r9 census) — materialize once
-    sym = symmetrize(
-        copurchase_edges(li, min_support=2)
-    ).localCheckpoint(eager=True)
+    sym = _materialize(
+        symmetrize(copurchase_edges(li, min_support=2))
+    )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
@@ -13198,9 +13362,9 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (degree aggregate + two semi-joins) — uncut lineage re-derives
     # round i−1 3^i times (108 static lineitem scans, r9 census);
     # the per-round materialization is the shrinking induced subgraph
-    sym = symmetrize(
-        copurchase_edges(li, min_support=2)
-    ).localCheckpoint(eager=True)
+    sym = _materialize(
+        symmetrize(copurchase_edges(li, min_support=2))
+    )
     edges = sym
     for _ in range(3):
         keep = (
@@ -13209,9 +13373,11 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= 3)
             .select("src")
         )
-        edges = edges.join(keep, "src").join(
-            keep.select(F.col("src").alias("dst")), "dst"
-        ).localCheckpoint(eager=True)
+        edges = _materialize(
+            edges.join(keep, "src").join(
+                keep.select(F.col("src").alias("dst")), "dst"
+            )
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return deg.agg(
         F.count(F.lit(1)).alias("core_nodes"),
@@ -13528,10 +13694,17 @@ def q_grid_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the smoothed value is a double division of exact counts by the
     real (clamp-aware) neighbor count. Empty cells inside a
     neighborhood contribute zero by construction, so the stencil is
-    sparse: shuffle volume is 9 × occupied cells, never 648 × 9."""
+    sparse: shuffle volume is 9 × occupied cells, never 648 × 9.
+
+    Domain: finite values only (NULL rows kept — their pix stays a
+    NULL cell, as before): a NaN/Inf coordinate silently corrupts
+    Spark's floor(double) where DuckDB's BIGINT cast hard-errors
+    (nanemb driftlab layout, r10)."""
     from fink_broker_spark.functions.spatial import grid_pixel_expr
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     ra = F.col("value") - F.floor(F.col("value") / 360.0) * 360.0
     dec = (F.col("user_id") % 181 - 90).cast("double")
     cells = (
@@ -13592,7 +13765,10 @@ WITH cells AS (
          + floor((value - floor(value / 360.0) * 360.0) / 10.0)
            AS BIGINT) AS pix,
          count(*) AS n
-  FROM events GROUP BY 1
+  FROM events
+  -- finite-value domain, mirroring the engine (nanemb layout, r10)
+  WHERE value IS NULL OR isfinite(value)
+  GROUP BY 1
 ),
 rc AS (SELECT pix // 36 AS r, pix % 36 AS c, n FROM cells),
 offs AS (
@@ -13705,8 +13881,15 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers) so empty bins never hit ln(0); each term follows the
     transcendental-sum discipline (decimal(18,9) round before the
     exact sum, terminal scale-5 quantize). One fact pass + a
-    bin-grid-sized reshape."""
-    ev = load_table(spark, sf_dir, "events")
+    bin-grid-sized reshape.
+
+    Domain: finite values only (NULL rows kept — a NULL bin stays a
+    grid bin, as before): Spark's floor(double) silently maps NaN→0 /
+    ±Inf→±Long.MAX where DuckDB's BIGINT cast hard-errors (nanemb
+    driftlab layout, r10)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | _finite("value")
+    )
     arm = (
         F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
@@ -13774,11 +13957,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PSI_DRIFT = """
 WITH binned AS (
+  -- finite-value domain, mirroring the engine (nanemb layout, r10)
   SELECT event_type,
          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
               AS BIGINT) % 2 AS arm,
          CAST(FLOOR(value / 50.0) AS BIGINT) AS bin
   FROM events
+  WHERE value IS NULL OR isfinite(value)
 ),
 counts AS (
   SELECT event_type, arm, bin, count(*) AS n
@@ -14940,7 +15125,7 @@ def _ppjoin_neardup_plan(
     # dominant CPU at 100 TB where the corpus dwarfs any cache (the
     # r9 benchdiff probe measured 6.6→5.9 s at sf0.1 even fully
     # page-cached; same ext/dedup.py materialize-reuse pattern)
-    arrs = arrs.localCheckpoint(eager=True)
+    arrs = _materialize(arrs)
     # |set| is size(arr) for free after array_distinct — carrying it as
     # a column removes the per-doc count aggregate (a whole shuffle)
     # and the two sizes joins the first draft paid (r6 profile: the
@@ -15313,9 +15498,19 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("k"))
         .agg(
             F.sum(
+                # non-finite purchase values fold to NULL (SUM skips):
+                # Spark floor(double) silently maps NaN→0 / Inf→
+                # Long.MAX where DuckDB's BIGINT cast hard-errors
+                # (nanemb driftlab layout, r10); the row still counts
+                # for has_error, so only the junk cents are excluded
                 F.when(
                     F.col("event_type") == "purchase",
-                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                    F.when(
+                        _finite("value"),
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    ),
                 ).otherwise(F.lit(0))
             ).alias("delta_cents"),
             F.max(
@@ -15365,8 +15560,11 @@ WITH tgt AS (
   FROM customer
 ), src AS (
   SELECT user_id AS k,
+         -- non-finite purchase values fold to NULL (SUM skips),
+         -- mirroring the engine (nanemb driftlab layout, r10)
          CAST(SUM(CASE WHEN event_type = 'purchase'
-                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  THEN CASE WHEN isfinite(value)
+                       THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END
                   ELSE 0 END) AS BIGINT) AS delta_cents,
          MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
@@ -15730,9 +15928,9 @@ def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier is referenced twice (next hop + the levels union) — the
     # uncut plan re-derived the basket self-join 60× (r9 scan census);
     # frontiers are node-sized, the materialization is bounded
-    edges = symmetrize(
-        copurchase_edges(li, min_support=2)
-    ).localCheckpoint(eager=True)
+    edges = _materialize(
+        symmetrize(copurchase_edges(li, min_support=2))
+    )
     seeds = (
         edges.filter(F.col("src") % 50 == 0)
         .select(F.col("src").alias("node"))
@@ -15741,11 +15939,11 @@ def q_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [seeds.select("node", F.lit(0).alias("depth"))]
     frontier = seeds
     for d in range(1, 5):
-        frontier = (
+        frontier = _materialize(
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-        ).localCheckpoint(eager=True)
+        )
         levels.append(frontier.select("node", F.lit(d).alias("depth")))
     walk = levels[0]
     for lv in levels[1:]:
@@ -16039,8 +16237,16 @@ def q_embedding_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decimal cast: the float32 widens exactly to double on both
     engines, then ``floor(x·100 + 0.5)`` integerizes it in one
     identical IEEE tree (the float-promotion rule the r5 parity
-    measurements pinned), so every output is an exact integer."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    measurements pinned), so every output is an exact integer.
+
+    Domain: well-formed (finite) vectors only, mirrored in the oracle
+    — a NaN/Inf element hard-errors the ANSI integerization cast on
+    both engines (nanemb driftlab layout, r10)."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    emb = well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     comp = emb.select(
         F.posexplode("embedding").alias("dim", "val")
     ).select(
@@ -16073,6 +16279,12 @@ WITH comp AS (
          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 100 + 0.5)
               AS BIGINT) AS qv
   FROM embeddings
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- NaN/Inf elements hard-error the integerization cast on both
+  -- engines (nanemb driftlab layout, r10)
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 )
 SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
        CAST(SUM(CASE WHEN qv > 127 OR qv < -128 THEN 1 ELSE 0 END)
@@ -16186,8 +16398,14 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat_ws('|', coalesce(cast(event_id as string), '~'), "
             "coalesce(cast(user_id as string), '~'), "
             "coalesce(event_type, '~'), "
-            "coalesce(cast(cast(floor(value * 100 + 0.5) as bigint)"
-            " as string), '~'), "
+            # non-finite values fold to an explicit sentinel so the
+            # checksum still COVERS the row: Spark floor(double)
+            # silently maps NaN→0 (aliasing a real 0-cent row) where
+            # DuckDB's BIGINT cast hard-errors (nanemb layout, r10)
+            "coalesce(case when isnan(value)"
+            " or abs(value) = cast('inf' as double) then 'nf'"
+            " else cast(cast(floor(value * 100 + 0.5) as bigint)"
+            " as string) end, '~'), "
             "coalesce(cast(unix_micros(ts) as string), '~'))",
         ),
     }
@@ -16236,8 +16454,11 @@ WITH oh AS (
            concat_ws('|', coalesce(CAST(event_id AS VARCHAR), '~'),
                      coalesce(CAST(user_id AS VARCHAR), '~'),
                      coalesce(event_type, '~'),
-                     coalesce(CAST(CAST(FLOOR(value * 100 + 0.5)
-                                        AS BIGINT) AS VARCHAR), '~'),
+                     -- non-finite → sentinel, mirroring the engine
+                     -- (nanemb driftlab layout, r10)
+                     coalesce(CASE WHEN NOT isfinite(value) THEN 'nf'
+                              ELSE CAST(CAST(FLOOR(value * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR) END, '~'),
                      coalesce(CAST(epoch_us(ts) AS VARCHAR), '~'))
          ), 1, 8) AS BIGINT) AS h
   FROM events
@@ -16742,9 +16963,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # sym/deg/adj inside link_prediction fan the edge relation out
     # (18 static lineitem scans, r9 census) — materialize once
-    edges = copurchase_edges(li, min_support=2).localCheckpoint(
-        eager=True
-    )
+    edges = _materialize(copurchase_edges(li, min_support=2))
     return link_prediction(edges, k=25, max_degree=200)
 
 
@@ -16803,9 +17022,7 @@ def q_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # the 1-hop and 2-hop aggregates both walk the edge relation (16
     # static lineitem scans, r9 census) — materialize once
-    edges = copurchase_edges(li, min_support=2).localCheckpoint(
-        eager=True
-    )
+    edges = _materialize(copurchase_edges(li, min_support=2))
     feats = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"),
         F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
@@ -16930,7 +17147,13 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_to_table(
         spark,
         _stream_stage(sf_dir, "events"),
-        lambda sdf: sdf.join(F.broadcast(dim), "user_id")
+        # finite-value domain (NULL kept — NULL cents SUM-skip as
+        # before): Spark floor(double) silently corrupts NaN/Inf where
+        # the oracle's BIGINT cast hard-errors (nanemb layout, r10)
+        lambda sdf: sdf.filter(
+            F.col("value").isNull() | _finite("value")
+        )
+        .join(F.broadcast(dim), "user_id")
         .select("segment", cents.alias("cents"))
         .groupBy("segment")
         .agg(
@@ -16947,6 +17170,8 @@ SELECT c_mktsegment AS segment,
        CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS value_cents
 FROM events JOIN customer ON user_id = c_custkey
+-- finite-value domain, mirroring the engine (nanemb layout, r10)
+WHERE value IS NULL OR isfinite(value)
 GROUP BY c_mktsegment
 """
 
@@ -17000,7 +17225,13 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
+        # finite-value domain (NULL kept — NULL cents max through as
+        # before): Spark floor(double) silently corrupts NaN/Inf where
+        # the oracle's BIGINT cast hard-errors (nanemb layout, r10)
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("value").isNull() | _finite("value"))
+        )
         .select(
             "user_id",
             F.unix_micros(F.col("ts")).alias("t_us"),
@@ -17068,10 +17299,12 @@ WITH od AS (
   SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t_us
   FROM orders WHERE o_custkey IS NOT NULL
 ), ev AS (
+  -- finite-value domain, mirroring the engine (nanemb layout, r10)
   SELECT user_id, epoch_us(ts) AS t_us,
          MAX(CAST(FLOOR(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT))
            AS cents
-  FROM events WHERE user_id IS NOT NULL
+  FROM events
+  WHERE user_id IS NOT NULL AND (value IS NULL OR isfinite(value))
   GROUP BY user_id, epoch_us(ts)
 ), aligned AS (
   SELECT od.user_id, ev.cents
@@ -18325,13 +18558,16 @@ WITH iv AS (
   -- well-formed domain, mirroring the engine's well_formed_vectors:
   -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
   -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
-  -- silently flips (nullemb driftlab layout, r9)
+  -- silently flips (nullemb driftlab layout, r9); NaN/Inf elements
+  -- poison the integerization cast on both engines and np.argmin
+  -- disagrees with SQL windows on NaN placement (nanemb layout, r10)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 seeds AS (
   SELECT e AS ce,
@@ -18399,8 +18635,18 @@ def q_scatter_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one n×d² self-join aggregate builds G (d = 64 → 4096 cells,
     map-side combinable), then two d²-row matrix-vector joins; nothing
-    driver-side, no iteration-order float hazard anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    driver-side, no iteration-order float hazard anywhere.
+
+    Domain: well-formed (finite) vectors only, mirrored in the
+    oracle's wf CTE — NULL elements fell out of the SUMs symmetrically
+    on both engines, but a NaN/Inf element hard-errors the ANSI
+    integerization cast on both (nanemb driftlab layout, r10), and
+    nrow must count the SAME filtered rows the Gram matrix sums."""
+    from fink_broker_spark.ext.ann import well_formed_vectors
+
+    emb = well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     ej = emb.select(
         "vec_id",
         F.posexplode(
@@ -18414,7 +18660,7 @@ def q_scatter_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded component relation feeds the Gram self-join (both
     # sides) AND the column-sum vector (30 static embeddings scans
     # through the iteration chain, r9 census) — materialize once
-    ej = ej.localCheckpoint(eager=True)
+    ej = _materialize(ej)
     ek = ej.select(
         "vec_id", F.col("j").alias("k"), F.col("ej").alias("ekv")
     )
@@ -18473,11 +18719,22 @@ def q_scatter_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SCATTER_POWER_ITERATION = """
-WITH ej AS (
+WITH wf AS (
+  -- well-formed domain, mirroring the engine's well_formed_vectors:
+  -- NULL elements fell out of the SUMs symmetrically, but NaN/Inf
+  -- hard-errors the integerization CAST on both engines (nanemb
+  -- driftlab layout, r10); nrow counts THIS filtered relation
+  SELECT vec_id, embedding
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
+),
+ej AS (
   SELECT vec_id, i - 1 AS j,
          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
               AS BIGINT) AS ej
-  FROM embeddings, range(1, 100000) t(i)
+  FROM wf, range(1, 100000) t(i)
   WHERE i <= len(embedding)
 ),
 g AS (
@@ -18486,7 +18743,7 @@ g AS (
   GROUP BY a.j, b.j
 ),
 s AS (SELECT j, SUM(ej) AS s FROM ej GROUP BY j),
-nrow AS (SELECT COUNT(*) AS n FROM embeddings),
+nrow AS (SELECT COUNT(*) AS n FROM wf),
 m AS (
   SELECT g.j, g.k,
          CAST(n AS HUGEINT) * g - CAST(sj.s AS HUGEINT) * sk.s AS m
@@ -18534,13 +18791,16 @@ WITH iv AS (
   -- well-formed domain, mirroring the engine's well_formed_vectors:
   -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
   -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
-  -- silently flips (nullemb driftlab layout, r9)
+  -- silently flips (nullemb driftlab layout, r9); NaN/Inf elements
+  -- poison the integerization cast on both engines and np.argmin
+  -- disagrees with SQL windows on NaN placement (nanemb layout, r10)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 seeds AS (
   SELECT e AS ce,
@@ -18630,7 +18890,8 @@ WITH iv AS (
           FOR x IN embedding] AS e
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id,
@@ -18675,13 +18936,16 @@ WITH iv AS (
   -- well-formed domain, mirroring the engine's well_formed_vectors:
   -- a NULL-element vector turns every d2 NULL, and Spark ASC ranks
   -- NULLS FIRST vs DuckDB NULLS LAST — the argmin cell/code choice
-  -- silently flips (nullemb driftlab layout, r9)
+  -- silently flips (nullemb driftlab layout, r9); NaN/Inf elements
+  -- poison the integerization cast on both engines and np.argmin
+  -- disagrees with SQL windows on NaN placement (nanemb layout, r10)
   SELECT vec_id,
          [CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
           FOR x IN embedding] AS e
   FROM embeddings
   WHERE embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding,
+                        x -> x IS NULL OR NOT isfinite(x))) = 0
 ),
 seeds AS (
   SELECT e AS ce,
@@ -18847,14 +19111,13 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^rounds times — the Spark-side twin of the oracle's MATERIALIZED
     # requirement (measured 12 s → ~3 s at sf0.1; the pointer-jumping
     # CC in ext/dedup.py applies the same discipline)
-    edges = (
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             pairs.select(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -18871,7 +19134,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlbl").alias("nmin"))
             .select(F.col("src").alias("id"), "nmin")
         )
-        labels = (
+        labels = _materialize(
             labels.join(nb, "id", "left")
             .select(
                 "id",
@@ -18879,7 +19142,6 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
     return sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
@@ -18965,10 +19227,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (grams, id bounds, per-decile doc counts) — the
     # uncheckpointed plan scans documents 4× (r9 code-review finding;
     # explain-counted); materialize the canonical relation once
-    uniq = uniq.localCheckpoint(eager=True)
+    uniq = _materialize(uniq)
+    # 100k-token gram bound, SYMMETRIC on both engines (ADVICE r9 #2):
+    # DuckDB 1.0's range() only takes constant bounds, so the oracle's
+    # shingle positions stop at 100000 — rather than leave that as a
+    # silent long-doc hash split, docs longer than 100k tokens are
+    # excluded from the GRAM relation on both sides (they still count
+    # in per_docs).  A no-op on the synthetic corpus (max ~200 tokens)
+    # and on any corpus chunked upstream of shingling.
     grams = uniq.select(
         "doc_id", tokens_expr("text").alias("toks")
-    ).select(
+    ).filter(F.size("toks") <= 100000).select(
         "doc_id",
         F.explode(shingles_from_tokens_expr("toks", 3)).alias("g"),
     )
@@ -19022,8 +19291,11 @@ words AS (
   FROM uniq
 ),
 grams AS (
+  -- len(toks) <= 100000 mirrors the engine's symmetric gram bound
+  -- (range() takes constant bounds only in duckdb 1.0; ADVICE r9 #2)
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
-  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+  FROM words, range(1, 100000) t(i)
+  WHERE i <= len(toks) - 2 AND len(toks) <= 100000
 ),
 first AS (SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g),
 bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM uniq),
@@ -19177,9 +19449,12 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"), F.min("source").alias("source"))
     )
+    # len(toks) <= 100000 mirrors the oracle's constant range() bound
+    # as an explicit symmetric gram-domain rule (ADVICE r9 #2) — a
+    # no-op on the synthetic corpus and on pre-chunked lakes
     grams = uniq.select(
         "doc_id", "source", tokens_expr("text").alias("toks")
-    ).select(
+    ).filter(F.size("toks") <= 100000).select(
         "doc_id",
         "source",
         F.explode(shingles_from_tokens_expr("toks", 8)).alias("g"),
@@ -19190,7 +19465,7 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1).  The eval source is the lexicographic min over the
     # SHINGLED corpus (docs with < 8 tokens have no grams and cannot
     # anchor the eval slice) — the oracle mirrors the same domain.
-    grams = grams.localCheckpoint(eager=True)
+    grams = _materialize(grams)
     ev_src = grams.agg(F.min("source").alias("es"))
     tg = (
         grams.crossJoin(F.broadcast(ev_src))
@@ -19244,9 +19519,12 @@ words AS (
   FROM uniq
 ),
 grams AS MATERIALIZED (
+  -- len(toks) <= 100000 mirrors the engine's symmetric gram bound
+  -- (range() takes constant bounds only in duckdb 1.0; ADVICE r9 #2)
   SELECT DISTINCT doc_id, source,
          array_to_string(toks[i:i+7], ' ') AS g
-  FROM words, range(1, 100000) t(i) WHERE i <= len(toks) - 7
+  FROM words, range(1, 100000) t(i)
+  WHERE i <= len(toks) - 7 AND len(toks) <= 100000
 ),
 es AS (SELECT min(source) AS es FROM grams),
 tg AS (
@@ -19321,7 +19599,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pts feeds the cell join (twice, via probe/nbr) AND the flags
     # join in a later job — uncheckpointed, embeddings scans twice
     # (r9 code-review finding; explain-counted)
-    pts = pts.localCheckpoint(eager=True)
+    pts = _materialize(pts)
     cells = pts.select(
         "x",
         "y",
@@ -19360,7 +19638,7 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # reused by BOTH the density aggregate and the border probe —
     # materialize once (the ppjoin arrs lesson)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = _materialize(pairs)
     dens = pairs.groupBy("x", "y").agg(F.sum("bm").alias("density"))
     flags = pts.join(dens, ["x", "y"]).select(
         "x", "y", "m", (F.col("density") >= minpts).alias("is_core")
@@ -19443,6 +19721,539 @@ cls AS (
 SELECT dbscan_class, CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(SUM(m) AS BIGINT) AS n_points
 FROM cls GROUP BY dbscan_class
+"""
+
+
+# --------------------------------------------------------------------------
+# round-10 registrations — VERDICT r9 #6 slate (concept-grepped first:
+# pack_sequences packs by WHITESPACE budget and length_caps quantiles
+# whitespace lengths — neither is BPE-granular; minhash_lsh_portable
+# pins ONE (bands, rows) point — no sweep; reingest_drift_audit is
+# content-version governance — no quality/perplexity dimension)
+# --------------------------------------------------------------------------
+
+def q_bpe_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence-length / packing audit at BPE
+    granularity: per source, whitespace-vs-subword token totals, the
+    subword expansion ratio, and the packing numbers a training
+    pipeline actually pays for at max_seq_len = 512 — sequences
+    needed (Σ ceil(bpe/512)) and padding waste (Σ (512·ceil − bpe)) —
+    the BPE-granular sibling of ``pack_sequences`` (whitespace budget
+    bins) and ``length_caps`` (whitespace quantiles).  A corpus that
+    looks 400-token under whitespace splitting routinely exceeds 512
+    BPE pieces; this is the report that catches it before a truncated
+    training run.
+
+    Exactness: token counts are regexp counts (the repo's BPE-ish
+    pattern, cross-engine-pinned by ``text_quality``), ceil is the
+    non-negative integer tree ``(n + 511) DIV 512`` (Spark DIV ≡
+    DuckDB ``//`` on non-negatives), so every sum is exact; the two
+    ratios are guarded double divisions of exact sums.  NULL text
+    rows count in n_docs with NULL token counts (SUM skips), exactly
+    as the oracle's CASE/len propagation.
+
+    Scale: ONE scan, one |sources|-row partial-aggregating shuffle —
+    the mergeable-partials shape; no window, no join, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = F.expr("(n_bpe + 511) div 512")
+    staged = docs.select(
+        "source",
+        token_count_expr("text").cast("long").alias("n_ws"),
+        bpe_token_count_expr("text").cast("long").alias("n_bpe"),
+    ).select(
+        "source",
+        "n_ws",
+        "n_bpe",
+        seqs.alias("n_seqs"),
+        (seqs * F.lit(512) - F.col("n_bpe")).alias("n_pad"),
+    )
+    g = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("sum_ws_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+        F.sum("n_seqs").alias("n_seqs_512"),
+        F.sum("n_pad").alias("pad_waste_512"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_ws_tokens",
+        "sum_bpe_tokens",
+        "n_seqs_512",
+        "pad_waste_512",
+        F.when(
+            F.col("sum_ws_tokens") > 0,
+            F.col("sum_bpe_tokens").cast("double")
+            / F.col("sum_ws_tokens").cast("double"),
+        ).alias("bpe_per_ws"),
+        F.when(
+            F.col("n_seqs_512") > 0,
+            F.col("sum_bpe_tokens").cast("double")
+            / (F.col("n_seqs_512").cast("double") * F.lit(512.0)),
+        ).alias("fill_ratio"),
+    )
+
+
+ORACLE_BPE_PACKING_AUDIT = r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS n_ws,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       CAST(SUM((n_bpe + 511) // 512) AS BIGINT) AS n_seqs_512,
+       CAST(SUM((n_bpe + 511) // 512 * 512 - n_bpe) AS BIGINT)
+         AS pad_waste_512,
+       CASE WHEN SUM(n_ws) > 0
+            THEN CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE)
+       END AS bpe_per_ws,
+       CASE WHEN SUM((n_bpe + 511) // 512) > 0
+            THEN CAST(SUM(n_bpe) AS DOUBLE)
+                 / (CAST(SUM((n_bpe + 511) // 512) AS DOUBLE) * 512.0)
+       END AS fill_ratio
+FROM t GROUP BY source
+"""
+
+
+#: the (bands, rows-per-band) grid swept by q_lsh_param_recall — all
+#: factorizations of the shared 16-hash signature
+_LSH_SWEEP_SETTINGS: tuple[tuple[int, int], ...] = (
+    (16, 1),
+    (8, 2),
+    (4, 4),
+    (2, 8),
+)
+
+
+def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter-sweep recall census — the dedup quality
+    knob: for every (bands b, rows-per-band r) factorization of ONE
+    shared 16-hash signature, how many candidate pairs does banding
+    emit, and what fraction of the TRUE Jaccard ≥ 0.5 pairs does it
+    recover?  (b=16, r=1) is the high-recall/high-cost corner, (2, 8)
+    the cheap/precise one; this table is how the threshold S-curve
+    gets picked before a corpus-wide dedup run
+    (``minhash_lsh_portable`` pins exactly one point of this grid).
+
+    Scale shape: the census runs on an md5-stable 1-in-2 DOCUMENT
+    sample (the 100 TB regime — exact-truth recall is only ever
+    measured on a sample; the sample predicate is the portable hash,
+    so both engines pick identical docs).  The 16-min signature is
+    computed ONCE and materialized (one md5 per shingle — the
+    Carter–Wegman family of ``minhash_lsh_pairs_portable``); each
+    sweep setting is a PROJECTION of that signature (band concat +
+    md5), so the sweep costs 4 bucket self-joins over bounded band
+    tables, never 4 re-tokenizations.  Ground truth is one
+    shingle-posting join at Jaccard ≥ 0.5, also materialized once and
+    reused by all 4 settings' hit joins + the scalar count.  The
+    final 4-row grid rides broadcast joins (plan-lint ALLOWED: 4-row
+    VALUES grid × 1-row scalar).  Token-length envelope: the oracle's
+    shingle positions stop at 100k (constant range() bound in duckdb
+    1.0) — accepted constraint of the synthetic corpus, documented at
+    the cap (ADVICE r9 #2 family)."""
+    from fink_broker_spark.ext.dedup import (
+        MINHASH_PRIME,
+        _shingle_table,
+        jaccard_pairs,
+        md5_int_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(
+        md5_int_expr(F.col("doc_id").cast("string"), 8) % 2 == 0
+    )
+    num_hashes = 16
+    sh = _shingle_table(sample, "doc_id", "text", 3)
+    hexed = sh.select(
+        "doc_id", F.md5(F.col("shingle")).alias("__hex")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("__hex", 1, 10), 16, 10)
+        .cast("long")
+        .alias("__a"),
+        F.conv(F.substring("__hex", 11, 10), 16, 10)
+        .cast("long")
+        .alias("__b"),
+    )
+    sig = hexed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("__a") + F.lit(i) * F.col("__b"))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # one signature feeds all 4 sweep settings — materialize once
+    # (the tokenize-once rule; see _materialize for the 100 TB note)
+    sig = _materialize(sig)
+    cand_parts = []
+    for nbands, rpb in _LSH_SWEEP_SETTINGS:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_int_expr(
+                    F.concat_ws(
+                        "#",
+                        *[
+                            F.col(f"__h{i}").cast("string")
+                            for i in range(b * rpb, (b + 1) * rpb)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(nbands)
+        ]
+        bt = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bhash").alias("bhash"),
+        )
+        cand_parts.append(
+            bt.alias("x")
+            .join(bt.alias("y"), on=["band", "bhash"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.lit(nbands).cast("int").alias("nbands"),
+                F.col("x.doc_id").alias("id_a"),
+                F.col("y.doc_id").alias("id_b"),
+            )
+            .dropDuplicates(["nbands", "id_a", "id_b"])
+        )
+    cands = cand_parts[0]
+    for part in cand_parts[1:]:
+        cands = cands.unionAll(part)
+    # exact ground truth on the same sample, computed once for the
+    # 4 hit joins + the scalar denominator
+    truth = _materialize(
+        jaccard_pairs(sample, threshold=0.5, n=3).select("id_a", "id_b")
+    )
+    ncand = cands.groupBy("nbands").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        cands.join(truth, on=["id_a", "id_b"])
+        .groupBy("nbands")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ntruth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    grid = spark.createDataFrame(
+        list(_LSH_SWEEP_SETTINGS), "nbands int, rows_per_band int"
+    )
+    return (
+        grid.join(F.broadcast(ncand), "nbands", "left")
+        .join(F.broadcast(hits), "nbands", "left")
+        .crossJoin(F.broadcast(ntruth))
+        .select(
+            "nbands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.coalesce("n_candidates", F.lit(0)).cast("double"),
+            ).alias("precision"),
+        )
+    )
+
+
+def _oracle_lsh_param_recall(num_hashes: int = 16) -> str:
+    """DuckDB twin of :func:`q_lsh_param_recall` — signature mins, the
+    per-setting band hashes, and the sweep grid are generated from the
+    same ``_LSH_SWEEP_SETTINGS`` the Spark plan uses, so the two sides
+    cannot drift independently."""
+    from fink_broker_spark.ext.dedup import MINHASH_PRIME
+
+    mins = ",\n         ".join(
+        f"MIN((a + {i} * b) % {MINHASH_PRIME}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {nb} AS nbands, {b} AS band,\n"
+        "         CAST('0x' || substr(md5({concat}), 1, 15) AS BIGINT)"
+        " AS bhash\n  FROM sig".format(
+            nb=nb,
+            b=b,
+            concat=" || '#' || ".join(
+                f"CAST(h{i} AS VARCHAR)"
+                for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for nb, rpb in _LSH_SWEEP_SETTINGS
+        for b in range(nb)
+    )
+    grid_rows = ", ".join(f"({nb}, {rpb})" for nb, rpb in _LSH_SWEEP_SETTINGS)
+    return rf"""
+WITH samp AS (
+  SELECT doc_id, text FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 2 = 0
+), tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM samp WHERE length(trim(text)) > 0
+), sh AS (
+  -- 100k-position cap: accepted token-length envelope of the
+  -- synthetic corpus (range() takes constant bounds in duckdb 1.0)
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, range(1, 100000) t(i) WHERE i <= len(toks) - 2
+), seeds AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(shingle), 11, 10) AS BIGINT) AS b
+  FROM sh
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM seeds GROUP BY doc_id
+), bt AS (
+{band_rows}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT x.nbands, x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bt x JOIN bt y
+    ON x.nbands = y.nbands AND x.band = y.band AND x.bhash = y.bhash
+  WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS MATERIALIZED (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE)
+          / CAST(sa.nsh + sb.nsh - i.inter AS DOUBLE) >= 0.5
+), ncand AS (
+  SELECT nbands, count(*) AS n_candidates FROM cand GROUP BY 1
+), hits AS (
+  SELECT c.nbands, count(*) AS n_hits
+  FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY 1
+), ntruth AS (SELECT count(*) AS n_truth FROM truth),
+grid AS (SELECT * FROM (VALUES {grid_rows}) g(nbands, rows_per_band))
+SELECT CAST(g.nbands AS INTEGER) AS nbands,
+       CAST(g.rows_per_band AS INTEGER) AS rows_per_band,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(nt.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CASE WHEN nt.n_truth > 0
+            THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(nt.n_truth AS DOUBLE) END AS recall,
+       CASE WHEN COALESCE(nc.n_candidates, 0) > 0
+            THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                 / CAST(COALESCE(nc.n_candidates, 0) AS DOUBLE)
+       END AS precision
+FROM grid g
+LEFT JOIN ncand nc ON nc.nbands = g.nbands
+LEFT JOIN hits h ON h.nbands = g.nbands
+CROSS JOIN ntruth nt
+"""
+
+
+ORACLE_LSH_PARAM_RECALL = _oracle_lsh_param_recall()
+
+
+def q_surprise_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-proxy drift series over ingest order —
+    the QUALITY companion to ``reingest_drift_audit``'s content
+    governance: walking each source's documents in doc_id (ingest)
+    order split into value-range deciles, the average token surprise
+    −ln p̂(token | source) under the source's own Laplace-smoothed
+    unigram distribution, and each decile's delta against the
+    source's first populated decile.  A rising curve means the
+    source's later crawls drift away from its own vocabulary (spam
+    injection, template churn, encoding rot) — the signal that gates
+    a re-crawl before it poisons the training mix.  Distinct from
+    ``vocab_entropy`` (one static H per source, no time axis) and
+    ``psi_drift`` (numeric value distributions, two fixed arms).
+
+    Exactness: p̂ = (n_tok + 1) / (N + V) is a double division of
+    exact integers (identical tree both engines); each token's
+    −ln p̂ ≥ 0 follows the repo's transcendental-sum discipline
+    (scale-9 round → DECIMAL(18,9), multiplied by the exact per-decile
+    count — positive operands, so Spark HALF_UP ≡ DuckDB half-away);
+    the per-decile average is one double division of the exact
+    decimal sum by the exact token count.  Envelope: the decimal sum
+    stays < 2⁵³ in unscaled units while per-(source, decile) token
+    mass < ~9·10⁶ — five orders above the sf0.1 lake.
+
+    Scale shape: deciles come from the doc_id VALUE range against a
+    1-row min/max broadcast (the ``vocab_growth`` rule — never an
+    ntile global sort); the (source, token) LM is a vocab-bounded
+    aggregate; the canonical doc relation is materialized once for
+    its two consumers (bounds + tokens); everything downstream of the
+    one tokenize+explode pass runs on vocab- or grid-sized relations.
+    Canonical per-doc rows via the dupdrift survivor rule (min(text),
+    min(source) after the empty filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = (
+        docs.filter(F.col("source").isNotNull())
+        .filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"), F.min("source").alias("source"))
+    )
+    # two consumers (id bounds + the token explode) — materialize once
+    uniq = _materialize(uniq)
+    bounds = uniq.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    dec = F.expr("cast((10 * (doc_id - lo)) div (hi - lo + 1) as int)")
+    toks = uniq.select(
+        "doc_id", "source", F.explode(tokens_expr("text")).alias("tok")
+    )
+    tok_dec = (
+        toks.crossJoin(F.broadcast(bounds))
+        .select("source", "tok", dec.alias("decile"))
+        .groupBy("source", "tok", "decile")
+        .agg(F.count(F.lit(1)).alias("n_dec"))
+    )
+    # the (source, tok, decile) grid feeds TWO consumers (the per-dec
+    # join side and the src_tok/src_tot LM chain) — uncut, the plan
+    # tokenizes the corpus twice (explain-counted two Generate
+    # explodes); the materialized relation is vocab×10-bounded
+    tok_dec = _materialize(tok_dec)
+    src_tok = tok_dec.groupBy("source", "tok").agg(
+        F.sum("n_dec").alias("n_src")
+    )
+    src_tot = src_tok.groupBy("source").agg(
+        F.sum("n_src").alias("n_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    p_hat = (F.col("n_src") + F.lit(1)).cast("double") / (
+        F.col("n_total") + F.col("vocab")
+    ).cast("double")
+    term = F.round(-F.log(p_hat), 9).cast("decimal(18,9)")
+    per_dec = (
+        tok_dec.join(src_tok, ["source", "tok"])
+        .join(F.broadcast(src_tot), "source")
+        .select(
+            "source",
+            "decile",
+            "n_dec",
+            # the multiplier pins to DECIMAL(10,0): a bare BIGINT
+            # multiplicand needs decimal(39,9) > 38, which Spark
+            # resolves by SILENTLY dropping the 9th scale digit
+            # (allowPrecisionLoss) — measured ~1e-9·|vocab| drift vs
+            # the oracle's exact DECIMAL(28,9) product
+            (term * F.col("n_dec").cast("decimal(10,0)")).alias(
+                "contrib"
+            ),
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.sum("n_dec").alias("n_tokens"),
+            F.sum("contrib").alias("sum_surprise"),
+        )
+        .select(
+            "source",
+            "decile",
+            "n_tokens",
+            (
+                F.col("sum_surprise").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("avg_surprise"),
+        )
+    )
+    first_dec = per_dec.groupBy("source").agg(
+        F.min("decile").alias("d0")
+    ).withColumnRenamed("source", "b_source")
+    baseline = per_dec.join(
+        first_dec,
+        (F.col("source") == F.col("b_source"))
+        & (F.col("decile") == F.col("d0")),
+    ).select(
+        F.col("b_source").alias("source"),
+        F.col("avg_surprise").alias("avg0"),
+    )
+    return per_dec.join(F.broadcast(baseline), "source").select(
+        "source",
+        "decile",
+        "n_tokens",
+        "avg_surprise",
+        (F.col("avg_surprise") - F.col("avg0")).alias("delta_vs_first"),
+    )
+
+
+ORACLE_SURPRISE_DRIFT_SERIES = r"""
+WITH uniq AS (
+  SELECT doc_id, min(text) AS text, min(source) AS source
+  FROM documents
+  WHERE source IS NOT NULL AND length(trim(lower(text))) > 0
+  GROUP BY doc_id
+),
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM uniq),
+toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(trim(lower(text)),
+         '\s+')) AS tok
+  FROM uniq
+),
+tok_dec AS (
+  SELECT source, tok,
+         CAST((10 * (doc_id - lo)) // (hi - lo + 1) AS INTEGER)
+           AS decile,
+         count(*) AS n_dec
+  FROM toks, bounds
+  GROUP BY 1, 2, 3
+),
+src_tok AS (
+  SELECT source, tok, SUM(n_dec) AS n_src FROM tok_dec GROUP BY 1, 2
+),
+src_tot AS (
+  SELECT source, SUM(n_src) AS n_total, count(*) AS vocab
+  FROM src_tok GROUP BY 1
+),
+per_dec AS (
+  SELECT td.source, td.decile,
+         SUM(td.n_dec) AS n_tokens,
+         -- DECIMAL(10,0) multiplier mirrors the engine's exact
+         -- decimal(28,9) product (Spark would precision-lose at 39,9)
+         SUM(CAST(round(-ln(CAST(st.n_src + 1 AS DOUBLE)
+                            / CAST(tt.n_total + tt.vocab AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))
+             * CAST(td.n_dec AS DECIMAL(10,0))) AS sum_surprise
+  FROM tok_dec td
+  JOIN src_tok st ON st.source = td.source AND st.tok = td.tok
+  JOIN src_tot tt ON tt.source = td.source
+  GROUP BY 1, 2
+),
+avgd AS (
+  SELECT source, decile, n_tokens,
+         CAST(sum_surprise AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS avg_surprise
+  FROM per_dec
+),
+baseline AS (
+  SELECT a.source, a.avg_surprise AS avg0
+  FROM avgd a
+  JOIN (SELECT source, min(decile) AS d0 FROM avgd GROUP BY source) f
+    ON f.source = a.source AND a.decile = f.d0
+)
+SELECT a.source, a.decile,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       a.avg_surprise,
+       a.avg_surprise - b.avg0 AS delta_vs_first
+FROM avgd a JOIN baseline b ON b.source = a.source
 """
 
 
@@ -19758,6 +20569,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_weights": q_mixture_weights,
     "eval_contamination": q_eval_contamination,
     "grid_dbscan": q_grid_dbscan,
+    "bpe_packing_audit": q_bpe_packing_audit,
+    "lsh_param_recall": q_lsh_param_recall,
+    "surprise_drift_series": q_surprise_drift_series,
 }
 
 _ORACLES: dict[str, str] = {
@@ -20072,6 +20886,9 @@ _ORACLES: dict[str, str] = {
     "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
     "eval_contamination": ORACLE_EVAL_CONTAMINATION,
     "grid_dbscan": ORACLE_GRID_DBSCAN,
+    "bpe_packing_audit": ORACLE_BPE_PACKING_AUDIT,
+    "lsh_param_recall": ORACLE_LSH_PARAM_RECALL,
+    "surprise_drift_series": ORACLE_SURPRISE_DRIFT_SERIES,
 }
 
 

@@ -252,6 +252,27 @@ _NEGVALUE_COLS = {
 _NULLEMB_ARR_1_IN = 50
 _NULLEMB_ELEM_1_IN = 66
 
+#: ``nanemb`` layout (round 10): the NaN sibling of ``nullemb``
+#: (VERDICT r9 Next #4).  ~1-in-50 embedding vectors get ONE NaN
+#: element at a seed-derived position, ~1-in-100 get +Inf, ~1-in-100
+#: get -Inf; plus the widest double measure column (``events.value``)
+#: gets ~1-in-200 NaN and ~1-in-500 of each infinity — the OTHER
+#: failed-encoder / overflow state a real vector lake ships (an
+#: exploded loss, a divide in the featurizer).  NaN is WORSE than the
+#: NULL class nullemb hunted because nothing crashes: numpy kernels
+#: propagate NaN silently (np.argmin returns the NaN position where a
+#: SQL window ranks NaN greatest), ANSI integerization casts
+#: ``floor(NaN·10⁴+0.5)`` hard-error on BOTH engines (crash-vs-crash
+#: is still a red row), and ordering/grouping semantics for NaN are a
+#: separate rulebook from NULL on each engine (Spark: NaN = NaN,
+#: sorts greatest; DuckDB: same claim — the sweep measures whether
+#: they actually agree surface-by-surface).
+_NANEMB_NAN_1_IN = 50
+_NANEMB_PINF_1_IN = 100
+_NANEMB_NINF_1_IN = 100
+_NANEMB_VALUE_NAN_1_IN = 200
+_NANEMB_VALUE_INF_1_IN = 500
+
 
 def _rng_ints(seed: int, tag: str, n: int, mod: int):
     """Deterministic pseudo-random ints in [0, mod) — hash-derived, so
@@ -487,6 +508,65 @@ def generate_variant(
                     else:
                         out.append(v)
                 cols[field.name] = pa.array(out, type=field.type)
+            elif (
+                layout == "nanemb"
+                and name == "embeddings"
+                and field.name == "embedding"
+            ):
+                nan_pick = _rng_ints(
+                    seed, "nanemb.nan", len(t), _NANEMB_NAN_1_IN
+                )
+                pinf_pick = _rng_ints(
+                    seed, "nanemb.pinf", len(t), _NANEMB_PINF_1_IN
+                )
+                ninf_pick = _rng_ints(
+                    seed, "nanemb.ninf", len(t), _NANEMB_NINF_1_IN
+                )
+                elem_pos = _rng_ints(seed, "nanemb.pos", len(t), 10**6)
+                vals = col.to_pylist()
+                out = []
+                for i, v in enumerate(vals):
+                    bad = None
+                    if nan_pick[i] == 0:
+                        bad = float("nan")
+                    elif pinf_pick[i] == 0:
+                        bad = float("inf")
+                    elif ninf_pick[i] == 0:
+                        bad = float("-inf")
+                    if bad is not None and v:
+                        w = list(v)
+                        w[int(elem_pos[i]) % len(w)] = bad
+                        out.append(w)
+                    else:
+                        out.append(v)
+                cols[field.name] = pa.array(out, type=field.type)
+            elif (
+                layout == "nanemb"
+                and name == "events"
+                and field.name == "value"
+            ):
+                nan_pick = _rng_ints(
+                    seed, "nanemb.val.nan", len(t), _NANEMB_VALUE_NAN_1_IN
+                )
+                pinf_pick = _rng_ints(
+                    seed, "nanemb.val.pinf", len(t), _NANEMB_VALUE_INF_1_IN
+                )
+                ninf_pick = _rng_ints(
+                    seed, "nanemb.val.ninf", len(t), _NANEMB_VALUE_INF_1_IN
+                )
+                null_mask = np.asarray(col.is_null())
+                v = col.to_numpy(zero_copy_only=False).copy()
+                v[(nan_pick == 0) & ~null_mask] = np.nan
+                v[(pinf_pick == 0) & (nan_pick != 0) & ~null_mask] = np.inf
+                v[
+                    (ninf_pick == 0)
+                    & (pinf_pick != 0)
+                    & (nan_pick != 0)
+                    & ~null_mask
+                ] = -np.inf
+                cols[field.name] = pa.array(
+                    v, type=field.type, mask=null_mask
+                )
             elif layout == "tzutc" and pa.types.is_timestamp(field.type):
                 cols[field.name] = col.cast(pa.timestamp("us")).cast(
                     pa.timestamp("us", tz="UTC")
@@ -708,7 +788,7 @@ ALL_LAYOUTS = [
     "micros", "nanos", "boundary", "int32keys", "nullfk",
     "decimalprice", "sparse", "nullmeasure", "emptystream",
     "constant", "onerow", "negvalue", "epoch68", "tzutc",
-    "bigmoney", "duprows", "dupdrift", "nullemb",
+    "bigmoney", "duprows", "dupdrift", "nullemb", "nanemb",
 ]
 
 

@@ -49,9 +49,18 @@ def brute_force_topk(
 
     Returns (query_id, vec_id, cosine, rank); ties broken by corpus id so
     the result is fully deterministic.
+
+    Domain: well-formed (finite) vectors only, like every operator in
+    this package.  NULL cosines fell out of the DESC top-k window
+    symmetrically with SQL oracles, but a NaN cosine ranks FIRST in
+    both engines' DESC orderings (NaN compares greatest), so a single
+    NaN element would hijack the entire top-k (nanemb driftlab
+    layout, r10).
     """
     from fink_broker_spark.functions.vector import dot_expr, norm2_expr
 
+    queries = well_formed_vectors(queries, vec_col)
+    corpus = well_formed_vectors(corpus, vec_col)
     # per-vector norms below the join: each pair row pays one dot product
     q = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -217,10 +226,13 @@ def kmeans_centroids(
     # hash partitioning would otherwise bias an unsalted ranking).
     # The well-formed filter here is deliberately REDUNDANT with the
     # callers' own (ivf_topk/semantic_dedup pre-filter): this is a
-    # public fit entry a user can hit directly, and the doubled
-    # F.exists predicate runs on a sample bounded at sample_size rows
-    # — defense at the model boundary costs microseconds (r9 review
-    # finding, accepted as intentional layering)
+    # public fit entry a user can hit directly.  The doubled F.exists
+    # predicate rides the existing full-corpus sampling scan (the
+    # filter sits BELOW the orderBy/limit, so it is evaluated once per
+    # corpus row during the TakeOrdered pass — one cheap array HOF on
+    # a scan that happens anyway), not on the bounded sample
+    # (ADVICE r9 #3 wording fix; r9 review finding, accepted as
+    # intentional layering)
     sample = (
         well_formed_vectors(corpus, vec_col).select(vec_col)
         .orderBy(F.xxhash64(F.concat(F.col(id_col).cast("string"),
@@ -403,11 +415,12 @@ def ivf_portable_topk(
 
 
 def well_formed_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """Restrict to WELL-FORMED embeddings: non-NULL arrays with no
-    NULL element — the domain every embedding operator in this package
-    computes over, enforced at each operator entry (and mirrored in
-    the portable twins' oracles as ``embedding IS NOT NULL AND
-    len(list_filter(embedding, x -> x IS NULL)) = 0``).
+    """Restrict to WELL-FORMED embeddings: non-NULL arrays whose every
+    element is a FINITE number (no NULL, no NaN, no ±Inf) — the domain
+    every embedding operator in this package computes over, enforced
+    at each operator entry (and mirrored in the portable twins'
+    oracles as ``embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> x IS NULL OR NOT isfinite(x))) = 0``).
 
     Why a hard precondition instead of propagation: the numpy kernels
     crash on None (np.asarray / ragged np.array) while DuckDB
@@ -416,12 +429,29 @@ def well_formed_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     distance involving that vector NULL, where Spark's ASC window
     ranks NULLS FIRST and DuckDB's NULLS LAST, silently flipping
     argmin cell/code assignments (the r9 ``nullemb`` driftlab layout
-    caught 8 such splits on its first sweep).  Dropping malformed
-    vectors identically on both engines is the only portable rule —
-    and a no-op on any lake whose encoder never fails."""
+    caught 8 such splits on its first sweep).  NaN/Inf elements are
+    WORSE (r10 ``nanemb`` layout, 14 embedding-op hits on its first
+    sweep): nothing crashes symmetrically — numpy propagates NaN
+    silently and np.argmin returns the NaN position where a SQL
+    window ranks NaN greatest, while the ANSI integerization tree
+    ``floor(x·10⁴+0.5)`` hard-errors on BOTH engines (a crash-vs-crash
+    red).  Dropping malformed vectors identically on both engines is
+    the only portable rule — and a no-op on any lake whose encoder
+    never fails.
+
+    NaN filter mechanics: inside the HOF, ``~isnan(x)`` and
+    ``abs(x) != +Inf`` — Spark comparisons treat NaN as a normal
+    greatest value (NaN != Inf is TRUE), so the conjunction is
+    well-defined for every element state; NULL elements yield NULL,
+    caught by the ``exists(isNull)`` arm."""
     c = F.col(vec_col)
+    inf = F.lit(float("inf"))
     return df.filter(
-        c.isNotNull() & ~F.exists(c, lambda x: x.isNull())
+        c.isNotNull()
+        & ~F.exists(
+            c,
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == inf),
+        )
     )
 
 

@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
         return cands
     # candidate list feeds both the id set and the final join — one
     # materialization instead of re-running banding per consumer
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     cands = cands.localCheckpoint(eager=True)
     # verify only the candidate documents: a pair's shingle intersection
     # involves no third document, so Jaccard computed over the candidate
@@ -465,6 +466,7 @@ def minhash_lsh_pairs_portable(
     # optimization): a pair's Jaccard involves no third document, so
     # the exact join's fanout shrinks from the whole corpus to the
     # near-dup families — output-identical, ~5× cheaper at sf0.1
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     cands = cands.localCheckpoint(eager=True)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -596,6 +598,7 @@ def dedup_groups(
         .distinct()
         # materialize ONCE: without this, every propagation round re-runs
         # the (possibly expensive) pair-generation lineage upstream
+        # lineage-truncation tradeoff: see __spark_entry__._materialize
         .localCheckpoint(eager=True)
     )
     # right-size the round frames: component graphs after thresholding are
@@ -653,6 +656,7 @@ def dedup_groups(
                 ).alias("component"),
             )
         )
+        # lineage-truncation tradeoff: see __spark_entry__._materialize
         updated = updated.localCheckpoint(eager=True)
         # labels strictly decrease, so an unchanged sum IS the fixpoint —
         # one scalar agg instead of a join-based diff per round

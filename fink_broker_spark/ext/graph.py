@@ -152,6 +152,7 @@ def min_label_propagation(sym: DataFrame, rounds: int = 3) -> DataFrame:
         # node-sized, so the materialization is bounded (r9 scan
         # census: graph_modularity's static plan hit 188 lineitem
         # scans before the cut)
+        # lineage-truncation tradeoff: see __spark_entry__._materialize
         labels = labels.localCheckpoint(eager=True)
     return labels
 

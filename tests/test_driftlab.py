@@ -183,6 +183,48 @@ NULLEMB_REGRESSIONS = [
     "embedding_pca",
 ]
 
+#: round-10 ``nanemb`` layout (NaN/±Inf embedding elements + NaN/Inf
+#: in events.value — the OTHER failed-encoder state): the first sweep
+#: split 36 queries across two families.  (A) embedding ops: numpy
+#: propagates NaN silently (np.argmin returns the NaN position where
+#: SQL windows rank NaN greatest) and the ANSI integerization tree
+#: hard-errors on BOTH engines — fixed by extending the shared
+#: well_formed_vectors domain to FINITE elements, mirrored in every
+#: embedding oracle.  (B) events.value consumers: Spark's
+#: double→DECIMAL cast NULLs non-finite where DuckDB hard-errors
+#: (oracle-side isfinite CASE mirrors), and Spark's floor(double)
+#: returns a LONG with floor(NaN)=0 / floor(±Inf)=±Long.MAX — SILENT
+#: corruption — where DuckDB's BIGINT cast errors (fixed by the
+#: NULL-preserving finite-value domain filter on both sides, or a
+#: sentinel fold for integrity audits like table_checksum).
+NANEMB_REGRESSIONS = [
+    # family A: embedding operators
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "embedding_quantize",
+    "embedding_quant_audit",
+    "label_centroids",
+    "centroid_distances",
+    "scatter_power_iteration",
+    "ivf_ann_portable",
+    "pq_ann_portable",
+    "ann_kernel_portable",
+    "semantic_dedup_portable",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "semantic_dedup",
+    "embedding_pca",
+    # family B: events.value consumers (one per fix pattern)
+    "nightly_stats",       # decimal-cast sum → oracle isfinite CASE
+    "regression_trend",    # floor-integerization → finite row domain
+    "psi_drift",           # floor bin key → finite row domain
+    "healpix_pixelization",  # coordinate from value → finite domain
+    "merge_upsert",        # cents inside CASE → NULL fold
+    "table_checksum",      # checksum covers rows → sentinel fold
+    "cogroup_asof",        # pandas cogroup staging → finite domain
+    "periodogram_power",   # trig term decimal cast → isfinite CASE
+]
+
 
 @pytest.mark.parametrize(
     ("layout", "subset"),
@@ -197,6 +239,7 @@ NULLEMB_REGRESSIONS = [
         ("emptystream", EMPTYSTREAM_REGRESSIONS),
         ("dupdrift", DUPDRIFT_REGRESSIONS),
         ("nullemb", NULLEMB_REGRESSIONS),
+        ("nanemb", NANEMB_REGRESSIONS),
     ],
 )
 def test_layout_variants_keep_parity(

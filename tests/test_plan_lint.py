@@ -55,6 +55,16 @@ ALLOWED: dict[str, tuple[set[str], str]] = {
         "1-row true-cardinality aggregate broadcast next to the 1-row "
         "estimate for the comparison column",
     ),
+    "lsh_param_recall": (
+        {"broadcast_nested_loop_join"},
+        "1-row truth-count scalar aggregate cross-broadcast into the "
+        "4-row (bands, rows) sweep grid — both sides bounded constants",
+    ),
+    "surprise_drift_series": (
+        {"broadcast_nested_loop_join"},
+        "1-row (min, max) doc-id-bounds aggregate broadcast into the "
+        "token explode (the vocab_growth decile rule)",
+    ),
     "vocab_growth": (
         {"broadcast_nested_loop_join"},
         "1-row (min, max) doc-id-bounds aggregate broadcast into the "
