@@ -20155,7 +20155,7 @@ def q_surprise_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             # multiplicand needs decimal(39,9) > 38, which Spark
             # resolves by SILENTLY dropping the 9th scale digit
             # (allowPrecisionLoss) — measured ~1e-9·|vocab| drift vs
-            # the oracle's exact DECIMAL(28,9) product
+            # the oracle's exact DECIMAL product
             (term * F.col("n_dec").cast("decimal(10,0)")).alias(
                 "contrib"
             ),
