@@ -7926,7 +7926,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, pagerank_fixedpoint
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # degree/node/rank state and all 3 iterations re-reference the
+    # edge relation — uncut, the plan re-derived the basket self-join
+    # 56× (r10 scan census); inside pagerank_fixedpoint, symmetrize/
+    # deg/ed become cheap projections of the materialized blocks
+    edges = _materialize(copurchase_edges(li, min_support=2))
     pr = pagerank_fixedpoint(edges, iters=3)
     return pr.orderBy(F.desc("rank_units"), "node").limit(20)
 
@@ -18089,10 +18093,16 @@ def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copurchase_edges(li, min_support=2).select(
         "u", "v", ((F.col("u") + F.col("v")) % 97 + 1).alias("w")
     )
-    wedges = e.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).unionByName(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    # the weighted edge list feeds the node set, the source pick, and
+    # all 3 relaxation rounds — uncut, the plan re-derived the basket
+    # self-join 92× (r10 scan census; the kcore/recursive_reach r9
+    # pattern applied one family member later)
+    wedges = _materialize(
+        e.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+        ).unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
     )
     return bounded_sssp(wedges, iters=3)
 
