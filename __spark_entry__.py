@@ -61,6 +61,7 @@ from fink_broker_spark.operators.relational import (
     top_k_per_group,
 )
 from fink_broker_spark.operators.salting import salt_expr, salted_row_key
+from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
 from fink_broker_spark.sources.parquet import load_table
 from fink_broker_spark.streaming.replay import replay_to_table
 
@@ -8679,10 +8680,16 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cents(c):
         return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
 
-    t = li.select(
-        cents("l_quantity").alias("q"),
-        cents("l_extendedprice").alias("p"),
-        cents("l_discount").alias("d"),
+    # both aggregation passes evaluate per-row floor/decimal trees in
+    # the scan stage — spread the single-row-group scan across cores
+    # (guide §2.5; no-op at scale); identical Exchange subtrees, so the
+    # physical plan reuses one shuffle for both passes
+    t = ensure_scan_parallelism(
+        li.select(
+            cents("l_quantity").alias("q"),
+            cents("l_extendedprice").alias("p"),
+            cents("l_discount").alias("d"),
+        )
     )
     m = t.agg(
         F.count(F.lit(1)).alias("n"),
@@ -17810,11 +17817,17 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then slice the four disjoint hex windows per digest — the md5 is
     # computed 1.2M times instead of once per (row, replicate) 4.8M
     # (hashing dominates this plan; measured ~2× at sf0.1)
-    grouped = o.select(
-        "o_orderpriority",
-        cents.alias("cents"),
-        F.col("o_orderkey").cast("string").alias("okey"),
-    ).select(
+    # the md5/conv hashing below dominates this plan and would otherwise
+    # run inside the scan stage — one task on a single-row-group file
+    # (guide §2.5; measured 6.2 → 1.3 s, ensure_scan_parallelism doc)
+    proj = ensure_scan_parallelism(
+        o.select(
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.col("o_orderkey").cast("string").alias("okey"),
+        )
+    )
+    grouped = proj.select(
         "o_orderpriority",
         "cents",
         "okey",
@@ -17967,7 +17980,7 @@ def q_sky_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q32 = sup.orderBy(
         F.md5(F.col("s_suppkey").cast("string")), F.col("s_suppkey")
     ).limit(32)
-    ev = (
+    ev = ensure_scan_parallelism(
         load_table(spark, sf_dir, "events")
         # an event with no user key has no grid position (nullfk lakes):
         # a NULL distance must not compete in the ordering on either
@@ -17978,6 +17991,8 @@ def q_sky_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_id") % 360).alias("ex"),
             ((F.col("user_id") * 7) % 180).alias("ey"),
         )
+        # the |events|×32 distance fan-out runs in the scan stage —
+        # spread it across cores (guide §2.5; measured 4.5 → 0.8 s)
     )
     d2 = (F.col("ex") - F.col("qx")) * (F.col("ex") - F.col("qx")) + (
         F.col("ey") - F.col("qy")

@@ -29,6 +29,7 @@ from fink_broker_spark.functions.text import (
     tokens_expr,
 )
 from fink_broker_spark.functions.vector import cosine_expr
+from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
 
 
 def exact_dedup(
@@ -62,8 +63,13 @@ def _shingle_table(
     # within a row, this dedupes across repeated rows, matching the
     # oracles' SELECT DISTINCT; the exchange it adds is keyed
     # compatibly with every downstream per-doc aggregate
+    # tokenize + shingle-explode are the heaviest map work of every
+    # near-dup family and would otherwise run inside the scan stage —
+    # one task on a single-row-group corpus file (guide §2.5); the
+    # spread is a guarded no-op when the scan already has ≥ cores splits
     return (
-        docs.select(
+        ensure_scan_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col), tokens_expr(text_col).alias("__toks")
         )
         .select(
@@ -326,8 +332,14 @@ def simhash_pairs(
 
     base = (
         # NULL text carries no signature: exclude the doc (parity with
-        # every other near-dup family, and the vote UDF's None guard)
-        docs.filter(F.col(text_col).isNotNull())
+        # every other near-dup family, and the vote UDF's None guard);
+        # spread the scan so tokenize + 64-bit voting use every core
+        # (guide §2.5 — no-op when the scan has ≥ cores splits)
+        ensure_scan_parallelism(
+            docs.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
         .select(
             F.col(id_col),
