@@ -1820,10 +1820,20 @@ def q_session_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative window answer exactly."""
     import pandas as pd
 
-    ev = (
+    # keyed spread (guide §2.5/§4): the grouped-map exchange is sized by
+    # BYTES under AQE and coalesced to ONE post-shuffle task at bench
+    # scale (profiled: 5.2 s single-task Python stage) — but the stage's
+    # cost is per-row Python/Arrow work, not bytes.  The pinned
+    # HashPartitioning(user_id) satisfies the grouped-map clustering
+    # (no second exchange) and holds the Python stage at core width;
+    # no-op when the scan already has ≥ cores splits.
+    from fink_broker_spark.plans.partitioning import ensure_keyed_parallelism
+
+    ev = ensure_keyed_parallelism(
         load_table(spark, sf_dir, "events")
         .withColumn("ts_us", nanos_to_micros("ts_ns"))
-        .select("user_id", "event_id", "ts_us")
+        .select("user_id", "event_id", "ts_us"),
+        "user_id",
     )
 
     def sessions(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2258,16 +2268,16 @@ _DAY_US = 86_400_000_000
 
 
 def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed interval (range) join via time bucketing: events fall into
-    per-order promotional windows (start/end synthesized from order
-    keys into the events' own epoch), joined on a shared customer hash.
-    The naive plan is a non-equi BroadcastNestedLoopJoin; the operator
-    (``operators/relational.py:interval_join``) buckets both sides to
-    day cells so the candidate stage is a plain equi-join — the
-    time-axis analog of the reference's pixel-bucketed crossmatch
-    (``common/spark_utils.py:529-609``). Counts only, so the oracle
-    hash stays integer."""
-    from fink_broker_spark.operators.relational import interval_join
+    """Keyed interval (range) join: events fall into per-order
+    promotional windows (start/end synthesized from order keys into the
+    events' own epoch), matched on a shared customer hash.  The naive
+    plan is a non-equi BroadcastNestedLoopJoin; the bucketed equi-join
+    (``operators/relational.py:interval_join``) fixes that for
+    pair-level consumers, and since THIS query only aggregates counts
+    it rides the merge-sweep counting specialization
+    (``interval_event_counts``) — no pair materialization at all.
+    Counts only, so the oracle hash stays integer."""
+    from fink_broker_spark.operators.relational import interval_event_counts
 
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("user_id") % 50).alias("k"), "ts"
@@ -2287,14 +2297,32 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(start_us).alias("w_start"),
         F.timestamp_micros(end_us).alias("w_end"),
     )
-    pairs = interval_join(
-        ev, windows, "ts", "w_start", "w_end", on=["k"], bucket=_DAY_US
+    # counting specialization (optimization guide §8): the query needs
+    # only per-priority pair COUNTS, so the merge-sweep running count
+    # replaces the bucketed pair join — the pair join materialized
+    # ~20M candidate rows at sf0.1 (its output ≈ the matches) where the
+    # sweep shuffles |events| + 2·|orders| rows once; results provably
+    # identical (exact integer counting; cnt>0 filter reproduces the
+    # inner join's emptiness semantics).  interval_join remains the
+    # plan for pair-level consumers (operators/relational.py).
+    counts = interval_event_counts(
+        ev,
+        windows,
+        "ts",
+        "w_start",
+        "w_end",
+        id_cols=["o_orderkey"],
+        on=["k"],
+        carry=["o_orderpriority"],
+        count_col="__cnt",
     )
-    return pairs.groupBy(
-        F.col("r_o_orderpriority").alias("o_orderpriority")
-    ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("r_o_orderkey").alias("n_orders"),
+    return (
+        counts.filter(F.col("__cnt") > 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
     )
 
 
@@ -3624,10 +3652,15 @@ def q_healpix_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash never touches a trig double."""
     from fink_broker_spark.functions.spatial import healpix_crossmatch
 
-    survey = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
-        ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+    # the per-row HEALPix pixelization tree runs in the survey scan
+    # stage — spread the single-split scan across cores (guide §2.5;
+    # no-op at scale)
+    survey = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+            ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+        )
     )
     catalog = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
@@ -3675,10 +3708,14 @@ def q_xmatch_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join + the identical haversine tree + row_number."""
     from fink_broker_spark.enrich.xmatch import crossmatch_enrich
 
-    alerts = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
-        ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+    # spread the alert scan: pixelization + the haversine refine run in
+    # the scan-side stage of the broadcast join (guide §2.5)
+    alerts = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            (((F.col("event_id") * 193) % 3600) / 10.0).alias("ra"),
+            ((((F.col("user_id") * 37) % 1200) / 10.0) - 60.0).alias("dec"),
+        )
     )
     catalog = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("cat_id"),
@@ -7427,7 +7464,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # the closure consumes the edge relation three times (e1, e2, and
+    # the a-c semi-join side) — uncut, each consumer re-derives the
+    # basket self-join (r9 census mid-tier; materialize-once pattern)
+    edges = _materialize(copurchase_edges(li, min_support=2))
     return triangle_counts(edges, regime="auto")
 
 
@@ -7442,7 +7482,8 @@ def q_triangle_count_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # same three-consumer materialize as the auto regime above
+    edges = _materialize(copurchase_edges(li, min_support=2))
     return triangle_counts(edges, regime="merge")
 
 
@@ -7997,7 +8038,11 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, khop_reach
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li, min_support=2)
+    # khop consumes the symmetrized edges three times (1-hop relation +
+    # both wedge-join sides), each side referencing edges twice via
+    # symmetrize — uncut, the basket self-join re-derives 6× (16 static
+    # lineitem scans, r9/r10 census) — materialize once
+    edges = _materialize(copurchase_edges(li, min_support=2))
     return khop_reach(edges).orderBy(F.desc("n_2hop"), "node").limit(20)
 
 
@@ -9260,14 +9305,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
     )
-    t = li.select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
+    # spread the single-split scan: the cents/weight floors and the
+    # (flag, cents) partial aggregation run wide (guide §2.5)
+    t = ensure_scan_parallelism(
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
     # pre-aggregate per (flag, cents): collapses the fact table to the
     # value grid BEFORE any window — the 100 TB form of cumulative
@@ -9850,7 +9899,9 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.ext.graph import copurchase_edges, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
-    sym = symmetrize(copurchase_edges(li, min_support=2))
+    # symmetrize references the edge relation twice (u->v ∪ v->u) —
+    # materialize the basket self-join once
+    sym = symmetrize(_materialize(copurchase_edges(li, min_support=2)))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return (
         deg.groupBy("degree")
@@ -10656,11 +10707,15 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
-    t = li.select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    # spread the single-split scan for the floor + partial grid agg
+    # (guide §2.5; no-op at scale)
+    t = ensure_scan_parallelism(
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     grid = t.groupBy("l_returnflag", "cents").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -15118,8 +15173,21 @@ def _ppjoin_neardup_plan(
     # body (same doc_id, different text — ADVICE r7 #3) selects the
     # same shingle set on both engines.  Same shuffle as the old
     # dropDuplicates(["doc_id"]) — one doc_id-keyed aggregate.
+    # keyed spread (guide §2.5): HashPartitioning(doc_id) satisfies the
+    # canonical-row aggregate's clustering, so min(text) + tokenize +
+    # shingle-sort all run wide off this one exchange — the aggregate's
+    # own AQE-sized exchange coalesced to ONE task at bench scale and
+    # serialized the whole 3.9 s shingle build (profiled); no-op when
+    # the scan has ≥ cores splits
+    from fink_broker_spark.plans.partitioning import ensure_keyed_parallelism
+
     arrs = (
-        docs.filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        ensure_keyed_parallelism(
+            docs.filter(
+                F.length(F.trim(F.lower(F.col("text")))) > 0
+            ).select("doc_id", "text"),
+            "doc_id",
+        )
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"))
     ).select(
@@ -15352,8 +15420,14 @@ def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens materialize into a named column first: a HOF lambda
     # re-evaluates captured subexpressions per element, so an inlined
     # tokenize would re-split once per shingle
-    vocab = (
-        docs.select("source", tokens_expr("text").alias("toks"))
+    # spread the single-split scan so tokenize+shingle run wide (guide
+    # §2.5), and materialize the vocabulary ONCE — it feeds three
+    # consumers (sizes + both self-join sides), which otherwise
+    # re-tokenize the corpus when static exchange reuse does not fire
+    # lineage-truncation tradeoff: see _materialize
+    vocab = _materialize(
+        ensure_scan_parallelism(docs.select("source", "text"))
+        .select("source", tokens_expr("text").alias("toks"))
         .select(
             "source",
             F.explode(
@@ -16006,12 +16080,17 @@ def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings and integers only (keys/dates go through integer casts
     first) — doubles never enter a string render, so the engines
     cannot format-split."""
-    od = load_table(spark, sf_dir, "orders").select(
-        "o_orderstatus",
-        "o_orderpriority",
-        "o_custkey",
-        "o_orderkey",
-        _day("o_orderdate").alias("o_orderday"),
+    # the 5-way count-distinct plans an Expand (6× row multiply) whose
+    # partial aggregation runs in the scan stage — spread the
+    # single-split scan (guide §2.5; no-op at scale)
+    od = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_custkey",
+            "o_orderkey",
+            _day("o_orderdate").alias("o_orderday"),
+        )
     )
     cols = [
         "o_orderstatus",

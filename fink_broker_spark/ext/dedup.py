@@ -29,7 +29,10 @@ from fink_broker_spark.functions.text import (
     tokens_expr,
 )
 from fink_broker_spark.functions.vector import cosine_expr
-from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
+from fink_broker_spark.plans.partitioning import (
+    ensure_keyed_parallelism,
+    ensure_scan_parallelism,
+)
 
 
 def exact_dedup(
@@ -65,10 +68,19 @@ def _shingle_table(
     # compatibly with every downstream per-doc aggregate
     # tokenize + shingle-explode are the heaviest map work of every
     # near-dup family and would otherwise run inside the scan stage —
-    # one task on a single-row-group corpus file (guide §2.5); the
-    # spread is a guarded no-op when the scan already has ≥ cores splits
+    # one task on a single-row-group corpus file (guide §2.5).  The
+    # spread is KEYED by the doc id: HashPartitioning(doc_id) satisfies
+    # the clustering of dropDuplicates(doc_id, shingle) AND every
+    # downstream per-doc aggregate (minhash signatures, set sizes), so
+    # the whole chain runs wide off ONE exchange of the compact
+    # pre-explode rows — the baseline instead shuffled the exploded
+    # shingle relation (strictly more bytes) and its post-exchange
+    # stages were AQE-coalesced to one task at bench scale.  Guarded
+    # no-op when the scan already has ≥ cores splits.
     return (
-        ensure_scan_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        ensure_keyed_parallelism(
+            docs.select(F.col(id_col), F.col(text_col)), id_col
+        )
         .select(
             F.col(id_col), tokens_expr(text_col).alias("__toks")
         )
@@ -105,9 +117,14 @@ def jaccard_pairs(
     # join on the 8-byte shingle hash, not the shingle string: the
     # self-join shuffle then moves fixed-width longs instead of text
     # (collision probability ~|shingles|²/2⁶⁴ — vanishing)
+    # materialize ONCE: sh feeds three consumers (both self-join sides
+    # + sizes, four with the max_df path) and the keyed-wide shingle
+    # chain no longer ends at a reusable Exchange — uncut, each
+    # consumer would re-tokenize the corpus (measured 3× CPU blow-up)
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     sh = _shingle_table(docs, id_col, text_col, n).select(
         id_col, F.xxhash64("shingle").alias("shash")
-    )
+    ).localCheckpoint(eager=True)
     if max_df is not None:
         dfreq = sh.groupBy("shash").agg(F.count(F.lit(1)).alias("__df"))
         sh = (
@@ -201,6 +218,12 @@ def minhash_lsh_pairs(
             for i in range(num_hashes)
         ]
     )
+    # materialize the signature: the band table self-join consumes it on
+    # BOTH sides and the keyed-wide shingle chain below it no longer
+    # ends at a reusable Exchange — uncut, each side re-tokenizes and
+    # re-hashes the corpus (lineage-truncation tradeoff: see
+    # __spark_entry__._materialize); |docs| rows × num_hashes longs
+    sig = sig.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -347,6 +370,11 @@ def simhash_pairs(
         )
         .withColumn("__h", F.transform("__sh", lambda s: F.xxhash64(s)))
         .select(F.col(id_col), _vote("__h").alias("simhash"))
+        # materialize: both band self-join sides consume the signature
+        # and the tokenize → vote chain has no exchange to reuse —
+        # uncut, the Arrow vote kernel runs twice over the corpus
+        # lineage-truncation tradeoff: see __spark_entry__._materialize
+        .localCheckpoint(eager=True)
     )
     # static shifts per band (shiftright needs a literal shift amount)
     bands = F.array(
@@ -444,6 +472,11 @@ def minhash_lsh_pairs_portable(
             for i in range(num_hashes)
         ]
     )
+    # materialize: both band-table self-join sides consume sig, and the
+    # keyed-wide shingle chain below no longer ends at a reusable
+    # Exchange — uncut, each side re-tokenizes + re-md5s the corpus
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
+    sig = sig.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -535,7 +568,13 @@ def simhash_pairs_portable(
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
-    base = votes.select(F.col(id_col), simhash.alias("simhash"))
+    # materialize: both band-table self-join sides consume the signature
+    # and the keyed-wide shingle chain below no longer ends at a
+    # reusable Exchange (same rationale as minhash_lsh_pairs_portable)
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
+    base = votes.select(
+        F.col(id_col), simhash.alias("simhash")
+    ).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.struct(
@@ -859,7 +898,11 @@ def dup_span_coverage(
     Returns (doc_id, n_windows, n_dup_windows, coverage); docs with
     fewer than ``n`` tokens have no windows and are excluded.
     """
-    toks = docs.select(
+    # keyed spread (guide §2.5): tokenize + window-md5 run wide instead
+    # of inside the single-split scan task
+    toks = ensure_keyed_parallelism(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("toks")
     )
     # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
@@ -867,6 +910,10 @@ def dup_span_coverage(
         F.size("toks") >= n,
         F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
     ).otherwise(F.array().cast("array<int>"))
+    # materialize ONCE, as the docstring's plan note prescribes: the
+    # window relation feeds both the frequency aggregate and the join
+    # back — uncut, each branch re-tokenizes + re-md5s the corpus
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     windows = toks.select(
         "doc_id",
         F.explode(
@@ -875,7 +922,7 @@ def dup_span_coverage(
                 lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
             )
         ).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     freq = windows.groupBy("w").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
@@ -937,11 +984,22 @@ def exact_substring_remove(
     # dropDuplicates' arbitrary row.  The empty-body filter runs
     # BEFORE the pick on both sides, or a doc whose duplicates are
     # ('', 'abc') would canonicalize to '' here and 'abc' there.
+    # keyed spread (guide §2.5): min(text) + tokenize run wide off one
+    # exchange; materialize ONCE — toks feeds the window chain AND the
+    # final clean-hash join, and win below feeds dup_w AND the covered
+    # join (uncut, each consumer re-tokenizes / re-md5s the corpus)
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     toks = (
-        docs.filter(F.length(F.trim(F.lower(F.col(text_col)))) > 0)
+        ensure_keyed_parallelism(
+            docs.filter(
+                F.length(F.trim(F.lower(F.col(text_col)))) > 0
+            ).select(F.col(id_col), F.col(text_col)),
+            id_col,
+        )
         .groupBy(F.col(id_col).alias("doc_id"))
         .agg(F.min(text_col).alias("__text"))
         .select("doc_id", tokens_expr("__text").alias("toks"))
+        .localCheckpoint(eager=True)
     )
     # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
     idx = F.when(
@@ -956,7 +1014,9 @@ def exact_substring_remove(
                 lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
             )
         ).alias("p0", "w"),
-    ).select("doc_id", (F.col("p0") + 1).alias("start"), "w")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("start"), "w"
+    ).localCheckpoint(eager=True)
     dup_w = (
         win.groupBy("w")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

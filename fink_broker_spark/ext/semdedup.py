@@ -201,9 +201,15 @@ def semantic_dedup_portable(
 
     from fink_broker_spark.ext.ann import well_formed_vectors
 
-    # well-formed domain, mirrored by the oracle's iv CTE predicate
-    iv = well_formed_vectors(corpus, vec_col).select(
-        F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+    from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
+
+    # well-formed domain, mirrored by the oracle's iv CTE predicate;
+    # spread the scan so the integerization + seed-argmin assignment
+    # run wide (guide §2.5 — no-op when the scan has ≥ cores splits)
+    iv = ensure_scan_parallelism(
+        well_formed_vectors(corpus, vec_col).select(
+            F.col(id_col), _int_vec(vec_col, scale).alias("__e")
+        )
     )
     seeds = _md5_seeds(iv, n_cells, id_col, "cid")
     assigned = _assign_cells(iv, seeds, id_col)
@@ -215,13 +221,17 @@ def semantic_dedup_portable(
     wscan = Window.partitionBy("cid").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    # materialize ONCE: ranked feeds three consumers (both pair-join
+    # sides + the final membership aggregate); uncut, each would re-run
+    # the integerization + seed-argmin assignment over the corpus
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     ranked = assigned.select(
         id_col,
         "__e",
         "cid",
         dot_self.alias("__n2"),
         F.row_number().over(wscan).alias("__r"),
-    )
+    ).localCheckpoint(eager=True)
     a = ranked.select(
         "cid",
         F.col("__r").alias("__ra"),
@@ -253,8 +263,17 @@ def semantic_dedup_portable(
         # re-derive the cast width before raising `scale`).
         return c.cast("decimal(18,0)")
 
+    # the in-cell pairwise join has only n_cells join keys, so its
+    # parallelism is capped at n_cells tasks (AQE coalesces further at
+    # small scale) while each pair pays a d-length dot product — salt
+    # the quadratic stage (guide §2.5: split the hot key): the a side
+    # takes one deterministic salt from its scan rank, the b side is
+    # replicated nsalts×, every pair still meets exactly once
+    from fink_broker_spark.operators.relational import replicated_skew_join
+
+    nsalts = corpus.sparkSession.sparkContext.defaultParallelism
     pairs = (
-        a.join(b, "cid")
+        replicated_skew_join(a, b, on=["cid"], salt_col="__ra", nsalts=nsalts)
         .filter(F.col("__ra") < F.col("__rb"))
         .select("cid", "__idb", dot.alias("__dot"), "__n2a", "__n2b")
     )

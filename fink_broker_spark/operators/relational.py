@@ -406,6 +406,139 @@ def interval_join(
     )
 
 
+def interval_event_counts(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    id_cols: Sequence[str] = (),
+    on: Sequence[str] = (),
+    carry: Sequence[str] = (),
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Per-interval COUNT of points with ``start <= t <= end`` and equal
+    ``on`` keys — the counting specialization of :func:`interval_join`
+    that never materializes a (point, interval) pair.
+
+    Plan (optimization guide §8 "decide with small rows"): union the
+    point instants with each interval's two endpoints as probe rows,
+    one running event count per key ordered by ``(t, kind)`` (kind
+    sorts a start probe BEFORE and an end probe AFTER points at the
+    same instant, giving closed-interval semantics exactly), then
+    ``count = F(end⁺) − F(start⁻)`` per interval.  Cost is
+    O((|P| + 2|I|) log) per key with ONE shuffle on the key — versus
+    the bucketed pair join whose output alone is Σ matches (the pair
+    join stays the right plan when downstream needs the pairs
+    themselves).  Exact integer algebra throughout; intervals with
+    ``start > end`` count 0.
+
+    Output: one row per DISTINCT ``(on, id_cols, carry, start, end)``
+    combination, with ``count_col`` = interval-row multiplicity ×
+    matching points — i.e. exactly what a pair join + per-interval
+    count would sum to, including re-ingested duplicate interval ROWS
+    (duprows lakes: each duplicate joins independently, so its matches
+    count once per duplicate).  Callers mirroring a join+groupBy must
+    filter ``count_col > 0`` to reproduce inner-join emptiness
+    semantics.
+    """
+    from pyspark.sql.types import TimestampType
+
+    def as_us(df: DataFrame, col: str) -> Column:
+        if isinstance(df.schema[col].dataType, TimestampType):
+            return F.unix_micros(F.col(col))
+        return F.col(col).cast("long")
+
+    on = list(on)
+    carry = list(carry)
+    id_cols = list(id_cols)
+    # collapse duplicate interval rows to (definition, multiplicity):
+    # each duplicate row would join independently, so its match count
+    # scales by the multiplicity — and the sweep's per-group max-F
+    # algebra requires one probe pair per distinct definition
+    ivg = (
+        intervals.select(
+            *on,
+            *id_cols,
+            *carry,
+            as_us(intervals, start_col).alias("__lo"),
+            as_us(intervals, end_col).alias("__hi"),
+        )
+        .groupBy(*on, *id_cols, *carry, "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    probes = ivg.select(
+        *on,
+        *id_cols,
+        *carry,
+        "__lo",
+        "__hi",
+        "__m",
+        F.explode(
+            F.array(
+                F.struct(F.col("__lo").alias("__t"), F.lit(0).alias("__k")),
+                F.struct(F.col("__hi").alias("__t"), F.lit(2).alias("__k")),
+            )
+        ).alias("__p"),
+    ).select(
+        *on, *id_cols, *carry, "__lo", "__hi", "__m",
+        F.col("__p.__t").alias("__t"), F.col("__p.__k").alias("__k"),
+    )
+    pts = points.select(
+        *on,
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in id_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in carry],
+        F.lit(None).cast("long").alias("__lo"),
+        F.lit(None).cast("long").alias("__hi"),
+        F.lit(None).cast("long").alias("__m"),
+        as_us(points, point_time).alias("__t"),
+        F.lit(1).alias("__k"),
+    )
+    # NULL never matches an equi-join key or a BETWEEN bound: a NULL-key
+    # or NULL-instant point must not enter any running count (the sweep
+    # would otherwise group NULL keys together — join semantics do not);
+    # a NULL interval endpoint drops that probe row, which yields the
+    # correct 0 via greatest(0, NULL)
+    null_free = F.lit(True)
+    for key in on:
+        null_free = null_free & F.col(key).isNotNull()
+    pts = pts.filter(null_free & F.col("__t").isNotNull())
+    probes = probes.filter(null_free & F.col("__t").isNotNull())
+    merged = pts.unionByName(probes)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = merged.select(
+        *on,
+        *id_cols,
+        *carry,
+        "__lo",
+        "__hi",
+        "__m",
+        "__k",
+        F.sum(F.when(F.col("__k") == 1, 1).otherwise(0)).over(w).alias("__f"),
+    ).filter(F.col("__k") != 1)
+    return (
+        swept.groupBy(*on, *id_cols, *carry, "__lo", "__hi")
+        .agg(
+            F.max("__m").alias("__m"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.max(F.when(F.col("__k") == 2, F.col("__f")))
+                - F.max(F.when(F.col("__k") == 0, F.col("__f"))),
+            ).alias("__cnt1"),
+        )
+        .select(
+            *on,
+            *id_cols,
+            *carry,
+            (F.col("__m") * F.col("__cnt1")).cast("long").alias(count_col),
+        )
+    )
+
+
 def replicated_skew_join(
     big: DataFrame,
     small: DataFrame,

@@ -76,6 +76,15 @@ def grouped_clusters(
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _cluster_block(pdf, value_col, gap, min_size, key_fmt)
 
+    # keyed spread (guide §2.5/§4): the grouped-map exchange is sized
+    # by BYTES under AQE and coalesces to one post-shuffle task at
+    # small byte volumes, but this stage's cost is per-row Python/Arrow
+    # work — pin it at core width; HashPartitioning(__group) satisfies
+    # the grouped-map clustering, so no second exchange is added
+    # (no-op when the input already has >= cores partitions)
+    from fink_broker_spark.plans.partitioning import ensure_keyed_parallelism
+
+    staged = ensure_keyed_parallelism(staged, "__group")
     return staged.groupBy("__group").applyInPandas(apply_fn, schema)
 
 
@@ -333,4 +342,8 @@ def great_circle_tracklets(
         )
         return pdf.assign(tracklet=names).drop(columns="__group")
 
+    # same keyed spread rationale as tracklet_clustering above
+    from fink_broker_spark.plans.partitioning import ensure_keyed_parallelism
+
+    staged = ensure_keyed_parallelism(staged, "__group")
     return staged.groupBy("__group").applyInPandas(apply_fn, schema)

@@ -10,6 +10,7 @@ Catalyst, and so it is here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MB = 1024 * 1024
 
@@ -78,3 +79,29 @@ def ensure_scan_parallelism(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def ensure_keyed_parallelism(
+    df: DataFrame, *keys: str, min_parts: int | None = None
+) -> DataFrame:
+    """Keyed variant of :func:`ensure_scan_parallelism`: hash-repartition
+    an under-split source by ``keys`` so that BOTH the heavy map work and
+    every downstream key-compatible aggregate run wide.
+
+    ``HashPartitioning(keys)`` satisfies the ``ClusteredDistribution`` of
+    any aggregate/grouped-map keyed by a superset of ``keys``, so Spark
+    plans NO further exchange for them — e.g. repartitioning a document
+    table by ``doc_id`` before tokenize+explode makes the whole
+    tokenize → explode → dropDuplicates(doc_id, shingle) →
+    groupBy(doc_id) chain run in ``target`` tasks with ONE exchange of
+    the compact pre-explode rows (the baseline shuffles the exploded
+    relation instead — strictly more bytes; guide §3.3 "explode before a
+    join multiplies the shuffle").  Same guard and scale posture as the
+    round-robin variant: a scan that already has ≥ cores splits is
+    returned unchanged.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
