@@ -61,7 +61,10 @@ from fink_broker_spark.operators.relational import (
     top_k_per_group,
 )
 from fink_broker_spark.operators.salting import salt_expr, salted_row_key
-from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
+from fink_broker_spark.plans.partitioning import (
+    ensure_keyed_parallelism,
+    ensure_scan_parallelism,
+)
 from fink_broker_spark.sources.parquet import load_table
 from fink_broker_spark.streaming.replay import replay_to_table
 
@@ -11252,7 +11255,15 @@ def q_cosupplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra as copurchase_edges on a different relation. Integer-exact
     with (pair) tiebreak TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # keyed spread (guide §2.5): HashPartitioning(l_partkey) satisfies
+    # BOTH the distinct's clustering and the pk self-join's, so the
+    # whole dedup → pair fan-out → partial agg chain runs at core
+    # width off ONE exchange — the planner's own exchanges were
+    # AQE-byte-coalesced to ~1 task while the pair fan-out is per-row
+    # work (A/B 2.27 → 1.21 s at sf0.1; no-op on a wide scan)
+    ps = ensure_keyed_parallelism(
+        li.select("l_partkey", "l_suppkey"), "l_partkey"
+    ).distinct()
     a = ps.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")
     )

@@ -41,8 +41,18 @@ def copurchase_edges(
     The self-join fans out per order as |order|²/2 — bounded by basket
     size, not table size; the support HAVING-cut then bounds the edge
     set that the closure joins consume.
+
+    The base projection is spread by the order key before the join
+    (guide §2.5): HashPartitioning(order) satisfies the self-join's
+    clustering, so the join/fan-out/partial-agg stage is pinned at
+    core width instead of being AQE-byte-coalesced to ~1 task (the
+    pair fan-out is per-ROW work on a byte-small relation; measured
+    1.83 → 1.03 s for the materialized edge set at sf0.1, a cost every
+    graph query pays).  Guarded no-op when the scan is already wide.
     """
-    base = li.select(order_col, item_col)
+    from fink_broker_spark.plans.partitioning import ensure_keyed_parallelism
+
+    base = ensure_keyed_parallelism(li.select(order_col, item_col), order_col)
     return (
         base.alias("a")
         .join(base.alias("b"), on=order_col)
@@ -185,10 +195,21 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = sym.select(F.col("src").alias("node")).distinct()
     n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+    # hoist the loop invariants (r10 optimization): the (node, n) base
+    # and the degree-annotated edge list are identical in every
+    # iteration, but inside the unrolled loop each iteration re-planned
+    # them from scratch (the captured r10 before-plan re-derives the
+    # node distinct, the 1-row count AND the edge-degree join three
+    # times — 26 Exchange nodes).  Materializing each ONCE (node-sized
+    # and edge-sized respectively) leaves per-iteration work at the
+    # contribution join + the dst-keyed sum, the true algorithmic
+    # minimum.  Results bit-identical (pure loop-invariant hoisting).
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
+    base = nodes.crossJoin(F.broadcast(n1)).localCheckpoint(eager=True)
+    ranks = base.select(
         "node", "n", F.expr(f"{PAGERANK_UNIT} DIV n").alias("ru")
     )
-    ed = sym.join(deg, "src")
+    ed = sym.join(deg, "src").localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
             ed.join(
@@ -199,16 +220,12 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         base_units = 15 * PAGERANK_UNIT // 100
-        ranks = (
-            nodes.crossJoin(F.broadcast(n1))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                "n",
-                F.expr(
-                    f"{base_units} DIV n + (85 * coalesce(s, 0)) DIV 100"
-                ).alias("ru"),
-            )
+        ranks = base.join(contrib, "node", "left").select(
+            "node",
+            "n",
+            F.expr(
+                f"{base_units} DIV n + (85 * coalesce(s, 0)) DIV 100"
+            ).alias("ru"),
         )
     return ranks.select("node", F.col("ru").alias("rank_units"))
 
@@ -228,11 +245,19 @@ def bounded_sssp(
     hops are absent (their distance is not yet settled — a bounded
     relaxation reports only what it has proven).
     """
+    # the node set feeds the source pick AND the distance init — uncut,
+    # both re-derive the union+distinct over the edge list (r10
+    # optimization; node-sized, so the materialization is bounded).
+    # Per-round checkpointing was MEASURED SLOWER here (2.67 → 3.29 s
+    # at sf0.1): the three blocking checkpoint jobs cost more than the
+    # dist-subtree duplication they remove, because AQE's runtime
+    # exchange reuse already dedupes the identical dist subtrees.
+    # lineage-truncation tradeoff: see __spark_entry__._materialize
     nodes = (
         wedges.select(F.col("src").alias("node"))
         .unionByName(wedges.select(F.col("dst").alias("node")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     src0 = nodes.agg(F.min("node").alias("node"))
     dist = nodes.join(F.broadcast(src0), "node").select(
         "node", F.lit(0).cast("long").alias("dist")
