@@ -13,7 +13,7 @@ import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fink_broker_spark.core.session import configure_session
+from fink_broker_spark.core.session import configure_session, session_id
 from fink_broker_spark.core.time import nanos_to_timestamp
 
 #: Tables of the synthetic test lake (TESTDATA.md).
@@ -52,6 +52,12 @@ def scan_parquet(
 #: with a different timestamp layout (e.g. a harness regenerating micros
 #: as nanos at the same path) never reuses stale footer metadata.
 _TS_COLS_CACHE: dict[tuple, tuple[tuple[str, str], ...]] = {}
+
+#: Memoized :func:`load_table` plans, keyed by (session identity,
+#: file fingerprint, table name).  Holds logical plans only — a few kB
+#: each; entries for stopped sessions are dead weight but bounded by
+#: |sessions| × |tables|.  See the note inside :func:`load_table`.
+_LOAD_TABLE_CACHE: dict[tuple, "DataFrame"] = {}
 
 
 def _cache_key(path: str) -> tuple:
@@ -126,6 +132,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     configure_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Plan-construction memo (metadata only — never results): building
+    # this DataFrame costs ~130-230 ms of driver-side work (parquet
+    # schema inference, a .dtypes analysis pass, the withColumn chain),
+    # paid 1-3× by every one of ~300 bench queries — ~60 s of the
+    # bench total measured at r10.  A DataFrame is an immutable logical
+    # plan, so the SAME object can seed every query: each action still
+    # re-scans parquet (nothing is persisted or cached executor-side).
+    # Keyed by session identity (a new/restarted session never reuses a
+    # dead session's plan) and by the file's (mtime, size) fingerprint
+    # (a regenerated lake invalidates the entry — same _cache_key the
+    # footer cache uses).  This is what a production catalog provides:
+    # resolve the table metadata once, not once per query.
+    memo_key = (session_id(spark), _cache_key(path), name)
+    cached = _LOAD_TABLE_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
     df = scan_parquet(spark, path)
     from pyspark.sql import functions as F
 
@@ -157,6 +179,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(col, nanos_to_timestamp(col))
         elif dt == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _LOAD_TABLE_CACHE[memo_key] = df
     return df
 
 
