@@ -107,6 +107,23 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _materialize_many(*dfs: DataFrame) -> tuple:
+    """Materialize several INDEPENDENT multi-consumer relations with
+    concurrently-submitted jobs (one thread per relation; py4j job
+    submission is thread-safe and the local scheduler interleaves the
+    stages), instead of paying each eager checkpoint's full job latency
+    serially during query construction.  Same results and same storage
+    tradeoff as :func:`_materialize` — only the submission overlaps.
+    Callers must pass relations with NO data dependency on each other
+    (a dependent relation would recompute its parent)."""
+    if len(dfs) == 1:
+        return (_materialize(dfs[0]),)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        return tuple(ex.map(_materialize, dfs))
+
+
 def _dec(col, scale: int = 9):
     """Exact decimal view of a float column for deterministic aggregation.
 
@@ -19985,7 +20002,12 @@ def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_int_expr(F.col("doc_id").cast("string"), 8) % 2 == 0
     )
     num_hashes = 16
-    sh = _shingle_table(sample, "doc_id", "text", 3)
+    # tokenize ONCE for BOTH consumers (r10): the signature chain and
+    # the exact ground truth each ran their own _shingle_table over the
+    # sample — the corpus was tokenized twice.  One materialized raw
+    # shingle relation now feeds the md5 signature chain AND
+    # jaccard_pairs (via its pre-tokenized `shingles` input).
+    sh = _materialize(_shingle_table(sample, "doc_id", "text", 3))
     hexed = sh.select(
         "doc_id", F.md5(F.col("shingle")).alias("__hex")
     ).select(
@@ -20006,9 +20028,14 @@ def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(num_hashes)
         ]
     )
-    # one signature feeds all 4 sweep settings — materialize once
-    # (the tokenize-once rule; see _materialize for the 100 TB note)
-    sig = _materialize(sig)
+    # the signature feeds all 4 sweep settings and the truth feeds the
+    # 4 hit joins + the scalar denominator — materialize each once,
+    # with CONCURRENT jobs (they are independent projections of the
+    # shared shingle relation; r10, see _materialize_many)
+    truth = jaccard_pairs(
+        sample, threshold=0.5, n=3, shingles=sh
+    ).select("id_a", "id_b")
+    sig, truth = _materialize_many(sig, truth)
     cand_parts = []
     for nbands, rpb in _LSH_SWEEP_SETTINGS:
         band_structs = [
@@ -20047,11 +20074,6 @@ def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = cand_parts[0]
     for part in cand_parts[1:]:
         cands = cands.unionAll(part)
-    # exact ground truth on the same sample, computed once for the
-    # 4 hit joins + the scalar denominator
-    truth = _materialize(
-        jaccard_pairs(sample, threshold=0.5, n=3).select("id_a", "id_b")
-    )
     ncand = cands.groupBy("nbands").agg(
         F.count(F.lit(1)).alias("n_candidates")
     )

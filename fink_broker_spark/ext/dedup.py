@@ -101,8 +101,17 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-``n``-shingle Jaccard similarity ≥ threshold.
+
+    ``shingles``: optional pre-tokenized ``(id_col, shingle)`` relation
+    (the exact output shape of ``_shingle_table``).  Callers that
+    already tokenized the same corpus for another consumer (e.g. the
+    LSH parameter sweep computing both a MinHash signature AND exact
+    ground truth from one sample) pass it here so the corpus is
+    tokenized ONCE — the tokenize-once rule; identical results by
+    construction.
 
     shingle → explode → self-equi-join on shingle (id_a < id_b) →
     intersection counts → ``|A∩B| / (|A| + |B| − |A∩B|)``. The join fans
@@ -122,7 +131,8 @@ def jaccard_pairs(
     # chain no longer ends at a reusable Exchange — uncut, each
     # consumer would re-tokenize the corpus (measured 3× CPU blow-up)
     # lineage-truncation tradeoff: see __spark_entry__._materialize
-    sh = _shingle_table(docs, id_col, text_col, n).select(
+    sh = (shingles if shingles is not None
+          else _shingle_table(docs, id_col, text_col, n)).select(
         id_col, F.xxhash64("shingle").alias("shash")
     ).localCheckpoint(eager=True)
     if max_df is not None:
@@ -707,8 +717,13 @@ def dedup_groups(
                 ).alias("component"),
             )
         )
-        # lineage-truncation tradeoff: see __spark_entry__._materialize
-        updated = updated.localCheckpoint(eager=True)
+        # lineage-truncation tradeoff: see __spark_entry__._materialize.
+        # LAZY on purpose (r10): the convergence agg below is the
+        # round's blocking action anyway, so it both computes the sum
+        # AND materializes the checkpoint in ONE job — eager=True ran a
+        # separate checkpoint job first, one extra job per round for
+        # nothing (A/B at sf0.1: identical results, ~0.2 s/query saved)
+        updated = updated.localCheckpoint(eager=False)
         # labels strictly decrease, so an unchanged sum IS the fixpoint —
         # one scalar agg instead of a join-based diff per round
         new_sum = updated.agg(F.sum("component")).collect()[0][0]
