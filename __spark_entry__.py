@@ -6074,7 +6074,14 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF expansion is verified against the textbook formulation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
+    # keyed spread (guide §2.5): the partial collect_set and the
+    # in-array pair fan-out below otherwise run in the scan stage's
+    # 1-3 tasks; HashPartitioning(l_orderkey) satisfies the basket
+    # aggregate's clustering so the whole chain runs at core width
+    # off ONE exchange of the 2-column rows (no-op on a wide scan)
+    baskets = ensure_keyed_parallelism(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    ).groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     parts = F.col("parts")
@@ -14321,7 +14328,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-2⁵³ cross products; top-25 by (conf DESC, a, b) with the
     exact integer tiebreak."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
+    # keyed spread — same rationale as basket_pairs (guide §2.5); the
+    # basket relation feeds three consumers (count, pairs, item
+    # supports) whose shared exchange Spark reuses
+    baskets = ensure_keyed_parallelism(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey"
+    ).groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
