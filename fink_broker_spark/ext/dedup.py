@@ -130,11 +130,18 @@ def jaccard_pairs(
     # + sizes, four with the max_df path) and the keyed-wide shingle
     # chain no longer ends at a reusable Exchange — uncut, each
     # consumer would re-tokenize the corpus (measured 3× CPU blow-up)
-    # lineage-truncation tradeoff: see __spark_entry__._materialize
+    # lineage-truncation tradeoff: see __spark_entry__._materialize.
+    # A caller-provided ``shingles`` relation is already materialized
+    # (that is the contract of passing it), so the barrier job here
+    # would only re-store a cheap xxhash projection of it — recomputing
+    # the hash per consumer is cheaper than the extra serial job
+    # (guide §1.2: don't add passes that cost more than they save)
     sh = (shingles if shingles is not None
           else _shingle_table(docs, id_col, text_col, n)).select(
         id_col, F.xxhash64("shingle").alias("shash")
-    ).localCheckpoint(eager=True)
+    )
+    if shingles is None:
+        sh = sh.localCheckpoint(eager=True)
     if max_df is not None:
         dfreq = sh.groupBy("shash").agg(F.count(F.lit(1)).alias("__df"))
         sh = (

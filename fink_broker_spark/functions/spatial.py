@@ -750,11 +750,16 @@ def healpix_crossmatch(
     # any multi-split catalog)
     from fink_broker_spark.plans.partitioning import ensure_scan_parallelism
 
+    # asNondeterministic (guide §4.4): the explode's inferred
+    # ``size(__pixes) > 0`` predicate is otherwise pushed below this
+    # projection and DUPLICATES the ArrowEvalPython node — every
+    # catalog row paid the disc sampling twice, and the pushed copy ran
+    # below the spread exchange (single-task).  The UDF is pure; the
+    # marker only forbids the optimizer from re-evaluating it.
+    cone = cone_pixels_udf(nside, radius_deg, nest=nest).asNondeterministic()
     rt = ensure_scan_parallelism(right).withColumn(
         "__pixes",
-        cone_pixels_udf(nside, radius_deg, nest=nest)(
-            F.col(right_ra), F.col(right_dec)
-        ),
+        cone(F.col(right_ra), F.col(right_dec)),
     ).withColumn("__pix", F.explode("__pixes")).drop("__pixes")
     sep = angular_sep_deg_expr(left_ra, left_dec, f"r_{right_ra}", f"r_{right_dec}")
     rt = rt.select(
