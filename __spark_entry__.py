@@ -2556,6 +2556,10 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bounded by suppliers-per-order, a handful): the aggregate+join
     # form referenced the fact join twice, scanning lineitem AND orders
     # twice each. One scan, one orderkey shuffle, then the distinct.
+    # (r10: A/B'd a single groupBy(collect_set×2)+element_at rewrite —
+    # warm 1.3-1.9 s vs 1.0-1.2 s for this form; the ObjectHashAggregate
+    # set state loses to the window's one per-partition sort here, so
+    # the window form stays.)
     w = Window.partitionBy("l_orderkey")
     counted = j.withColumn(
         "n_supp", F.size(F.collect_set("l_suppkey").over(w))
@@ -19991,12 +19995,13 @@ def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured on a sample; the sample predicate is the portable hash,
     so both engines pick identical docs).  The 16-min signature is
     computed ONCE and materialized (one md5 per shingle — the
-    Carter–Wegman family of ``minhash_lsh_pairs_portable``); each
-    sweep setting is a PROJECTION of that signature (band concat +
-    md5), so the sweep costs 4 bucket self-joins over bounded band
-    tables, never 4 re-tokenizations.  Ground truth is one
+    Carter–Wegman family of ``minhash_lsh_pairs_portable``); the sweep
+    costs ONE single-hash collision self-join (whose pair set bounds
+    every setting's candidates from above), with each setting's
+    membership a boolean over the pair's 16 hash-equality bits — never
+    4 band joins, never 4 re-tokenizations.  Ground truth is one
     shingle-posting join at Jaccard ≥ 0.5, also materialized once and
-    reused by all 4 settings' hit joins + the scalar count.  The
+    reused by the shared membership aggregate + the scalar count.  The
     final 4-row grid rides broadcast joins (plan-lint ALLOWED: 4-row
     VALUES grid × 1-row scalar).  Token-length envelope: the oracle's
     shingle positions stop at 100k (constant range() bound in duckdb
@@ -20048,52 +20053,97 @@ def q_lsh_param_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample, threshold=0.5, n=3, shingles=sh
     ).select("id_a", "id_b")
     sig, truth = _materialize_many(sig, truth)
-    cand_parts = []
-    for nbands, rpb in _LSH_SWEEP_SETTINGS:
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_int_expr(
-                    F.concat_ws(
-                        "#",
-                        *[
-                            F.col(f"__h{i}").cast("string")
-                            for i in range(b * rpb, (b + 1) * rpb)
-                        ],
+    # ONE collision join instead of four (r10): a (b, r) band collision
+    # requires every member hash equal, so the single-hash collision
+    # pair set — the (16, 1) setting's own candidates — is a superset
+    # of EVERY sweep setting's candidates.  Each pair joins its two
+    # signatures back on and every setting's membership is a boolean
+    # over the 16 hash-equality bits (band = AND over its r hashes,
+    # candidate = OR over bands); the old plan ran 4 band self-joins +
+    # 4 dedups + 4 truth joins (33.7 s CPU in one fused stage,
+    # profiled).  Hash-tuple equality replaces the band-md5 equality —
+    # identical candidates (the md5 was injective over '#'-joined
+    # digit strings; parity-verified both scales).
+    b16 = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col(f"__h{i}").alias("hv"),
                     )
-                ).alias("bhash"),
+                    for i in range(num_hashes)
+                ]
             )
-            for b in range(nbands)
-        ]
-        bt = sig.select(
-            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-        ).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bhash").alias("bhash"),
+        ).alias("bb"),
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.hv").alias("hv"),
+    )
+    pairs = (
+        b16.alias("x")
+        .join(b16.alias("y"), on=["band", "hv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
         )
-        cand_parts.append(
-            bt.alias("x")
-            .join(bt.alias("y"), on=["band", "bhash"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.lit(nbands).cast("int").alias("nbands"),
-                F.col("x.doc_id").alias("id_a"),
-                F.col("y.doc_id").alias("id_b"),
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"__h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"__h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    flagged = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .join(
+            truth.select("id_a", "id_b", F.lit(1).alias("__t")),
+            on=["id_a", "id_b"],
+            how="left",
+        )
+    )
+    eq = [
+        F.col(f"__a{i}") == F.col(f"__b{i}") for i in range(num_hashes)
+    ]
+
+    def _cand_expr(nbands: int, rpb: int):
+        bands = []
+        for b in range(nbands):
+            cond = eq[b * rpb]
+            for i in range(b * rpb + 1, (b + 1) * rpb):
+                cond = cond & eq[i]
+            bands.append(cond)
+        out = bands[0]
+        for cond in bands[1:]:
+            out = out | cond
+        return out
+
+    member = flagged.select(
+        "__t",
+        F.explode(
+            F.array(
+                *[
+                    F.when(_cand_expr(nb, rpb), F.lit(nb).cast("int"))
+                    for nb, rpb in _LSH_SWEEP_SETTINGS
+                ]
             )
-            .dropDuplicates(["nbands", "id_a", "id_b"])
-        )
-    cands = cand_parts[0]
-    for part in cand_parts[1:]:
-        cands = cands.unionAll(part)
-    ncand = cands.groupBy("nbands").agg(
-        F.count(F.lit(1)).alias("n_candidates")
+        ).alias("nbands"),
+    ).filter(F.col("nbands").isNotNull())
+    counts = member.groupBy("nbands").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("__t").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits"),
     )
-    hits = (
-        cands.join(truth, on=["id_a", "id_b"])
-        .groupBy("nbands")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    ncand = counts.select("nbands", "n_candidates")
+    hits = counts.select("nbands", "n_hits")
     ntruth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     grid = spark.createDataFrame(
         list(_LSH_SWEEP_SETTINGS), "nbands int, rows_per_band int"

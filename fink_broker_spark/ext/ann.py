@@ -172,30 +172,33 @@ def brute_force_topk_kernel(
     ).select(query_id_col, id_col, "cosine", "rank")
 
 
-def _sqdist_expr(vec_col: Column | str, centroid: list[float]) -> Column:
-    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
-        "array<double>"
-    )
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _cell_ranking_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """array<struct<dist,cell>> sorted ascending — struct ordering compares
-    dist first, so ``array_sort`` yields nearest-cell-first."""
+    dist first, so ``array_sort`` yields nearest-cell-first.
+
+    The centroid matrix rides ONE nested-array literal and the per-cell
+    distance is a two-arg ``transform`` (element, index) over it — the
+    unrolled form (one ``zip_with``+``aggregate`` lambda pair and ``dim``
+    scalar literals PER centroid) built an O(nlist·dim) expression tree
+    whose Catalyst analysis dominated wall time on bounded corpora
+    (ivf_ann_topk: 2.7 s of a 4.0 s run was driver-side plan work, r10
+    profile).  Arithmetic is bit-identical: same (x−y)·(x−y) doubles in
+    the same left-to-right ``aggregate`` order, same struct ordering
+    (dist, then cell index) under ``array_sort``."""
+    from fink_broker_spark.functions.vector import double_matrix_lit
+
+    v = F.col(vec_col).cast("array<double>")
     return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist_expr(vec_col, c).alias("dist"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        F.transform(
+            double_matrix_lit(centroids),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                i.alias("cell"),
+            ),
         )
     )
 
@@ -745,16 +748,25 @@ def signature_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
         "array<double>"
     )
-    bits = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    # plane matrix as ONE nested-array literal + one transform lambda:
+    # the unrolled per-plane form built an O(nbits·dim) expression tree
+    # whose Catalyst analysis cost scaled with the plane count (same
+    # compaction as _cell_ranking_expr, r10).  Bit order, dot-product
+    # accumulation order, and the >= 0 sign rule are unchanged.
+    from fink_broker_spark.functions.vector import double_matrix_lit
+
+    return F.transform(
+        double_matrix_lit(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(v, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def _band_table(

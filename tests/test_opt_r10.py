@@ -189,3 +189,99 @@ def test_ensure_keyed_parallelism_single_exchange(spark):
     for i in range(1000):
         want[i % 50] = want.get(i % 50, 0) + i
     assert got == want
+
+
+def test_double_matrix_lit_bit_exact(spark):
+    """The SQL-parsed matrix literal must be bit-identical to the
+    Python floats, including -0.0, denormals, and extreme exponents —
+    it replaces element-wise F.lit conversion in the centroid/plane
+    expressions (r10 literal compaction)."""
+    import struct
+
+    from fink_broker_spark.functions.vector import double_matrix_lit
+
+    rows = [
+        [0.1, -0.0, 1e-300, 4.9e-324],
+        [-1.7976931348623157e308, 123456789.123456789, 2.5, -3.0],
+    ]
+    got = (
+        spark.range(1)
+        .select(double_matrix_lit(rows).alias("m"))
+        .collect()[0]["m"]
+    )
+    for want_row, got_row in zip(rows, got):
+        for a, b in zip(want_row, got_row):
+            assert struct.pack("<d", a) == struct.pack("<d", b)
+
+
+def test_cell_ranking_compact_matches_unrolled(spark):
+    """The compact transform-over-matrix-literal ranking must equal the
+    old unrolled per-centroid form bit-for-bit (same (x-y)^2 doubles,
+    same aggregate order, same struct tie-break on cell index)."""
+    from fink_broker_spark.ext.ann import _cell_ranking_expr
+
+    cents = [[1.5, 2.5], [0.25, -1.0], [3.0, 0.5], [1.5, 2.5]]
+    df = spark.createDataFrame(
+        [([2.0, 1.0],), ([0.25, -1.0],), ([-5.5, 4.25],)],
+        "embedding array<double>",
+    )
+
+    def unrolled(vec_col):
+        v = F.col(vec_col).cast("array<double>")
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        )
+
+    got = df.select(
+        _cell_ranking_expr("embedding", cents).alias("r")
+    ).collect()
+    want = df.select(unrolled("embedding").alias("r")).collect()
+    assert [r["r"] for r in got] == [r["r"] for r in want]
+
+
+def test_signature_expr_compact_matches_unrolled(spark):
+    """Hyperplane sign bits from the compact plane-matrix literal must
+    equal the old per-plane unrolled construction."""
+    from fink_broker_spark.ext.ann import hyperplanes, signature_expr
+
+    planes = hyperplanes(4, 8, seed=7)
+    df = spark.createDataFrame(
+        [([0.5, -1.0, 2.0, 0.0],), ([-0.1, -0.2, 0.3, 0.4],)],
+        "embedding array<double>",
+    )
+
+    def unrolled(vec_col):
+        v = F.col(vec_col).cast("array<double>")
+        bits = []
+        for plane in planes:
+            dot = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+        return F.array(*bits)
+
+    got = df.select(signature_expr("embedding", planes).alias("s")).collect()
+    want = df.select(unrolled("embedding").alias("s")).collect()
+    assert [r["s"] for r in got] == [r["s"] for r in want]
