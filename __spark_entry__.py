@@ -9141,6 +9141,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_cents",
     )
+    # each bucketed_ntile references its input twice (bucket counts +
+    # the offset join), so the three nested scores re-derived the
+    # orders aggregate up to 2^3 × its two base references (the
+    # 16-scan row of the r9 census).  base is |customers|-sized —
+    # materialize once; the downstream re-references are then windows
+    # over the checkpointed rows, not fact re-scans (guide §1.2).
+    base = _materialize(base)
     from fink_broker_spark.operators.ranking import bucketed_ntile
 
     ck = F.col("o_custkey")
@@ -14474,6 +14481,11 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "yr")
         .agg(F.sum("cents").alias("c"), F.sum("qty").alias("q"))
     )
+    # |nations|×|years| rows feeding THREE consumers (ymax, cur, prv):
+    # uncut, each re-ran the 3-way fact join + aggregate (16-scan row
+    # of the r9 census; guide §1.2 re-derivation).  One materialize,
+    # one fact pass.
+    base = _materialize(base)
     ymax = base.agg(F.max("yr").alias("y1"))
     cur = base.crossJoin(F.broadcast(ymax)).filter(
         F.col("yr") == F.col("y1")
@@ -17417,6 +17429,15 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["user_id", "n_orders", "n_matched", "sum_matched_cents"]
         ]
 
+    # pin the cogrouped Python stage at core width (guide §4 / global
+    # finding 2, r10): AQE's byte-based coalescing squeezed the
+    # 256-bucket Arrow stage to 4 tasks (profiled 6.9 s CPU / 4 tasks)
+    # while its cost is per-row pandas work, not bytes; a user
+    # repartition on the bucket key is never coalesced and its
+    # HashPartitioning satisfies the cogroup clustering — no second
+    # exchange.  Guarded no-op when the inputs are already wide.
+    od = ensure_keyed_parallelism(od, "bkt")
+    ev = ensure_keyed_parallelism(ev, "bkt")
     return (
         od.groupBy("bkt")
         .cogroup(ev.groupBy("bkt"))
