@@ -3576,11 +3576,17 @@ def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fink_broker_spark.sinks.kafka import distribution_cast_plan
 
     ev = load_table(spark, sf_dir, "events")
-    staged = ev.select(
-        "event_id",
-        "ts",
-        F.struct(F.col("user_id"), F.col("event_type")).alias("meta"),
-        F.array(F.col("value")).alias("history"),
+    # spread the single-split scan (guide §2.5): the per-row
+    # to_json/from_json codec ran in the scan stage's one task
+    # (profiled 1.25 s single-task save stage); guarded no-op on a
+    # wide lake.
+    staged = ensure_scan_parallelism(
+        ev.select(
+            "event_id",
+            "ts",
+            F.struct(F.col("user_id"), F.col("event_type")).alias("meta"),
+            F.array(F.col("value")).alias("history"),
+        )
     )
     planned = distribution_cast_plan(staged)
     wrapped = planned.select(F.struct(*planned.columns).alias("payload"))
@@ -10849,6 +10855,14 @@ def q_basket_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
+    # items feeds first_buy AND the flag join, but its subtree tops out
+    # at the fact join — no Exchange, so both consumers re-ran the join
+    # (global finding 3).  A repartition on the shared (customer, part)
+    # key gives both consumers ONE reusable Exchange that also
+    # satisfies the groupBy clustering and the join distribution — no
+    # second shuffle, strictly fewer fact passes; scale-neutral (a
+    # keyed shuffle of the projected fact columns).
+    items = items.repartition("o_custkey", "l_partkey")
     first_buy = items.groupBy("o_custkey", "l_partkey").agg(
         F.min(F.struct("od", "l_orderkey")).alias("first")
     )
@@ -14347,6 +14361,13 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    # the shared subtree tops out at the AGGREGATE, not an Exchange, so
+    # Spark re-ran the collect_set basket build once per consumer
+    # (count + pair expansion + item supports — profiled ~30 s CPU of
+    # duplicate aggregation across the three stages, r10; global
+    # finding 3).  Materialize the |orders|-sized basket relation once.
+    # lineage-truncation tradeoff: see _materialize
+    baskets = _materialize(baskets)
     nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     parts = F.col("parts")
     pair_structs = F.flatten(
