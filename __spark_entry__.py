@@ -4362,6 +4362,13 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths. The oracle computes straight from the source columns —
     identical results prove extraction round-trips the values exactly."""
     ev = load_table(spark, sf_dir, "events")
+    # spread the single-split scan (guide §2.5): parse_json + 3
+    # variant_gets per row are the heaviest per-row CPU in the suite's
+    # JSON family and ran in the scan stage's one task (profiled 3.2 s
+    # single-task stage); guarded no-op on a wide lake.
+    ev = ensure_scan_parallelism(
+        ev.select("props", "event_type", "user_id", "event_id")
+    )
     doc = F.concat(
         F.lit('{"meta": '),
         F.col("props"),
@@ -20348,9 +20355,20 @@ def q_surprise_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     Canonical per-doc rows via the dupdrift survivor rule (min(text),
     min(source) after the empty filter)."""
     docs = load_table(spark, sf_dir, "documents")
+    # keyed spread (guide §2.5): the canonical-row aggregate below
+    # would otherwise AQE-coalesce to 1-3 partitions, and the
+    # materialized relation INHERITS that width — the downstream
+    # tokenize+explode (the query's heaviest map work) then ran
+    # near-serial off the checkpoint blocks (profiled 1.4 s
+    # single-task stage).  A user repartition is never coalesced, so
+    # the checkpoint stays core-wide.  Guarded no-op on a wide lake.
     uniq = (
-        docs.filter(F.col("source").isNotNull())
-        .filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+        ensure_keyed_parallelism(
+            docs.filter(F.col("source").isNotNull())
+            .filter(F.length(F.trim(F.lower(F.col("text")))) > 0)
+            .select("doc_id", "text", "source"),
+            "doc_id",
+        )
         .groupBy("doc_id")
         .agg(F.min("text").alias("text"), F.min("source").alias("source"))
     )
