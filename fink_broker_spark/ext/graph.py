@@ -295,6 +295,19 @@ def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
     before you shuffle"; measured plan: 2 Exchange + dedupe pass →
     1 Exchange).  Exact-identical to the distinct-count by
     construction: each (node, nb) sets exactly one bit.
+
+    Both counts ride ONE aggregation pass (guide §2.4 "remove shuffles
+    outright"): the union is tagged with an is-1-hop flag and each
+    (node, word) group folds TWO bitmaps — ``bit_or(bit)`` for the
+    ≤2-hop set and ``bit_or(bit WHERE tag)`` for the 1-hop subset —
+    so the former separate 1-hop aggregation pipeline and the final
+    ``n1 ⋈ n2`` sort-merge join vanish (plan: 6 Exchange + 2 joins →
+    4 Exchange + 1 join, the wedge join itself).  Equivalence: every
+    node has ≥1 one-hop row (``two``'s node = a.src always appears in
+    ``one``), so the old inner join kept exactly the per-node rows the
+    fused groupBy emits, and ``bit_or`` over the tagged subset sets
+    exactly the 1-hop bits; aggregates ignore the NULLed non-tagged
+    rows.  Pinned by the brute-force test and a single-join plan pin.
     """
     sym = symmetrize(edges)
     one = sym.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
@@ -306,27 +319,28 @@ def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
     if exclude_self:
         two = two.filter(F.col("nb") != F.col("node"))
 
-    def bitmap_count(rel: DataFrame, out: str) -> DataFrame:
-        # exact floor-division word for ANY sign of nb (DIV truncates
-        # toward zero on negatives; pmod is always non-negative)
-        words = rel.select(
-            "node",
-            F.expr("(nb - pmod(nb, 64)) DIV 64").alias("__w"),
-            # SQL form: the python shiftleft() only takes literal shifts
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(nb, 64) AS INT))"
-            ).alias("__bit"),
-        )
-        per_word = words.groupBy("node", "__w").agg(
-            F.bit_or("__bit").alias("__bm")
-        )
-        return per_word.groupBy("node").agg(
-            F.sum(F.bit_count("__bm")).cast("long").alias(out)
-        )
-
-    n2 = bitmap_count(one.unionAll(two), "n_2hop")
-    n1 = bitmap_count(one, "n_1hop")
-    return n1.join(n2, "node")
+    tagged = one.withColumn("__one", F.lit(True)).unionAll(
+        two.withColumn("__one", F.lit(False))
+    )
+    # exact floor-division word for ANY sign of nb (DIV truncates
+    # toward zero on negatives; pmod is always non-negative)
+    words = tagged.select(
+        "node",
+        F.expr("(nb - pmod(nb, 64)) DIV 64").alias("__w"),
+        # SQL form: the python shiftleft() only takes literal shifts
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(nb, 64) AS INT))"
+        ).alias("__bit"),
+        "__one",
+    )
+    per_word = words.groupBy("node", "__w").agg(
+        F.bit_or("__bit").alias("__bm2"),
+        F.bit_or(F.when(F.col("__one"), F.col("__bit"))).alias("__bm1"),
+    )
+    return per_word.groupBy("node").agg(
+        F.sum(F.bit_count("__bm1")).cast("long").alias("n_1hop"),
+        F.sum(F.bit_count("__bm2")).cast("long").alias("n_2hop"),
+    )
 
 
 #: resource-allocation fixed-point scale: RA = Σ 10^9 div deg(w)

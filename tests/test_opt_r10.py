@@ -148,6 +148,26 @@ def test_khop_bitmap_equals_bruteforce(spark):
     assert got == want
 
 
+def test_khop_single_pass_plan(spark):
+    """The fused bitmap aggregation computes n_1hop and n_2hop in ONE
+    pass: the only join left in the plan is the wedge self-join — the
+    former n1 ⋈ n2 sort-merge join must stay gone (r10 fusion)."""
+    import re
+
+    from fink_broker_spark.ext.graph import khop_reach
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    out = khop_reach(edges)
+    assert out.columns == ["node", "n_1hop", "n_2hop"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"(?:SortMerge|ShuffledHash|BroadcastHash|"
+        r"BroadcastNestedLoop|CartesianProduct)Join",
+        plan,
+    )
+    assert len(joins) == 1, plan
+
+
 def test_ensure_scan_parallelism_guard(spark):
     from fink_broker_spark.plans.partitioning import (
         ensure_keyed_parallelism,
