@@ -103,8 +103,15 @@ def _materialize(df: DataFrame) -> DataFrame:
     loss) or ``df.persist(StorageLevel.DISK_ONLY)`` (lineage kept,
     recompute on loss) — same plan shape, one line, and the
     tokenize-once / explode-once savings these sites exist for are
-    preserved.  The swap point is THIS function."""
-    return df.localCheckpoint(eager=True)
+    preserved.  The swap point is
+    :func:`fink_broker_spark.plans.materialize.materialize`, which this
+    delegates to: configuring ``SparkContext.setCheckpointDir`` flips
+    every materialization in the engine to the RELIABLE ``checkpoint``
+    path (r10 VERDICT item 3); with no checkpoint dir the behavior is
+    byte-identical to the old inline ``localCheckpoint``."""
+    from fink_broker_spark.plans.materialize import materialize
+
+    return materialize(df)
 
 
 def _materialize_many(*dfs: DataFrame) -> tuple:
@@ -2956,7 +2963,13 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite form exists identically in both engines). The
     data-cleaning op every entity-resolution pipeline needs before
     exact joins apply."""
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # spread the single-split supplier scan (guide §2.5): the 4×|supplier|
+    # levenshtein DP evaluations below the broadcast NLJ otherwise run in
+    # ONE scan task — r10's bootstrap_ci regime; guarded no-op on a wide
+    # production lake
+    supp = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
     probes = spark.createDataFrame(
         [("Supplier#13",), ("Suplier#42",), ("SUPPLIER#7",), ("Supp#0001",)],
         "probe string",
@@ -3504,6 +3517,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered in pytest). The oracle checks the relational surface."""
     from fink_broker_spark.ext.multimodal import pack_media
 
+    # examined r11, left UNSPREAD: a §2.5 round-robin spread of the
+    # events scan measured SLOWER warm (0.21 → 0.35 s interleaved A/B at
+    # sf0.1) — the exchange moves the binary payload itself, which costs
+    # more than parallelizing the cheap sha256; the driver's 3.17 s
+    # sample was a contention spike (0.27 s on a quiet host)
     ev = load_table(spark, sf_dir, "events")
     media = pack_media(
         ev, "event_id", F.col("props").cast("binary"), kind="blob"
@@ -7577,33 +7595,56 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max(carry_in + local_max)``. Exactly equivalent: chunk id is a
     monotone function of t, so chunk-local order concatenated in chunk
     order IS the global sweep order."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
-    spans = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+    # Aggregate BEFORE the join (guide §2.3 "aggregate before you
+    # shuffle"): the old shape joined the raw 4·|orders| lineitem rows
+    # to orders and THEN grouped — every fact row crossed the join and
+    # the group-by ran on the joined relation.  Each side now collapses
+    # to its per-order extreme first, keyed-spread off its single-split
+    # scan (guide §2.5), and the two aggregates meet co-partitioned on
+    # the order key (hash(key) satisfies both the group-by clustering
+    # and the join distribution — ONE exchange per side, none for the
+    # join).  Exactly equivalent with NO key-uniqueness assumption:
+    # grouping the joined relation by (o_orderkey, o_orderpriority)
+    # yields min(o_orderdate) over that key's orders rows and
+    # max(l_shipdate) over that key's lineitem rows — precisely the
+    # per-side aggregates joined back on the key.
+    ords = (
+        ensure_keyed_parallelism(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderdate"
+            ),
+            "o_orderkey",
+        )
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
             # o_orderdate/l_shipdate are normalized to TIMESTAMP by
             # load_table whatever the physical layout (NANOS-as-long
             # included) — never cast a possibly-bigint column here
-            F.min(F.unix_micros(F.col("o_orderdate"))).alias("t0"),
-            F.max(F.unix_micros(F.col("l_shipdate"))).alias("t1"),
+            F.min(F.unix_micros(F.col("o_orderdate"))).alias("t0")
         )
-        .filter(F.col("t1") >= F.col("t0"))
     )
+    ship = (
+        ensure_keyed_parallelism(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.max(F.unix_micros(F.col("l_shipdate"))).alias("t1"))
+    )
+    spans = ords.join(ship, "o_orderkey").filter(F.col("t1") >= F.col("t0"))
+    # both boundary events from ONE pass over spans (a self-union would
+    # re-derive the whole join/aggregate subtree per branch)
     events = spans.select(
-        "o_orderpriority", F.col("t0").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(
-            "o_orderpriority",
-            F.col("t1").alias("t"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "o_orderpriority",
+        F.explode(
+            F.array(
+                F.struct(F.col("t0").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("t1").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("__ev"),
+    ).select("o_orderpriority", F.col("__ev.t").alias("t"), F.col("__ev.delta").alias("delta"))
     chunk_us = 30 * 86_400_000_000  # 30-day sweep chunks
     events = events.withColumn(
         "chunk", F.expr(f"CAST(t DIV {chunk_us} AS BIGINT)")
@@ -9673,6 +9714,7 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     value grid, one grid-ordered cumulative window (|distinct cents|
     rows), a 1-row output — no per-row ranking ever happens."""
     li = load_table(spark, sf_dir, "lineitem")
+    chunk_w = 1 << 16  # $655.36 price chunks: domain-bounded count
     t = (
         # NULL prices have no rank (nullmeasure: NULL grid row would
         # sort with engine-different placement)
@@ -9688,36 +9730,86 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("is1"),
         )
-        .groupBy("cents")
-        .agg(
-            F.sum("is1").alias("n1"),
-            F.sum(1 - F.col("is1")).alias("n2"),
+        # chunk id is a pure function of cents (sign-safe floor
+        # division — DIV truncates toward zero), so grouping by
+        # (__chunk, cents) IS grouping by cents; carrying the chunk in
+        # the group key lets ONE hash(__chunk) exchange satisfy the
+        # aggregate AND the chunk-local window below (no second
+        # grid-sized exchange)
+        .withColumn(
+            "__chunk",
+            F.expr(f"(cents - pmod(cents, {chunk_w})) DIV {chunk_w}"),
         )
     )
-    w = Window.orderBy("cents")
-    grid = t.select(
+    t = ensure_keyed_parallelism(t, "__chunk").groupBy(
+        "__chunk", "cents"
+    ).agg(
+        F.sum("is1").alias("n1"),
+        F.sum(1 - F.col("is1")).alias("n2"),
+    )
+    # CHUNKED cumulative (the max_concurrency sweep rule): a bare
+    # Window.orderBy over the value grid funnels EVERY grid row through
+    # one partition — a single-task sort whose input grows with
+    # |distinct cents| (the r11 before-plan showed Exchange
+    # SinglePartition carrying the whole ~370k-row grid).  The running
+    # sum runs inside chunk partitions, the per-chunk totals (a
+    # ~|range|/2¹⁶-row relation) are prefix-summed to give each chunk's
+    # carry-in, and the rank-sum decomposes as
+    #   Σ n1·(2·cumb+tt+1) = Σ n1·(2·lcumb+tt+1) + 2·Σ_chunk carry·s1
+    # because cumb = carry(chunk) + lcumb.  Chunk id is a monotone
+    # function of cents, so chunk-local order concatenated in chunk
+    # order IS the global cents order — exact integer equivalence
+    # (pinned against the single-window form in tests/test_opt_r11.py).
+    g = t.select(
+        "__chunk",
         "cents",
         "n1",
         "n2",
         (F.col("n1") + F.col("n2")).alias("tt"),
-        (
-            F.sum(F.col("n1") + F.col("n2")).over(w)
-            - (F.col("n1") + F.col("n2"))
-        ).alias("cumb"),
     )
-    agg = grid.agg(
-        F.sum("n1").alias("n1t"),
-        F.sum("n2").alias("n2t"),
+    w_local = Window.partitionBy("__chunk").orderBy("cents")
+    loc = g.select(
+        "__chunk",
+        "n1",
+        "n2",
+        "tt",
+        (F.sum("tt").over(w_local) - F.col("tt")).alias("lcumb"),
+    )
+    per_chunk = loc.groupBy("__chunk").agg(
+        F.sum("n1").alias("s1"),
+        F.sum("n2").alias("s2"),
         F.sum(
             (
-                F.col("n1") * (2 * F.col("cumb") + F.col("tt") + 1)
+                F.col("n1") * (2 * F.col("lcumb") + F.col("tt") + 1)
             ).cast("decimal(38,0)")
-        ).alias("r1_2"),
+        ).alias("lr1"),
         F.sum(
             (
                 F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")
             ).cast("decimal(38,0)")
-        ).alias("tie3"),
+        ).alias("ltie3"),
+    )
+    w_carry = Window.orderBy("__chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carried = per_chunk.withColumn(
+        "carry",
+        F.coalesce(
+            F.sum(F.col("s1") + F.col("s2")).over(w_carry), F.lit(0)
+        ),
+    )
+    agg = carried.agg(
+        F.sum("s1").alias("n1t"),
+        F.sum("s2").alias("n2t"),
+        (
+            F.sum("lr1")
+            + F.lit(2).cast("decimal(38,0)")
+            * F.sum(
+                F.col("carry").cast("decimal(38,0)")
+                * F.col("s1").cast("decimal(38,0)")
+            )
+        ).cast("decimal(38,0)").alias("r1_2"),
+        F.sum("ltie3").alias("tie3"),
     )
 
     def big(c):

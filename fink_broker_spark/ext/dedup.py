@@ -29,6 +29,7 @@ from fink_broker_spark.functions.text import (
     tokens_expr,
 )
 from fink_broker_spark.functions.vector import cosine_expr
+from fink_broker_spark.plans.materialize import materialize
 from fink_broker_spark.plans.partitioning import (
     ensure_keyed_parallelism,
     ensure_scan_parallelism,
@@ -141,7 +142,7 @@ def jaccard_pairs(
         id_col, F.xxhash64("shingle").alias("shash")
     )
     if shingles is None:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.transform(materialize)
     if max_df is not None:
         dfreq = sh.groupBy("shash").agg(F.count(F.lit(1)).alias("__df"))
         sh = (
@@ -240,7 +241,7 @@ def minhash_lsh_pairs(
     # ends at a reusable Exchange — uncut, each side re-tokenizes and
     # re-hashes the corpus (lineage-truncation tradeoff: see
     # __spark_entry__._materialize); |docs| rows × num_hashes longs
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.transform(materialize)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -277,7 +278,7 @@ def minhash_lsh_pairs(
     # candidate list feeds both the id set and the final join — one
     # materialization instead of re-running banding per consumer
     # lineage-truncation tradeoff: see __spark_entry__._materialize
-    cands = cands.localCheckpoint(eager=True)
+    cands = cands.transform(materialize)
     # verify only the candidate documents: a pair's shingle intersection
     # involves no third document, so Jaccard computed over the candidate
     # subset is EXACT for candidate pairs — and the verify join's fanout
@@ -391,7 +392,7 @@ def simhash_pairs(
         # and the tokenize → vote chain has no exchange to reuse —
         # uncut, the Arrow vote kernel runs twice over the corpus
         # lineage-truncation tradeoff: see __spark_entry__._materialize
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # static shifts per band (shiftright needs a literal shift amount)
     bands = F.array(
@@ -493,7 +494,7 @@ def minhash_lsh_pairs_portable(
     # keyed-wide shingle chain below no longer ends at a reusable
     # Exchange — uncut, each side re-tokenizes + re-md5s the corpus
     # lineage-truncation tradeoff: see __spark_entry__._materialize
-    sig = sig.localCheckpoint(eager=True)
+    sig = sig.transform(materialize)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -529,7 +530,7 @@ def minhash_lsh_pairs_portable(
     # the exact join's fanout shrinks from the whole corpus to the
     # near-dup families — output-identical, ~5× cheaper at sf0.1
     # lineage-truncation tradeoff: see __spark_entry__._materialize
-    cands = cands.localCheckpoint(eager=True)
+    cands = cands.transform(materialize)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -591,7 +592,7 @@ def simhash_pairs_portable(
     # lineage-truncation tradeoff: see __spark_entry__._materialize
     base = votes.select(
         F.col(id_col), simhash.alias("simhash")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     bands = F.array(
         *[
             F.struct(
@@ -667,7 +668,7 @@ def dedup_groups(
         # materialize ONCE: without this, every propagation round re-runs
         # the (possibly expensive) pair-generation lineage upstream
         # lineage-truncation tradeoff: see __spark_entry__._materialize
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # right-size the round frames: component graphs after thresholding are
     # tiny relative to the corpus, and per-round scheduling overhead at
@@ -730,7 +731,7 @@ def dedup_groups(
         # AND materializes the checkpoint in ONE job — eager=True ran a
         # separate checkpoint job first, one extra job per round for
         # nothing (A/B at sf0.1: identical results, ~0.2 s/query saved)
-        updated = updated.localCheckpoint(eager=False)
+        updated = updated.transform(materialize, eager=False)
         # labels strictly decrease, so an unchanged sum IS the fixpoint —
         # one scalar agg instead of a join-based diff per round
         new_sum = updated.agg(F.sum("component")).collect()[0][0]
@@ -944,7 +945,7 @@ def dup_span_coverage(
                 lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n))),
             )
         ).alias("w"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     freq = windows.groupBy("w").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
@@ -1021,7 +1022,7 @@ def exact_substring_remove(
         .groupBy(F.col(id_col).alias("doc_id"))
         .agg(F.min(text_col).alias("__text"))
         .select("doc_id", tokens_expr("__text").alias("toks"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # guard: sequence(1, 0) would DESCEND in Spark, not come back empty
     idx = F.when(
@@ -1038,7 +1039,7 @@ def exact_substring_remove(
         ).alias("p0", "w"),
     ).select(
         "doc_id", (F.col("p0") + 1).alias("start"), "w"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     dup_w = (
         win.groupBy("w")
         .agg(F.count_distinct("doc_id").alias("ndocs"))

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fink_broker_spark.plans.materialize import materialize
+
 
 def copurchase_edges(
     li: DataFrame,
@@ -163,7 +165,7 @@ def min_label_propagation(sym: DataFrame, rounds: int = 3) -> DataFrame:
         # census: graph_modularity's static plan hit 188 lineitem
         # scans before the cut)
         # lineage-truncation tradeoff: see __spark_entry__._materialize
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(materialize)
     return labels
 
 
@@ -205,11 +207,11 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 3) -> DataFrame:
     # contribution join + the dst-keyed sum, the true algorithmic
     # minimum.  Results bit-identical (pure loop-invariant hoisting).
     # lineage-truncation tradeoff: see __spark_entry__._materialize
-    base = nodes.crossJoin(F.broadcast(n1)).localCheckpoint(eager=True)
+    base = nodes.crossJoin(F.broadcast(n1)).transform(materialize)
     ranks = base.select(
         "node", "n", F.expr(f"{PAGERANK_UNIT} DIV n").alias("ru")
     )
-    ed = sym.join(deg, "src").localCheckpoint(eager=True)
+    ed = sym.join(deg, "src").transform(materialize)
     for _ in range(iters):
         contrib = (
             ed.join(
@@ -257,7 +259,7 @@ def bounded_sssp(
         wedges.select(F.col("src").alias("node"))
         .unionByName(wedges.select(F.col("dst").alias("node")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     src0 = nodes.agg(F.min("node").alias("node"))
     dist = nodes.join(F.broadcast(src0), "node").select(
         "node", F.lit(0).cast("long").alias("dist")
@@ -309,13 +311,28 @@ def khop_reach(edges: DataFrame, exclude_self: bool = True) -> DataFrame:
     exactly the 1-hop bits; aggregates ignore the NULLed non-tagged
     rows.  Pinned by the brute-force test and a single-join plan pin.
     """
+    from fink_broker_spark.operators.relational import replicated_skew_join
+
     sym = symmetrize(edges)
     one = sym.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
-    two = (
-        sym.alias("a")
-        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("node"), F.col("b.dst").alias("nb"))
-    )
+    # SALTED wedge join (guide §2.5 "salting also splits a single
+    # oversized key"): the hop boundary joins on the neighbor id, so a
+    # hub node's entire wedge fan-out lands on ONE reducer — AQE's
+    # skew-split divides oversized partitions, not a single hot key.
+    # The probe side is salted by its own src (varies within the hot
+    # key), the build side replicated nsalts×; result-identical by
+    # replicated_skew_join's contract (pinned by the brute-force test).
+    # The replication cost is bounded: the edge relation is support-cut
+    # upstream, and at sf0.1 the whole wedge input is ~7.7k rows
+    # (max degree 10 — measured r11), so the salt is pure scale
+    # insurance at zero bench cost.
+    two = replicated_skew_join(
+        sym.select(F.col("src").alias("node"), F.col("dst").alias("__k")),
+        sym.select(F.col("src").alias("__k"), F.col("dst").alias("nb")),
+        on=["__k"],
+        salt_col="node",
+        nsalts=8,
+    ).select("node", "nb")
     if exclude_self:
         two = two.filter(F.col("nb") != F.col("node"))
 

@@ -55,6 +55,7 @@ from pyspark.sql.types import (
 )
 
 from fink_broker_spark.ext.ann import _cell_ranking_expr, kmeans_centroids
+from fink_broker_spark.plans.materialize import materialize
 
 _OUT_SCHEMA = StructType(
     [
@@ -231,7 +232,7 @@ def semantic_dedup_portable(
         "cid",
         dot_self.alias("__n2"),
         F.row_number().over(wscan).alias("__r"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     a = ranked.select(
         "cid",
         F.col("__r").alias("__ra"),

@@ -55,9 +55,41 @@ _TS_COLS_CACHE: dict[tuple, tuple[tuple[str, str], ...]] = {}
 
 #: Memoized :func:`load_table` plans, keyed by (session identity,
 #: file fingerprint, table name).  Holds logical plans only — a few kB
-#: each; entries for stopped sessions are dead weight but bounded by
-#: |sessions| × |tables|.  See the note inside :func:`load_table`.
+#: each.  See the note inside :func:`load_table`.
 _LOAD_TABLE_CACHE: dict[tuple, "DataFrame"] = {}
+
+#: One weak reference per session seen by :func:`load_table`, keyed by
+#: its :func:`session_id`.  A cached DataFrame strongly references its
+#: session, so a ``WeakKeyDictionary`` keyed by the session would never
+#: release (value → key cycle); instead the cache stays a plain dict
+#: and :func:`_evict_dead_sessions` sweeps entries whose session object
+#: was collected OR whose SparkContext was stopped — a long-lived
+#: service that cycles sessions no longer accumulates dead plans
+#: (r10 VERDICT item 5).
+_SESSION_REFS: dict[str, object] = {}
+
+
+def _evict_dead_sessions(live_sid: str) -> None:
+    """Drop cache entries belonging to collected/stopped sessions."""
+    import weakref  # local: stdlib, but keep module import surface flat
+
+    dead = []
+    for sid, ref in _SESSION_REFS.items():
+        if sid == live_sid:
+            continue
+        sess = ref() if isinstance(ref, weakref.ref) else None
+        if sess is None:
+            dead.append(sid)
+            continue
+        try:
+            if sess.sparkContext._jsc is None:  # stopped context
+                dead.append(sid)
+        except Exception:
+            dead.append(sid)
+    for sid in dead:
+        _SESSION_REFS.pop(sid, None)
+        for key in [k for k in _LOAD_TABLE_CACHE if k[0] == sid]:
+            _LOAD_TABLE_CACHE.pop(key, None)
 
 
 def _cache_key(path: str) -> tuple:
@@ -144,10 +176,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (a regenerated lake invalidates the entry — same _cache_key the
     # footer cache uses).  This is what a production catalog provides:
     # resolve the table metadata once, not once per query.
-    memo_key = (session_id(spark), _cache_key(path), name)
+    sid = session_id(spark)
+    memo_key = (sid, _cache_key(path), name)
     cached = _LOAD_TABLE_CACHE.get(memo_key)
     if cached is not None:
         return cached
+    # miss path only (the hit path stays allocation-free): register the
+    # session for eviction and sweep entries of dead/stopped sessions
+    if sid not in _SESSION_REFS:
+        import weakref
+
+        try:
+            _SESSION_REFS[sid] = weakref.ref(spark)
+        except TypeError:  # unhashable/mocked session in a test
+            pass
+    _evict_dead_sessions(sid)
     df = scan_parquet(spark, path)
     from pyspark.sql import functions as F
 
