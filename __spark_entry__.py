@@ -9385,50 +9385,77 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order by (cents, orderkey, linenumber) inside each group, a
     running SUM accumulates integer weights, and the median is the
     MIN value whose doubled cumulative weight reaches the group total.
-    Everything is exact integer arithmetic; the only windows are
-    group-partitioned with a single SUM of state. At 100 TB the group
-    key is low-cardinality (3 flags) — the same shape the chunked
-    max_concurrency sweep handles; here the window input is the raw
-    fact table, so the scale path would pre-aggregate per (flag,
-    cents) first (noted, driver scale keeps the direct form)."""
+    Everything is exact integer arithmetic.  The fact table first
+    collapses to the (flag, cents) value grid, and the cumulative walk
+    is CHUNKED (r11): the group key is low-cardinality (3 flags), so a
+    flag-partitioned window would funnel the whole grid through 3
+    tasks — the running sum instead runs inside (flag, cents-range)
+    chunks with prefix-summed carry-ins, the max_concurrency sweep
+    shape."""
     # NULL price/quantity rows carry no weight and would ride the cents
     # ordering with engine-different NULL placement (nullmeasure)
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
     )
-    # spread the single-split scan: the cents/weight floors and the
-    # (flag, cents) partial aggregation run wide (guide §2.5)
-    t = ensure_scan_parallelism(
-        li.select(
-            "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
-            F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
-            "l_orderkey",
-            "l_linenumber",
-        )
+    # CHUNKED cumulative weights (the r11 mannwhitney rule): the
+    # 3-flag-partitioned window funneled the whole cents grid through 3
+    # tasks.  The chunk id (a pure function of cents — sign-safe floor
+    # division) rides the grid GROUP KEY, so ONE keyed-spread exchange
+    # on (flag, chunk) serves the fact aggregate AND the chunk-local
+    # running sum; per-chunk totals (a 3×|range|/2¹⁶-row relation) are
+    # prefix-summed into each chunk's carry-in and cumw = carry + lcum
+    # exactly (ties in cents merge in the grid, so the threshold row is
+    # unchanged — equivalence pinned vs the flag-window form in
+    # tests/test_opt_r11.py; interleaved A/B 1.76 → 1.09 s min at
+    # sf0.1).  The keyed spread replaces r10's round-robin spread (one
+    # exchange instead of spread + agg exchanges); guarded no-op on a
+    # wide lake, where the agg and window exchanges reappear wide.
+    chunk_w = 1 << 16
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    ).withColumn(
+        "__chunk",
+        F.expr(f"(cents - pmod(cents, {chunk_w})) DIV {chunk_w}"),
     )
-    # pre-aggregate per (flag, cents): collapses the fact table to the
-    # value grid BEFORE any window — the 100 TB form of cumulative
-    # weighting (ties in cents merge, so the cumulative sums and the
-    # threshold row are unchanged)
-    g = t.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
-    win = Window.partitionBy("l_returnflag").orderBy("cents")
-    cum = g.select(
+    g = ensure_keyed_parallelism(t, "l_returnflag", "__chunk").groupBy(
+        "l_returnflag", "__chunk", "cents"
+    ).agg(F.sum("w").alias("w"))
+    w_local = Window.partitionBy("l_returnflag", "__chunk").orderBy("cents")
+    loc = g.select(
+        "l_returnflag",
+        "__chunk",
+        "cents",
+        F.sum("w").over(w_local).alias("lcum"),
+    )
+    per_chunk = g.groupBy("l_returnflag", "__chunk").agg(
+        F.sum("w").alias("cw")
+    )
+    w_carry = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ch = per_chunk.select(
+        "l_returnflag",
+        "__chunk",
+        F.coalesce(F.sum("cw").over(w_carry), F.lit(0)).alias("carry"),
+        F.sum("cw").over(w_tot).alias("total_w"),
+    )
+    cum = loc.join(F.broadcast(ch), ["l_returnflag", "__chunk"]).select(
         "l_returnflag",
         "cents",
-        F.sum("w").over(win).alias("cumw"),
-        F.sum("w")
-        .over(
-            Window.partitionBy("l_returnflag").orderBy(
-                F.lit(1)
-            ).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("total_w"),
+        (F.col("carry") + F.col("lcum")).alias("cumw"),
+        "total_w",
     )
     return (
         cum.filter(2 * F.col("cumw") >= F.col("total_w"))
@@ -10850,27 +10877,60 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
     )
-    # spread the single-split scan for the floor + partial grid agg
-    # (guide §2.5; no-op at scale)
-    t = ensure_scan_parallelism(
-        li.select(
-            "l_returnflag",
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
-        )
+    # CHUNKED cumulative (r11, the mannwhitney/weighted_median rule):
+    # the flag-partitioned window funneled the whole cents grid through
+    # 3 tasks.  The chunk id (pure function of cents) rides the grid
+    # group key, so ONE keyed-spread exchange on (flag, chunk) serves
+    # the grid aggregate, the chunk-local running count AND the clamp
+    # pass (grid's two consumers reuse the same exchange); per-chunk
+    # totals are prefix-summed into carry-ins, cum = carry + lcum
+    # exactly.  Equivalence pinned in tests/test_opt_r11.py;
+    # interleaved A/B 2.07 → 1.58 s min at sf0.1.  Guarded no-op on a
+    # wide lake.
+    chunk_w = 1 << 16
+    t = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).withColumn(
+        "__chunk",
+        F.expr(f"(cents - pmod(cents, {chunk_w})) DIV {chunk_w}"),
     )
-    grid = t.groupBy("l_returnflag", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
+    grid = ensure_keyed_parallelism(t, "l_returnflag", "__chunk").groupBy(
+        "l_returnflag", "__chunk", "cents"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_local = Window.partitionBy("l_returnflag", "__chunk").orderBy("cents")
+    loc = grid.select(
+        "l_returnflag",
+        "__chunk",
+        "cents",
+        F.sum("cnt").over(w_local).alias("lcum"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("cents")
-    cum = grid.select(
+    per_chunk = grid.groupBy("l_returnflag", "__chunk").agg(
+        F.sum("cnt").alias("cc")
+    )
+    w_carry = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ch = per_chunk.select(
+        "l_returnflag",
+        "__chunk",
+        F.coalesce(F.sum("cc").over(w_carry), F.lit(0)).alias("carry"),
+        F.sum("cc").over(w_tot).alias("n"),
+    )
+    cum = loc.join(F.broadcast(ch), ["l_returnflag", "__chunk"]).select(
         "l_returnflag",
         "cents",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt")
-        .over(Window.partitionBy("l_returnflag"))
-        .alias("n"),
+        (F.col("carry") + F.col("lcum")).alias("cum"),
+        "n",
     )
     bounds = cum.groupBy("l_returnflag").agg(
         F.min(
@@ -10880,7 +10940,9 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("cents"))
         ).alias("p99"),
     )
-    clamped = grid.join(F.broadcast(bounds), "l_returnflag").select(
+    clamped = grid.select("l_returnflag", "cents", "cnt").join(
+        F.broadcast(bounds), "l_returnflag"
+    ).select(
         "l_returnflag",
         "cnt",
         F.greatest(

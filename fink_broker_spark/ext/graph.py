@@ -247,22 +247,24 @@ def bounded_sssp(
     hops are absent (their distance is not yet settled — a bounded
     relaxation reports only what it has proven).
     """
-    # the node set feeds the source pick AND the distance init — uncut,
-    # both re-derive the union+distinct over the edge list (r10
-    # optimization; node-sized, so the materialization is bounded).
+    # r11: the old form union+distinct'ed the FULL node set and
+    # checkpointed it — only to throw away every row but one: the
+    # distance init `nodes ⋈ broadcast(min(node))` keeps exactly the
+    # minimum-id source row.  min(src) over the symmetric edge list IS
+    # min over the node set (src-set = dst-set = nodes by symmetry,
+    # and MIN is distinct-insensitive), so the node-set aggregate, its
+    # checkpoint job, and the init join all vanish (guide §1.2 "don't
+    # compute things you throw away").  The NULL filter preserves the
+    # empty-graph contract: an empty edge list yields an empty dist
+    # (the old inner join's behavior), never a (NULL, 0) row.
     # Per-round checkpointing was MEASURED SLOWER here (2.67 → 3.29 s
     # at sf0.1): the three blocking checkpoint jobs cost more than the
     # dist-subtree duplication they remove, because AQE's runtime
     # exchange reuse already dedupes the identical dist subtrees.
-    # lineage-truncation tradeoff: see __spark_entry__._materialize
-    nodes = (
-        wedges.select(F.col("src").alias("node"))
-        .unionByName(wedges.select(F.col("dst").alias("node")))
-        .distinct()
-    ).transform(materialize)
-    src0 = nodes.agg(F.min("node").alias("node"))
-    dist = nodes.join(F.broadcast(src0), "node").select(
-        "node", F.lit(0).cast("long").alias("dist")
+    dist = (
+        wedges.agg(F.min("src").alias("node"))
+        .filter(F.col("node").isNotNull())
+        .select("node", F.lit(0).cast("long").alias("dist"))
     )
     for _ in range(iters):
         relaxed = dist.join(

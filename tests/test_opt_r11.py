@@ -365,3 +365,140 @@ def test_planned_width_skips_memo_for_rdd_backed(spark):
     w = pt._planned_width(df)
     assert w == df.rdd.getNumPartitions()
     assert len(pt._WIDTH_MEMO) == 0
+
+
+# ---------------------------------------------------------------------------
+# bounded_sssp: direct min-source init (node set removed)
+# ---------------------------------------------------------------------------
+
+
+def test_bounded_sssp_empty_and_tiny(spark):
+    """r11 removed the node-set aggregate+checkpoint (only the min-id
+    source row survived it).  Pins: empty edge list -> empty dist (no
+    (NULL, 0) row), and the source picks the global min node with
+    exact min-plus distances."""
+    from fink_broker_spark.ext.graph import bounded_sssp
+
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    assert bounded_sssp(empty, iters=3).count() == 0
+
+    edges = spark.createDataFrame(
+        # min node 2; 2-4 direct (w=9) vs 2-3-4 (w=1+1): relaxation
+        # must find the cheaper 2-hop path within 3 rounds
+        [(2, 3, 1), (3, 2, 1), (3, 4, 1), (4, 3, 1), (2, 4, 9), (4, 2, 9),
+         (9, 11, 1), (11, 9, 1)],  # disconnected component: unreached
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.dist for r in bounded_sssp(edges, iters=3).collect()}
+    assert got == {2: 0, 3: 1, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# weighted_median / winsorized_stats: chunked cumulative ≡ flag window
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_chunked_equals_flag_window(spark):
+    import __spark_entry__ as entrymod
+    from __spark_entry__ import load_table
+
+    li = load_table(spark, SF0001, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    g = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    ).groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    win = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = g.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("total_w"),
+    )
+    ref = sorted(
+        map(
+            tuple,
+            cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.min("cents").alias("wmedian_cents"),
+                F.max("total_w").alias("total_weight"),
+            )
+            .collect(),
+        )
+    )
+    live = sorted(
+        map(
+            tuple,
+            entrymod.queries()["weighted_median"](spark, SF0001).collect(),
+        )
+    )
+    assert live == ref
+
+
+def test_winsorized_stats_chunked_equals_flag_window(spark):
+    import __spark_entry__ as entrymod
+    from __spark_entry__ import load_table
+
+    li = load_table(spark, SF0001, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    grid = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = grid.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    bounds = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(100 * F.col("cum") >= F.col("n"), F.col("cents"))
+        ).alias("p01"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("cents"))
+        ).alias("p99"),
+    )
+    clamped = grid.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "cnt",
+        F.greatest(
+            F.col("p01"), F.least(F.col("p99"), F.col("cents"))
+        ).alias("c"),
+        (F.col("cents") < F.col("p01")).cast("long").alias("lo"),
+        (F.col("cents") > F.col("p99")).cast("long").alias("hi"),
+    )
+    ref = sorted(
+        map(
+            tuple,
+            clamped.groupBy("l_returnflag")
+            .agg(
+                F.sum("cnt").alias("n_rows"),
+                F.sum(F.col("lo") * F.col("cnt")).alias("n_clipped_low"),
+                F.sum(F.col("hi") * F.col("cnt")).alias("n_clipped_high"),
+                (
+                    F.sum(F.col("c") * F.col("cnt")).cast("double")
+                    / F.sum("cnt").cast("double")
+                    / F.lit(100.0)
+                ).alias("winsorized_mean"),
+            )
+            .collect(),
+        )
+    )
+    live = sorted(
+        map(
+            tuple,
+            entrymod.queries()["winsorized_stats"](spark, SF0001).collect(),
+        )
+    )
+    assert live == ref
